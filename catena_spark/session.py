@@ -1,0 +1,87 @@
+"""SparkSession factory tuned for the catena-spark engine.
+
+Design (SURVEY.md §1.2, §4): catena's hand-built physical layer —
+time-partition pruning, per-series extent index, per-extent gzip, mmap
+reads, WAL — is replaced wholesale by Catalyst + Parquet built-ins. The
+session config turns the relevant machinery on:
+
+- AQE (runtime re-plan, skew-join splitting, shuffle-partition coalescing)
+- UTC session timezone (DuckDB-oracle parity; FIXTURES.md trap #1)
+- Arrow execution (fast pandas-UDF / toPandas path)
+- zstd parquet compression (catena's per-extent gzip analogue)
+
+Scale notes (100 TB / 1000-executor target):
+- ``spark.sql.shuffle.partitions`` here is sized for local[32] test runs.
+  On a real cluster set it to ~2-3x total cores (or leave it high and let
+  AQE coalesce); no operator in this repo assumes a partition count.
+- AQE skew-join stays on: the events table's series key (user_id,
+  event_type) is exactly the kind of key that skews at ingest scale.
+- Broadcast threshold left at default 10 MB; dimension tables (region,
+  nation, supplier, part at typical scale) broadcast automatically, and
+  operators add explicit ``F.broadcast`` hints where the small side is
+  known statically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable conf every query path must see for oracle parity and
+#: sane local performance, applied even when the caller (the driver) built
+#: the session. Static conf (driver memory, codegen) cannot be changed
+#: post-start and is only applied in get_spark().
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply parity-critical runtime conf to an existing session.
+
+    The driver constructs its own SparkSession; UTC timezone and AQE must
+    hold there too, so every loader in tables.py funnels through this.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static-only conf on some builds; never fatal
+    return spark
+
+
+def get_spark(
+    app_name: str = "catena-spark",
+    master: str | None = None,
+    shuffle_partitions: int | str | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned session.
+
+    Env knobs follow the driver contract: ``SPARK_GRAFT_CPUS`` sets
+    local[N]; ``SPARK_GRAFT_SHUFFLE`` overrides shuffle partitions.
+    """
+    if master is None:
+        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    shuffle = str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_runtime_conf(spark)

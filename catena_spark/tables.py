@@ -1,0 +1,66 @@
+"""Table catalog: loaders for the 10 driver tables + the canonical series view.
+
+Schemas/domains: FIXTURES.md (measured from /root/testdata parquet).
+The ``series`` view reproduces catena's exact row model
+``(source STRING, metric STRING, ts TIMESTAMP, value DOUBLE)``
+(SURVEY.md §1.1 [R point.go · Point/Row]) on the driver's events table:
+user_id plays catena's *source*, event_type its *metric*. Every
+time-series operator (operators/timeseries.py) is written against this
+view, so the same code serves any conforming table.
+
+Scale note: loaders are plain ``spark.read.parquet`` — at 100 TB the same
+call reads a partitioned-directory dataset and Catalyst handles partition
+pruning + row-group predicate pushdown; nothing here materializes or
+collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import ensure_runtime_conf
+
+#: All tables the driver pre-registers as DuckDB views (__spark_entry__.py:33-35).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table; applies parity conf (UTC tz) on the session."""
+    ensure_runtime_conf(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so ``spark.sql`` queries read
+    identically to the DuckDB oracle SQL (SURVEY.md §3.2 entry point 2)."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical catena row model over events (FIXTURES.md 'series' view)."""
+    return load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("source"),
+        F.col("event_type").alias("metric"),
+        F.col("ts"),
+        F.col("value"),
+    )
+
+
+#: DuckDB-side equivalent of ``series`` for embedding into oracle SQL CTEs.
+SERIES_SQL = (
+    "SELECT CAST(user_id AS VARCHAR) AS source, event_type AS metric, "
+    "CAST(ts AS TIMESTAMP) AS ts, value FROM events"
+)

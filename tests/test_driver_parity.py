@@ -1,0 +1,97 @@
+"""Local mirror of the driver's correctness gate (SURVEY.md §5 item 1).
+
+For every registered query with oracle SQL: run the Spark callable and the
+DuckDB SQL on the same parquet dir, then compare row count, sorted column
+names, and the order-insensitive multiset of rows with EXACT value
+equality — strictly at-least-as-strong as the driver's value hash.
+
+Default SF is sf0.001 for speed; set CATENA_TEST_SF=/root/testdata/sf0.01
+to rehearse at the driver's exact scale before committing a milestone.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+
+from catena_spark import registry
+from tests.conftest import SF_SMALL
+
+
+def _norm(v):
+    """Normalize one cell for exact cross-engine comparison."""
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        if v == 0.0:
+            return repr(0.0)  # -0.0 == 0.0
+        return repr(v)  # exact: parity rules must make bits identical
+    if isinstance(v, bool):
+        return repr(v)
+    if isinstance(v, int):
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _spark_result(spark, spec, sf_dir):
+    df = spec.fn(spark, sf_dir)
+    cols = sorted(df.columns)
+    rows = [tuple(_norm(r[c]) for c in cols) for r in df.collect()]
+    return cols, sorted(rows)
+
+
+def _duck_result(duck, spec):
+    cur = duck.execute(spec.oracle)
+    names = [d[0] for d in cur.description]
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    rows = [tuple(_norm(r[i]) for i in order) for r in cur.fetchall()]
+    return sorted(names), sorted(rows)
+
+
+_SPECS = registry.specs()
+_WITH_ORACLE = [k for k, s in _SPECS.items() if s.oracle is not None]
+_ROWS_ONLY = [k for k, s in _SPECS.items() if s.oracle is None]
+
+
+@pytest.mark.parametrize("key", _WITH_ORACLE)
+def test_oracle_parity(spark, duck, key):
+    spec = _SPECS[key]
+    s_cols, s_rows = _spark_result(spark, spec, SF_SMALL)
+    d_cols, d_rows = _duck_result(duck, spec)
+    assert s_cols == d_cols, f"{key}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{key}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    mismatch = [
+        (a, b) for a, b in zip(s_rows, d_rows) if a != b
+    ]
+    assert not mismatch, f"{key}: {len(mismatch)} differing rows; first: {mismatch[0]}"
+
+
+@pytest.mark.parametrize("key", _ROWS_ONLY)
+def test_rows_only_runs(spark, key):
+    """Rows-only specs must at least execute and return a stable schema."""
+    spec = _SPECS[key]
+    df = spec.fn(spark, SF_SMALL)
+    assert df.columns
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
