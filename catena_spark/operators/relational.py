@@ -3,25 +3,43 @@
 Catena has no relational layer at all (SURVEY.md §2 exhaustiveness note);
 these operators are mandated by the driver's oracle harness and are
 deliberately zero-custom-engine-code: declare the plan, let Catalyst pick
-pushdown/broadcast/sort-merge (SURVEY.md §4).
+pushdown / broadcast / sort-merge / TakeOrderedAndProject (SURVEY.md §4).
 
-Scale notes are on each operator; the common ones:
-- Filters sit directly on the scan so they push into Parquet row-group
-  stats (verified in tests/test_plans.py).
-- Dimension joins (region/nation/customer at catalog scale) broadcast —
-  either by Catalyst threshold or explicit hint.
-- Top-k goes through TakeOrderedAndProject (no global sort at scale).
+Common scale properties (verified in tests/test_plans.py):
+- Filters sit directly on scans so they push into Parquet row-group stats.
+- Dimension joins broadcast (Catalyst threshold or explicit hint).
+- Aggregates are partial (map-side combine) before the exchange.
+- Top-k runs as TakeOrderedAndProject — no global sort at scale.
+
+Parity conventions: catena_spark/parity.py. Integer-producing scalar
+functions are cast to BIGINT on both sides (Spark int vs DuckDB bigint);
+timestamps leave queries as formatted strings or epoch seconds.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import tables
 from ..parity import ravg, rsum
 from ..registry import query
 
+
+# ---------------------------------------------------------------- A6: scan
+
+@query(
+    "scan_lineitem_count",
+    "A6",
+    oracle="SELECT count(*) AS n FROM lineitem",
+)
+def scan_lineitem_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare parquet scan + count. Scale: count(*) answers from row-group
+    metadata + partial counts; no shuffle beyond the final 1-row reduce."""
+    return tables.load(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------- D7: flagship
 
 @query(
     "agg_pricing_summary",
@@ -45,11 +63,9 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP (TPC-H Q1 shape): multi-key hash aggregate over the fact
     table with a pushed-down date filter.
 
-    Scale: map-side partial aggregation + tiny shuffle (|groups| = 6); the
-    shipdate predicate reaches the Parquet scan (PushedFilters), so at
-    100 TB only qualifying row groups are read. No ORDER BY — the driver
-    hash is order-insensitive and a global sort of 6 rows is free anyway,
-    but omitting it keeps the plan exchange-minimal.
+    Scale: map-side partial aggregation, 6-group shuffle; the shipdate
+    predicate reaches the Parquet scan (PushedFilters) so at 100 TB only
+    qualifying row groups are read.
     """
     li = tables.load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -66,4 +82,631 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ravg(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("cnt"),
         )
+    )
+
+
+# ---------------------------------------------------------------- D2: filter
+
+@query(
+    "filter_pushdown_dates",
+    "D2",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_discount,
+           strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d') AS ship_day
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_returnflag IN ('A', 'R')
+      AND l_discount BETWEEN 0.02 AND 0.08
+    """,
+)
+def filter_pushdown_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive range + IN + BETWEEN filter.
+
+    Scale: all four predicates push to the parquet scan; with a dt
+    partition layout (sources/ingest.py) the date range also prunes whole
+    partition directories before any task launches.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_discount").between(0.02, 0.08)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        "l_discount",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    )
+
+
+# ---------------------------------------------------------------- D3-D6: joins
+
+@query(
+    "join_orders_customer",
+    "D3",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderstatus
+    """,
+)
+def join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact->dim then aggregate.
+
+    Scale: customer is the smaller side; Catalyst broadcasts it under the
+    threshold, else AQE converts to broadcast at runtime. No hint needed —
+    at 100 TB customer may exceed broadcast size and SMJ is then correct.
+    """
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rsum(F.col("o_totalprice")).alias("sum_total"),
+        )
+    )
+
+
+@query(
+    "join_left_orders_lineitem",
+    "D4",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           count(l.l_orderkey) AS n_big_items,
+           coalesce(round(sum(l.l_extendedprice), 2), 0.0) AS sum_big
+    FROM orders o
+    LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 45) l
+      ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+)
+def join_left_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a filtered right side; unmatched rows keep
+    count 0 / sum 0.0 (null-semantics check).
+
+    Scale: the quantity filter applies below the join (pushed to the
+    scan), shrinking the shuffled right side ~10x before the SMJ.
+    """
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count("l_orderkey").alias("n_big_items"),
+            F.coalesce(rsum(F.col("l_extendedprice")), F.lit(0.0)).alias("sum_big"),
+        )
+    )
+
+
+@query(
+    "join_semi_customers_purchasers",
+    "D5",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_semi_customers_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one 400k+ order.
+
+    Scale: semi-join shuffles only the distinct keys of the filtered
+    orders side — never multiplies rows.
+    """
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti_customers_no_orders",
+    "D5",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no urgent orders.
+
+    (The priority filter keeps the result non-degenerate — every customer
+    has *some* order in the fixtures.)
+    """
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_theta_nation_pairs",
+    "D6",
+    oracle="""
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS regionkey
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def join_theta_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: unordered same-region nation pairs (equi part on
+    regionkey + inequality residual).
+
+    Scale: the equi component keys the shuffle/broadcast; the inequality
+    stays a post-join filter — never a nested-loop cross product.
+    """
+    n = tables.load(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        "inner",
+    ).select(
+        F.col("a.n_name").alias("nation_a"),
+        F.col("b.n_name").alias("nation_b"),
+        F.col("a.n_regionkey").alias("regionkey"),
+    )
+
+
+# ---------------------------------------------------------------- D8-D9: aggs
+
+@query(
+    "agg_count_distinct",
+    "D8",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count-distinct in one aggregate (Catalyst expand + partial
+    distinct). approx_count_distinct is the 100 TB variant — exact here
+    for oracle parity; the approx twin lives in tests."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "agg_rollup_nation_region",
+    "D9",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over a 3-way dim join (grouping-sets machinery).
+
+    Scale: nation/region broadcast (25/5 rows at any SF); rollup expands
+    rows 3x pre-shuffle but group count stays tiny.
+    """
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        rsum(F.col("c_acctbal")).alias("sum_bal"),
+    )
+
+
+# ---------------------------------------------------------------- D10-D12: windows, top-k
+
+@query(
+    "win_rank_orders_per_cust",
+    "D10",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn,
+                 rank() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC) AS rnk
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def win_rank_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows: first 3 orders per customer by date (row_number
+    with deterministic orderkey tiebreak) + spend rank.
+
+    Scale: one shuffle on o_custkey serves both windows (same partition
+    key); skewed customers are handled by AQE.
+    """
+    o = tables.load(spark, sf_dir, "orders")
+    w_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_spend = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w_date).cast("long").alias("rn"),
+            F.rank().over(w_spend).cast("long").alias("rnk"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_running_revenue",
+    "D11",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER w_cum, 2) AS running_total,
+           round(avg(o_totalprice) OVER w_ma3, 6) AS ma3,
+           lag(o_totalprice, 1)  OVER w_ord AS prev_total,
+           lead(o_totalprice, 1) OVER w_ord AS next_total
+    FROM orders
+    WINDOW w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w_cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_ma3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: running sum, 3-row moving average, lag/lead —
+    frames spelled out explicitly (engine frame defaults differ)."""
+    o = tables.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 6).alias("ma3"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_total"),
+        F.lead("o_totalprice", 1).over(w).alias("next_total"),
+    )
+
+
+@query(
+    "topk_revenue_q3",
+    "D12",
+    oracle="""
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS order_day
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_revenue_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> 3-way join -> agg -> top-10.
+
+    Scale: segment filter pushes below the join; the final ORDER BY+LIMIT
+    compiles to TakeOrderedAndProject (per-partition top-k then merge of
+    10-row heaps — no global sort). Ordering is on the ROUNDED revenue
+    with an orderkey tiebreak so both engines pick identical top-10 sets.
+    """
+    c = tables.load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = tables.load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            rsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- D13: set ops
+
+@query(
+    "setop_union_intersect",
+    "D13",
+    oracle="""
+    WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+         b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 300000)
+    SELECT 'union' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b)
+    UNION ALL
+    SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+    UNION ALL
+    SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+    """,
+)
+def setop_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) / INTERSECT / EXCEPT over two key sets, tagged and
+    stacked so one result exercises all three.
+
+    Scale: each set op is a shuffle on the full row; distinct inputs are
+    pre-shrunk by their filters.
+    """
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    b = (
+        o.where(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "k")  # noqa: E731
+    return (
+        tag(a.union(b).distinct(), "union")
+        .unionAll(tag(a.intersect(b), "intersect"))
+        .unionAll(tag(a.subtract(b), "except"))
+    )
+
+
+# ---------------------------------------------------------------- D14: subqueries
+
+@query(
+    "subq_above_avg_price",
+    "D14",
+    oracle="""
+    SELECT p.p_brand, count(*) AS n_small, round(sum(l.l_extendedprice), 2) AS sum_price
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+    """,
+)
+def subq_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape) via the SQL entry
+    point — Catalyst decorrelates it into an aggregate + join.
+
+    Parity note: l_quantity is integer-valued (verified), so the
+    0.5*avg threshold is IEEE-exact on both engines and the comparison
+    cannot flip on float noise.
+    """
+    for t in ("lineitem", "part"):
+        tables.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT p.p_brand, count(*) AS n_small,
+               round(sum(l.l_extendedprice), 2) AS sum_price
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p.p_brand
+        """
+    )
+
+
+# ---------------------------------------------------------------- D15-D21: scalar function suites
+
+@query(
+    "fn_string_suite",
+    "D15",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                            AS up_name,
+           lower(p_brand)                           AS lo_brand,
+           substring(p_name, 1, 5)                  AS pre5,
+           concat_ws(':', p_brand, p_type)          AS label,
+           CAST(length(p_name) AS BIGINT)           AS name_len,
+           replace(p_name, ' ', '_')                AS und_name,
+           regexp_extract(p_name, '^(\\w+)', 1)     AS first_word,
+           regexp_extract(p_name, '(\\w+)$', 1)     AS last_word,
+           (p_name LIKE '%red%')                    AS has_red,
+           lpad(p_brand, 10, '*')                   AS pad_brand,
+           CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS size_class,
+           CAST(greatest(p_size, 10) AS BIGINT)     AS size_floor10
+    FROM part
+    """,
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery (D15 + folded D21 CASE/greatest) over part."""
+    p = tables.load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_brand").alias("lo_brand"),
+        F.substring("p_name", 1, 5).alias("pre5"),
+        F.concat_ws(":", "p_brand", "p_type").alias("label"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_replace("p_name", " ", "_").alias("und_name"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.col("p_name").like("%red%").alias("has_red"),
+        F.lpad("p_brand", 10, "*").alias("pad_brand"),
+        F.when(F.col("p_size") > 25, "big").otherwise("small").alias("size_class"),
+        F.greatest("p_size", F.lit(10)).cast("long").alias("size_floor10"),
+    )
+
+
+@query(
+    "fn_date_suite",
+    "D16",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)    AS od_year,
+           CAST(month(o_orderdate) AS BIGINT)   AS od_month,
+           CAST(day(o_orderdate) AS BIGINT)     AS od_day,
+           CAST(quarter(o_orderdate) AS BIGINT) AS od_quarter,
+           CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_dow,
+           strftime(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)), '%Y-%m-%d') AS month_start,
+           strftime(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY, '%Y-%m-%d')    AS plus30,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')                 AS month_end,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_y2k,
+           CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery over orders (UTC both engines).
+
+    iso_dow uses Spark weekday()+1 == DuckDB isodow (Monday=1) — the
+    engines' native dayofweek numberings disagree (FIXTURES.md trap).
+    """
+    o = tables.load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("od_year"),
+        F.month("o_orderdate").cast("long").alias("od_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("od_day"),
+        F.quarter("o_orderdate").cast("long").alias("od_quarter"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("iso_dow"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("plus30"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_y2k"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@query(
+    "fn_math_suite",
+    "D17",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / l_quantity, 6)  AS unit_price,
+           CAST(floor(l_extendedprice) AS BIGINT)  AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT)   AS price_ceil,
+           round(abs(l_discount - 0.05), 6)        AS disc_dev,
+           round(pow(l_quantity, 2), 4)            AS qty_sq,
+           round(sqrt(l_extendedprice), 6)         AS price_root,
+           round(ln(l_extendedprice), 6)           AS price_ln,
+           l_orderkey // 100                       AS okey_div100,
+           l_orderkey % 7                          AS okey_mod7,
+           round(greatest(l_tax, l_discount), 6)   AS max_rate,
+           round(least(l_tax, l_discount), 6)      AS min_rate,
+           coalesce(nullif(l_tax, 0.0), -1.0)      AS tax_or_neg
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function battery (D17 + folded D21 coalesce/nullif/least).
+
+    Division: Spark ``/`` is always double-division — DuckDB 1.0 matches;
+    integer division is explicit (`div` / `//`) on both sides.
+    """
+    li = tables.load(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_price"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_root"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.expr("l_orderkey div 100").alias("okey_div100"),
+        (F.col("l_orderkey") % 7).alias("okey_mod7"),
+        F.round(F.greatest("l_tax", "l_discount"), 6).alias("max_rate"),
+        F.round(F.least("l_tax", "l_discount"), 6).alias("min_rate"),
+        F.coalesce(F.nullif("l_tax", F.lit(0.0)), F.lit(-1.0)).alias("tax_or_neg"),
+    )
+
+
+@query(
+    "fn_array_suite",
+    "D18",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(embedding[1] AS DOUBLE)   AS first_v,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_v,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS sum_v,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS norm_sq,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+    FROM embeddings
+    """,
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embedding column (dim-64
+    float32): size / index / max / fold-sum / squared-norm / filter-count.
+
+    All JVM-side HOFs (aggregate/filter) — the pattern E-ops build on; no
+    Python crossing. Elements cast to double BEFORE summation on both
+    engines so the fold is the same IEEE sequence.
+    """
+    e = tables.load(spark, sf_dir, "embeddings")
+    acc0 = F.lit(0.0)
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_v"),
+        F.array_max("embedding").cast("double").alias("max_v"),
+        F.round(
+            F.aggregate("embedding", acc0, lambda a, x: a + x.cast("double")), 6
+        ).alias("sum_v"),
+        F.round(
+            F.aggregate(
+                "embedding", acc0, lambda a, x: a + x.cast("double") * x.cast("double")
+            ),
+            6,
+        ).alias("norm_sq"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+    )
+
+
+@query(
+    "fn_json_props",
+    "D20",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def fn_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from events.props ('{"k": <int>}') — both the
+    path-extract and typed-map parse produce the same value; the map
+    parse (from_json) is what a 100 TB pipeline would use (single parse,
+    typed access)."""
+    ev = tables.load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10).alias("k_bucket"),
     )

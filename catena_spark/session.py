@@ -39,6 +39,11 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Spark 4.1 rejects INT64 TIMESTAMP(NANOS) parquet columns outright
+    # (PARQUET_TYPE_ILLEGAL); read them as raw nanos and let tables.load
+    # convert to a µs timestamp (same truncation DuckDB applies casting
+    # TIMESTAMP_NS -> TIMESTAMP).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

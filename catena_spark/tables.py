@@ -37,9 +37,18 @@ TABLES = (
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver table; applies parity conf (UTC tz) on the session."""
+    """Load one driver table; applies parity conf (UTC tz) on the session.
+
+    events.ts is TIMESTAMP(NANOS) in parquet, which Spark reads as raw
+    nanos (legacy.parquet.nanosAsLong); convert to a µs TimestampType by
+    integer-truncation — bit-identical to DuckDB's TIMESTAMP_NS->TIMESTAMP
+    cast, so downstream ordering/formatting agree.
+    """
     ensure_runtime_conf(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
