@@ -1,4 +1,603 @@
-"""Time-series operators (SURVEY.md §2-B reference read API, §2-C derived
-analytics) over the canonical (source, metric, ts, value) series view.
+"""Time-series operators (SURVEY.md §2-B: catena's read API; §2-C: the
+analytics a catena-backed TSDB serves), over the canonical series view
+``(source STRING, metric STRING, ts TIMESTAMP, value DOUBLE)`` —
+catena's exact row model (SURVEY.md §1.1 [R point.go · Point/Row]).
 
-Populated in build-plan step 3."""
+Catena answers B1-B5 with a per-series iterator over time-partitioned
+storage (SURVEY.md §3.1); here the same semantics are declarative:
+predicate pushdown + partition pruning play the extent-index role
+(SURVEY.md §4), and per-series ordering comes from window specs or
+min/max-by aggregation instead of a cursor.
+
+Scale invariants across this module:
+- Per-series operators shuffle ONCE on (source, metric) and reuse that
+  partitioning for every window function in the query.
+- "Latest/first point" uses min_by/max_by-style struct aggregation — a
+  partial-aggregatable reduction, never a global sort.
+- Window tiebreaks are total ((source, ts) verified unique in fixtures;
+  value added as a belt-and-braces tiebreak) so results are deterministic
+  under any partitioning.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import tables
+from ..registry import query
+from ..tables import SERIES_SQL
+
+#: microseconds per second/hour — used for exact integer time arithmetic.
+US = 1_000_000
+HOUR_US = 3600 * US
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series view + exact integer timestamp (µs) for frame arithmetic."""
+    return tables.series(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+
+
+def _cte(body: str) -> str:
+    return f"WITH series AS ({SERIES_SQL}), s AS (SELECT *, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM series)\n{body}"
+
+
+# ---------------------------------------------------------------- B1: range scan
+
+@query(
+    "ts_range_scan",
+    "B1",
+    oracle=_cte("""
+    SELECT source, metric, ts_us, value FROM s
+    WHERE source = '7' AND metric = 'click'
+      AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+    """),
+)
+def ts_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catena ``NewIterator(source, metric)`` + time-bounded walk
+    (SURVEY.md §2-B1): all points of one series in [a, b).
+
+    Scale: the three predicates push to the parquet scan; with a dt
+    partition layout the time bound prunes partitions — the declarative
+    equivalent of catena touching only overlapping partitions.
+    """
+    return (
+        _series(spark, sf_dir)
+        .where(
+            (F.col("source") == "7")
+            & (F.col("metric") == "click")
+            & (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
+        )
+        .select("source", "metric", "ts_us", "value")
+    )
+
+
+# ---------------------------------------------------------------- B2: seek
+
+@query(
+    "ts_seek_first_after",
+    "B2",
+    oracle=_cte("""
+    SELECT source, metric, ts_us, value FROM (
+        SELECT source, metric, ts_us, value,
+               row_number() OVER (PARTITION BY source, metric
+                                  ORDER BY ts_us, value) AS rn
+        FROM s WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+    WHERE rn = 1
+    """),
+)
+def ts_seek_first_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catena ``Iterator.Seek(ts)`` for every series at once: first point
+    at-or-after the seek timestamp (SURVEY.md §2-B2).
+
+    Scale: implemented as min(struct(ts, value)) per series — a partial
+    aggregation, not a per-series sort; the oracle's row_number form is
+    semantically identical given the total tiebreak.
+    """
+    s = _series(spark, sf_dir).where(
+        F.col("ts") >= F.lit("2024-01-15").cast("timestamp")
+    )
+    first = s.groupBy("source", "metric").agg(
+        F.min(F.struct("ts_us", "value")).alias("pt")
+    )
+    return first.select(
+        "source", "metric", F.col("pt.ts_us").alias("ts_us"), F.col("pt.value").alias("value")
+    )
+
+
+# ---------------------------------------------------------------- B3: latest
+
+@query(
+    "ts_latest_per_series",
+    "B3",
+    oracle=_cte("""
+    SELECT source, metric, ts_us, value FROM (
+        SELECT source, metric, ts_us, value,
+               row_number() OVER (PARTITION BY source, metric
+                                  ORDER BY ts_us DESC, value DESC) AS rn
+        FROM s)
+    WHERE rn = 1
+    """),
+)
+def ts_latest_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newest point per series — the dashboard "now" read (SURVEY.md
+    §2-B3). max(struct) partial aggregation; at 100 TB combine with
+    partition pruning to the newest dt buckets."""
+    s = _series(spark, sf_dir)
+    latest = s.groupBy("source", "metric").agg(
+        F.max(F.struct("ts_us", "value")).alias("pt")
+    )
+    return latest.select(
+        "source", "metric", F.col("pt.ts_us").alias("ts_us"), F.col("pt.value").alias("value")
+    )
+
+
+# ---------------------------------------------------------------- B4: enumerate
+
+@query(
+    "ts_list_series",
+    "B4",
+    oracle=_cte("SELECT DISTINCT source, metric FROM s"),
+)
+def ts_list_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series enumeration (catena partition-metadata walk, SURVEY.md
+    §2-B4): distinct (source, metric) pairs."""
+    return _series(spark, sf_dir).select("source", "metric").distinct()
+
+
+# ---------------------------------------------------------------- B5: bounds
+
+@query(
+    "ts_series_bounds",
+    "B5",
+    oracle=_cte("""
+    SELECT source, metric, min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us,
+           count(*) AS n_points
+    FROM s GROUP BY source, metric
+    """),
+)
+def ts_series_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series time bounds + cardinality (catena partition
+    min/maxTimestamp, SURVEY.md §2-B5)."""
+    return _series(spark, sf_dir).groupBy("source", "metric").agg(
+        F.min("ts_us").alias("min_ts_us"),
+        F.max("ts_us").alias("max_ts_us"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+# ---------------------------------------------------------------- C1: resample
+
+@query(
+    "ts_resample_1h",
+    "C1",
+    oracle=_cte("""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+           metric, count(*) AS n, round(avg(value), 6) AS avg_v,
+           round(sum(value), 2) AS sum_v, min(value) AS min_v, max(value) AS max_v
+    FROM s GROUP BY 1, 2
+    """),
+)
+def ts_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window downsample to 1h buckets per metric (SURVEY.md
+    §2-C1; BENCH headline `events_resample_1h`).
+
+    Scale: pure hash aggregate — partial aggregation collapses each
+    map partition to |hours x metrics| rows before the shuffle.
+    """
+    s = _series(spark, sf_dir)
+    return (
+        s.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_s"
+            ),
+            "metric",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_v"),
+            F.round(F.sum("value"), 2).alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- C2: moving aggs
+
+@query(
+    "ts_moving_avg",
+    "C2",
+    oracle=_cte("""
+    SELECT source, metric, ts_us, value,
+           round(avg(value) OVER (PARTITION BY source, metric
+                                  ORDER BY ts_us, value
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS ma4,
+           round(avg(value) OVER (PARTITION BY source, metric
+                                  ORDER BY ts_us
+                                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6) AS ma_1h
+    FROM s
+    """),
+)
+def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving averages per series: last-4-rows and trailing-1-hour
+    (time-range frame over exact integer µs — SURVEY.md §2-C2).
+
+    Scale: both windows share one (source, metric) shuffle; frames are
+    bounded so state per row is O(frame), not O(partition).
+    """
+    s = _series(spark, sf_dir)
+    w_rows = (
+        Window.partitionBy("source", "metric")
+        .orderBy("ts_us", "value")
+        .rowsBetween(-3, 0)
+    )
+    w_range = (
+        Window.partitionBy("source", "metric")
+        .orderBy("ts_us")
+        .rangeBetween(-HOUR_US, 0)
+    )
+    return s.select(
+        "source",
+        "metric",
+        "ts_us",
+        "value",
+        F.round(F.avg("value").over(w_rows), 6).alias("ma4"),
+        F.round(F.avg("value").over(w_range), 6).alias("ma_1h"),
+    )
+
+
+# ---------------------------------------------------------------- C3: delta / rate
+
+@query(
+    "ts_delta",
+    "C3",
+    oracle=_cte("""
+    SELECT source, metric, ts_us, value,
+           value - lag(value) OVER w AS delta,
+           CASE WHEN value - lag(value) OVER w < 0 THEN value
+                ELSE value - lag(value) OVER w END AS increase
+    FROM s WINDOW w AS (PARTITION BY source, metric ORDER BY ts_us, value)
+    """),
+)
+def ts_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-over-point delta + counter-reset-aware increase (SURVEY.md
+    §2-C3): a reset (delta < 0) counts the new value, Prometheus-style.
+    Single-op IEEE arithmetic — exact parity without rounding."""
+    s = _series(spark, sf_dir)
+    w = Window.partitionBy("source", "metric").orderBy("ts_us", "value")
+    delta = F.col("value") - F.lag("value").over(w)
+    return s.select(
+        "source",
+        "metric",
+        "ts_us",
+        "value",
+        delta.alias("delta"),
+        F.when(delta < 0, F.col("value")).otherwise(delta).alias("increase"),
+    )
+
+
+@query(
+    "ts_rate",
+    "C3",
+    oracle=_cte("""
+    SELECT source, metric, ts_us, value,
+           (value - lag(value) OVER w)
+             / ((ts_us - lag(ts_us) OVER w) / 1000000.0) AS rate_per_s
+    FROM s WINDOW w AS (PARTITION BY source, metric ORDER BY ts_us, value)
+    """),
+)
+def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-second rate between consecutive points of a series (SURVEY.md
+    §2-C3). NULL on each series' first point, as in the oracle."""
+    s = _series(spark, sf_dir)
+    w = Window.partitionBy("source", "metric").orderBy("ts_us", "value")
+    dv = F.col("value") - F.lag("value").over(w)
+    dt_s = (F.col("ts_us") - F.lag("ts_us").over(w)) / F.lit(1000000.0)
+    return s.select(
+        "source", "metric", "ts_us", "value", (dv / dt_s).alias("rate_per_s")
+    )
+
+
+# ---------------------------------------------------------------- C4: gap-fill
+
+@query(
+    "ts_gapfill_ffill",
+    "C4",
+    oracle=_cte("""
+    , b AS (SELECT source, metric, date_trunc('hour', ts) AS h,
+                   round(avg(value), 6) AS v
+            FROM s GROUP BY 1, 2, 3),
+    bounds AS (SELECT source, metric, min(h) AS mn, max(h) AS mx
+               FROM b GROUP BY 1, 2),
+    grid AS (SELECT source, metric,
+                    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+             FROM bounds),
+    j AS (SELECT g.source, g.metric, g.h, b.v
+          FROM grid g LEFT JOIN b ON b.source = g.source
+               AND b.metric = g.metric AND b.h = g.h)
+    SELECT source, metric, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY source, metric
+               ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS v_filled,
+           (v IS NULL) AS was_gap
+    FROM j
+    """),
+)
+def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill: materialize every hourly bucket between each series' own
+    first and last point, forward-filling missing buckets (SURVEY.md
+    §2-C4 — catena has no NULL concept; absent buckets simply don't
+    exist, so the grid must be generated).
+
+    Scale: the grid is built per series from its bounds via
+    ``sequence()`` + explode — output size is sum of per-series spans,
+    never |series| x |global span|; the ffill is one bounded-state window
+    over the existing (source, metric) partitioning.
+    """
+    s = _series(spark, sf_dir)
+    b = s.groupBy(
+        "source", "metric", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    bounds = b.groupBy("source", "metric").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = bounds.select(
+        "source",
+        "metric",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = grid.join(b, ["source", "metric", "h"], "left")
+    w = (
+        Window.partitionBy("source", "metric")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "source",
+        "metric",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+# ---------------------------------------------------------------- C5: top-k series
+
+@query(
+    "ts_topk_series",
+    "C5",
+    oracle=_cte("""
+    SELECT source, metric, round(sum(value), 2) AS total, count(*) AS n
+    FROM s GROUP BY source, metric
+    ORDER BY total DESC, source, metric LIMIT 5
+    """),
+)
+def ts_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 series by total value (SURVEY.md §2-C5). Aggregate then
+    TakeOrderedAndProject on the rounded total with key tiebreaks."""
+    return (
+        _series(spark, sf_dir)
+        .groupBy("source", "metric")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.col("total").desc(), "source", "metric")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------- C6: as-of join
+
+@query(
+    "ts_asof_join",
+    "C6",
+    oracle=_cte("""
+    , c AS (SELECT source, ts_us, value FROM s WHERE metric = 'click'),
+    p AS (SELECT source, ts_us, value FROM s WHERE metric = 'purchase')
+    SELECT c.source, c.ts_us, c.value AS click_value,
+           p.value AS last_purchase_value
+    FROM c ASOF LEFT JOIN p
+      ON c.source = p.source AND p.ts_us <= c.ts_us
+    """),
+)
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY.md §2-C6): each click gets the user's latest
+    purchase value at-or-before it. Spark 4.1 has no native ASOF, so this
+    is the union-and-fill pattern: tag both sides, sort once per source,
+    forward-fill the purchase value, keep click rows.
+
+    Scale: ONE shuffle on source and a bounded-state running window —
+    strictly better than the naive range-join + rank (which explodes to
+    |clicks x purchases| per user before pruning). The DuckDB oracle uses
+    its native ASOF JOIN — a genuinely independent implementation.
+    Ties: a same-µs purchase sorts before the click (side asc), matching
+    ASOF's inclusive `<=`; (source, ts) is unique in fixtures so no
+    further ambiguity.
+    """
+    s = _series(spark, sf_dir)
+    clicks = s.where(F.col("metric") == "click").select(
+        "source", "ts_us", F.col("value").alias("click_value"),
+        F.lit(1).alias("is_click"), F.lit(None).cast("double").alias("pv"),
+    )
+    purchases = s.where(F.col("metric") == "purchase").select(
+        "source", "ts_us", F.lit(None).cast("double").alias("click_value"),
+        F.lit(0).alias("is_click"), F.col("value").alias("pv"),
+    )
+    u = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ts_us", "is_click")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn("last_purchase_value", F.last("pv", ignorenulls=True).over(w))
+        .where(F.col("is_click") == 1)
+        .select("source", "ts_us", "click_value", "last_purchase_value")
+    )
+
+
+# ---------------------------------------------------------------- C7: EWMA (rows-only)
+
+@query("ts_ewma", "C7", oracle=None)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per series, alpha=0.3
+    (SURVEY.md §2-C7). Not expressible with built-in window aggregates ->
+    grouped-map Pandas UDF (Arrow-batched; one group per series) — the
+    sanctioned slow path, and the only Python-crossing operator in this
+    module. Verified by pytest invariants + rows-only driver check.
+
+    Scale: applyInPandas shuffles once on the series key; each group
+    streams through pandas ``ewm``. Memory is O(largest series) per
+    executor — for pathological single-series skew, split by time bucket
+    and chain EWMA states across buckets.
+    """
+    s = _series(spark, sf_dir).select("source", "metric", "ts_us", "value")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "value"])
+        pdf["ewma"] = pdf["value"].ewm(alpha=0.3, adjust=False).mean()
+        return pdf
+
+    return s.groupBy("source", "metric").applyInPandas(
+        ewma, schema="source string, metric string, ts_us long, value double, ewma double"
+    )
+
+
+# ---------------------------------------------------------------- C8: z-score outliers
+
+@query(
+    "ts_zscore_outliers",
+    "C8",
+    oracle=_cte("""
+    SELECT source, metric, ts_us, value, z FROM (
+        SELECT source, metric, ts_us, value,
+               round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z,
+               count(*) OVER w AS n_win
+        FROM s
+        WINDOW w AS (PARTITION BY source, metric ORDER BY ts_us, value
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    WHERE n_win >= 5 AND abs(z) > 2.0
+    """),
+)
+def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly flagging (SURVEY.md §2-C8): points >2 sigma from the
+    trailing-20-point mean (current point excluded so it can't mask
+    itself); needs >=5 trailing points.
+
+    Parity: z is rounded to 4 before the threshold compare on both
+    engines so stddev numeric noise (~1e-12) cannot flip membership.
+    """
+    s = _series(spark, sf_dir)
+    w = (
+        Window.partitionBy("source", "metric")
+        .orderBy("ts_us", "value")
+        .rowsBetween(-20, -1)
+    )
+    z = F.round(
+        (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 4
+    )
+    n_win = F.count("value").over(w)
+    return (
+        s.select("source", "metric", "ts_us", "value", z.alias("z"), n_win.alias("n_win"))
+        .where((F.col("n_win") >= 5) & (F.abs(F.col("z")) > 2.0))
+        .drop("n_win")
+    )
+
+
+# ---------------------------------------------------------------- C9: sessionize
+
+@query(
+    "ts_sessionize_30m",
+    "C9",
+    oracle=_cte("""
+    , flagged AS (
+        SELECT source, ts_us,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM s WINDOW w AS (PARTITION BY source ORDER BY ts_us, metric, value)),
+    sessions AS (
+        SELECT source, ts_us,
+               sum(is_new) OVER (PARTITION BY source ORDER BY ts_us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged)
+    SELECT source, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, min(ts_us) AS start_us,
+           max(ts_us) AS end_us,
+           (max(ts_us) - min(ts_us)) / 1000000.0 AS duration_s
+    FROM sessions GROUP BY source, session_id
+    """),
+)
+def ts_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (SURVEY.md §2-C9): per user, a >30-min gap
+    starts a new session; emits one row per session. The classic
+    lag-gap -> cumulative-sum-of-flags pattern; streaming twin is
+    ``session_window`` (catena_spark.streaming).
+
+    Scale: one shuffle on source; both windows and the final group-by
+    reuse it. Integer µs arithmetic — exact parity.
+    """
+    s = _series(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("ts_us", "metric", "value")
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    flagged = s.select(
+        "source",
+        "ts_us",
+        F.when(gap.isNull() | (gap > 1800 * US), 1).otherwise(0).alias("is_new"),
+    )
+    sessions = flagged.select(
+        "source", "ts_us", F.sum("is_new").over(w_cum).cast("long").alias("session_id")
+    )
+    return sessions.groupBy("source", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        ((F.max("ts_us") - F.min("ts_us")) / F.lit(1000000.0)).alias("duration_s"),
+    )
+
+
+# ---------------------------------------------------------------- C10: percentiles
+
+@query(
+    "ts_percentiles",
+    "C10",
+    oracle=_cte("""
+    SELECT metric,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.9), 6)  AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           min(value) AS min_v, max(value) AS max_v, count(*) AS n
+    FROM s GROUP BY metric
+    """),
+)
+def ts_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per metric (SURVEY.md §2-C10).
+
+    Exact `percentile` here for oracle parity; at 100 TB swap in
+    `percentile_approx` (mergeable t-digest-style sketch, no sort) — the
+    approx twin is asserted within tolerance in tests/test_timeseries.py.
+    """
+    return (
+        _series(spark, sf_dir)
+        .groupBy("metric")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
