@@ -1,2 +1,697 @@
-"""LLM-data-pipeline operators (SURVEY.md §2-E): dedup, similarity search,
-text analysis, embedding/multimodal ops. Populated in build-plan step 4."""
+"""LLM-data-pipeline operators (SURVEY.md §2-E, mandated by the task
+north-star): deduplication (exact, token-set, MinHash-LSH, SimHash,
+n-gram Jaccard), embedding similarity search (brute-force + LSH-banded
+ANN), text analysis (stats, tf-idf, lang-ID, quality, fingerprints),
+multimodal payload plumbing, doc<->embedding joins.
+
+Hash portability: oracle-checked operators derive hashes from md5 hex
+(identical in Spark and DuckDB); Spark-only paths (MinHash/LSH) use
+seeded xxhash64 — deterministic across workers and shuffles, which is
+the determinism that matters at cluster scale (SURVEY.md §7 risk #4).
+
+Fixture calibration (measured): no byte-exact dup texts, avg pairwise
+token-set Jaccard 0.63 (near-dup-heavy corpus by construction), max
+pairwise embedding cosine ~0.51 — thresholds below are chosen to keep
+every result set non-degenerate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import tables
+from ..functions.text import QUALITY_SQL, char_ngrams, doc_tokens, lang_id, quality_score
+from ..functions.vectors import cosine, dot, l2_norm
+from ..registry import query
+
+
+def _docs_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + normalized text (lower/trim) — the dedup canon form."""
+    return tables.load(spark, sf_dir, "documents").withColumn(
+        "t", F.lower(F.trim("text"))
+    )
+
+
+# ================================================================ E1: exact dedup
+
+@query(
+    "llm_exact_dedup",
+    "E1",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS text_hash,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication by normalized content hash: one survivor row
+    (lowest doc_id) per distinct text (SURVEY.md §2-E1).
+
+    Scale: a single hash-aggregate on a 128-bit key — the canonical
+    100 TB dedup first pass. No sort, no join; partial aggregation
+    collapses per-partition duplicates before the shuffle.
+    """
+    d = _docs_norm(spark, sf_dir)
+    return (
+        d.select(F.md5("t").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ================================================================ E2: token-set dup
+
+@query(
+    "llm_token_set_dup_pairs",
+    "E2",
+    oracle="""
+    WITH n AS (SELECT doc_id,
+                      md5(array_to_string(list_sort(list_distinct(
+                          string_split(lower(trim(text)), ' '))), ' ')) AS sh
+               FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM n a JOIN n b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    """,
+)
+def llm_token_set_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words duplicates: pairs whose distinct-token SETS are
+    identical (order/multiplicity-insensitive dedup — catches shuffled
+    copies that byte-hashing misses).
+
+    Scale: the sorted-token fingerprint reduces pair-finding to an
+    equi-join on a hash — linear shuffle, no pairwise comparison.
+    """
+    d = _docs_norm(spark, sf_dir)
+    n = d.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(doc_tokens(F.col("t"), distinct=True)), " ")).alias("sh"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    return a.join(
+        b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+
+
+# ================================================================ E2: MinHash-LSH (rows-only)
+
+@query("llm_minhash_pairs", "E2", oracle=None)
+def llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, exact-Jaccard-verified at
+    J >= 0.9 (SURVEY.md §2-E2). Pipeline: distinct tokens -> 30 seeded
+    xxhash64 minhashes -> 5 bands x 6 rows -> band-bucket equi-join for
+    candidates -> exact verify on token arrays.
+
+    Not SQL-oracle-expressible at sf0.01 cost (exact all-pairs Jaccard
+    is O(n^2) with no usable blocking on a 40-word vocabulary) ->
+    rows-only driver check; tests/test_llm.py asserts precision == 1.0
+    and recall >= 0.95 against in-Spark brute force at sf0.001.
+
+    Scale: the whole point of LSH banding — candidate pairs, never the
+    cross product, hit the shuffle. Hash family is seed-fixed so
+    signatures are identical across executors and reruns.
+    """
+    d = _docs_norm(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(doc_tokens(F.col("t"), distinct=True)).alias("tok")
+    )
+    R, B = 6, 5  # rows per band, bands; P(candidate|J=.9) ~ .98
+    th = toks.select(
+        "doc_id",
+        "tok",
+        F.explode(F.sequence(F.lit(0), F.lit(R * B - 1))).alias("seed"),
+    ).select("doc_id", "seed", F.xxhash64("seed", "tok").alias("h"))
+    sig = th.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    band = sig.withColumn("band", F.expr(f"seed div {R}"))
+    bsig = band.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("bucket")
+    )
+    a, b = bsig.alias("a"), bsig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    tok_arr = d.select("doc_id", doc_tokens(F.col("t"), distinct=True).alias("toks"))
+    verified = (
+        cand.join(tok_arr.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "ta"), "doc_a")
+        .join(tok_arr.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "tb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("ta", "tb"))
+                / F.size(F.array_union("ta", "tb")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.9)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+# ================================================================ E2: SimHash
+
+@query(
+    "llm_simhash_fingerprint",
+    "E2",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(list_distinct(
+                      string_split(lower(trim(text)), ' '))) AS tok
+                  FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    bits AS (SELECT doc_id, g.pos,
+                    CASE WHEN substring(h, g.pos, 1)
+                              IN ('8','9','a','b','c','d','e','f')
+                         THEN 1 ELSE -1 END AS b
+             FROM h, (SELECT unnest(generate_series(1, 32)) AS pos) g),
+    per_pos AS (SELECT doc_id, pos, sum(b) AS s FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0
+                         THEN CAST(pow(2, pos - 1) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM per_pos GROUP BY doc_id
+    """,
+)
+def llm_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (SURVEY.md §2-E2): per token-hash bit,
+    majority vote over the document's tokens; near-dup docs land at small
+    Hamming distance. Bits derive from md5 hex nibble high-bits so the
+    DuckDB oracle computes the identical fingerprint.
+
+    Scale: two hash-aggregates over |docs| x |tokens| x 32 rows — wide
+    but flat; no joins. Hamming-bucketing for pair search reuses the
+    LSH banding above (tests cover the property; pairing not re-keyed).
+    """
+    d = _docs_norm(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(doc_tokens(F.col("t"), distinct=True)).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    bits = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, 32), i -> named_struct("
+                "'pos', i, "
+                "'b', CASE WHEN substring(h, i, 1) IN ('8','9','a','b','c','d','e','f') "
+                "THEN 1 ELSE -1 END))"
+            )
+        ).alias("pb"),
+    )
+    per_pos = bits.groupBy(
+        "doc_id", F.col("pb.pos").alias("pos")
+    ).agg(F.sum("pb.b").alias("s"))
+    return per_pos.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.pow(F.lit(2.0), F.col("pos") - 1).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+# ================================================================ E2: n-gram Jaccard
+
+@query(
+    "llm_ngram_jaccard_adjacent",
+    "E2",
+    oracle="""
+    WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+    g AS (SELECT doc_id, list_distinct(list_transform(
+              generate_series(1, greatest(length(t) - 2, 0)),
+              i -> substring(t, i, 3))) AS grams
+          FROM t),
+    sz AS (SELECT doc_id, len(grams) AS n FROM g),
+    ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM ex a JOIN ex b
+                ON a.gram = b.gram AND b.doc_id = a.doc_id + 1
+              GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    """,
+)
+def llm_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard similarity for consecutive doc_id pairs
+    (SURVEY.md §2-E2): an oracle-checkable, linear-cost exercise of the
+    n-gram similarity kernel (the pair *generator* at scale is LSH —
+    llm_minhash_pairs; this key verifies the similarity math itself).
+    """
+    d = _docs_norm(spark, sf_dir)
+    g = d.select("doc_id", char_ngrams(F.col("t"), 3).alias("grams"))
+    a = g.select(
+        F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga")
+    )
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    pairs = a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            inter.alias("i"),
+            F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+        )
+        .where(F.col("i") > 0)
+        .drop("i")
+    )
+
+
+# ================================================================ E3: cosine top-k
+
+@query(
+    "llm_cosine_topk",
+    "E3",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+    j AS (SELECT q.qid, e.vec_id AS nid,
+                 round(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
+          FROM q, e WHERE e.vec_id != q.qid),
+    r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, nid) AS rn
+          FROM j)
+    SELECT qid, nid, cos_sim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
+    """,
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for 5 query vectors (SURVEY.md
+    §2-E3 baseline). Broadcast the tiny query side; dot products run as
+    JVM higher-order folds (no Python); per-query top-k via window on the
+    ROUNDED similarity with id tiebreak (both engines pick identical
+    sets). DuckDB oracle uses native list_cosine_similarity — an
+    independent kernel.
+
+    Scale: brute force is the per-probe exact baseline; the bucketed
+    variant (llm_ann_lsh) is the 100 TB path. For batch all-pairs at
+    scale, block-partition candidates (IVF coarse quantizer) so each
+    task scans one centroid's posting list.
+    """
+    e = tables.load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    j = c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
+    scored = j.select(
+        "qid", "nid", F.round(cosine("qv", "nv"), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "nid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 5)
+    )
+
+
+# ================================================================ E3: near-dup by cosine
+
+@query(
+    "llm_embedding_near_dup",
+    "E3",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim,
+           (a.label = b.label) AS same_label
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """,
+)
+def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact all-pairs at
+    threshold 0.4 (fixture max sim ~0.51 — see module calibration note).
+
+    Scale: exact all-pairs is the CORRECTNESS oracle only; the
+    production path is llm_ann_lsh (hyperplane-banded candidates ->
+    exact verify) — same verify kernel, shuffle bounded by bucket
+    collisions instead of n^2.
+    """
+    e = tables.load(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+        F.col("label").alias("la"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+        F.col("label").alias("lb"),
+    )
+    j = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    return (
+        j.select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine("va", "vb"), 6).alias("cos_sim"),
+            (F.col("la") == F.col("lb")).alias("same_label"),
+        )
+        .where(F.col("cos_sim") >= 0.4)
+    )
+
+
+# ================================================================ E3: ANN via hyperplane LSH (rows-only)
+
+def _hyperplanes(n_planes: int = 16, dim: int = 64, seed: int = 7):
+    """Deterministic random hyperplanes (fixed seed — SURVEY.md §7 risk
+    #4: no per-run randomness may leak into results)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+@query("llm_ann_lsh", "E3", oracle=None)
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-neighbor pairs via random-hyperplane LSH
+    (SURVEY.md §2-E3 scale path): 16 sign-bits -> 8 bands x 2 bits;
+    candidates collide in >=1 band; exact-cosine verify at 0.4.
+
+    2-bit bands because the fixture similarity regime is low (max ~0.5;
+    collision prob per plane = 1 - theta/pi ~ 0.63): recall ~0.98 at
+    cos 0.4. For a real >=0.9-cosine dedup at 100 TB you'd use 4-8 bands
+    of 8-16 bits — same plan shape, different constants.
+
+    Scale: candidates, never the cross product, hit the shuffle; the
+    brute-force twin (llm_embedding_near_dup) is the recall oracle in
+    tests/test_llm.py.
+    """
+    e = tables.load(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    bits = [
+        F.when(dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in p])) > 0, 1)
+        .otherwise(0)
+        for p in planes
+    ]
+    n_bands, band_bits = 8, 2
+    bands = e.select(
+        "vec_id",
+        "embedding",
+        *[
+            sum(
+                bits[bi * band_bits + j] * (2 ** j) for j in range(band_bits)
+            ).alias(f"band{bi}")
+            for bi in range(n_bands)
+        ],
+    )
+    stacked = bands.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(bi).alias("band"), F.col(f"band{bi}").alias("bucket"))
+                for bi in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("vec_id", "embedding", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = stacked.select(
+        F.col("band"), F.col("bucket"),
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+    )
+    b = stacked.select(
+        F.col("band"), F.col("bucket"),
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.select(
+            "vec_a", "vec_b", F.round(cosine("va", "vb"), 6).alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= 0.4)
+    )
+
+
+# ================================================================ E4: text stats
+
+@query(
+    "llm_text_stats",
+    "E4",
+    oracle="""
+    SELECT doc_id, lang, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           (CAST(length(text) AS BIGINT) = n_chars) AS chars_ok,
+           CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS chars_per_token
+    FROM documents
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics (SURVEY.md §2-E4): whitespace
+    and BPE-ish regex token counts, lexical distinctness, and the
+    n_chars fixture invariant. All codegen'd built-ins — the shape of a
+    100 TB corpus-stats pass."""
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        (F.length("text").cast("long") == F.col("n_chars")).alias("chars_ok"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.round(F.length("text").cast("double") / F.size(toks), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+# ================================================================ E4: tf-idf
+
+@query(
+    "llm_tfidf_top_terms",
+    "E4",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split(lower(trim(text)), ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (SELECT tf.doc_id, tf.term,
+                      round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+               FROM tf JOIN df USING (term) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3
+    """,
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (SURVEY.md §2-E4): two
+    aggregations (tf, df) + a broadcast of the tiny df/N side, ranked on
+    the rounded score with term tiebreak.
+
+    Scale: df and N are |vocab|- and 1-row results — broadcast joins;
+    the only large shuffle is the (doc, term) tf aggregate.
+    """
+    d = _docs_norm(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(doc_tokens(F.col("t"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+# ================================================================ E4: lang-ID + quality
+
+@query(
+    "llm_lang_quality",
+    "E4",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, lang, text,
+                      concat(' ', lower(text), ' ') AS pad
+               FROM documents),
+    sc AS (SELECT doc_id, lang, text,
+                  (CAST(contains(pad, ' the ') AS INT) + CAST(contains(pad, ' and ') AS INT)
+                   + CAST(contains(pad, ' of ') AS INT) + CAST(contains(pad, 'th') AS INT)
+                   + CAST(contains(pad, 'ing') AS INT)) AS s_en,
+                  (CAST(contains(pad, ' der ') AS INT) + CAST(contains(pad, ' und ') AS INT)
+                   + CAST(contains(pad, ' die ') AS INT) + CAST(contains(pad, 'sch') AS INT)
+                   + CAST(contains(pad, 'ei') AS INT)) AS s_de,
+                  (CAST(contains(pad, ' le ') AS INT) + CAST(contains(pad, ' et ') AS INT)
+                   + CAST(contains(pad, ' les ') AS INT) + CAST(contains(pad, 'ou') AS INT)
+                   + CAST(contains(pad, 'é') AS INT)) AS s_fr,
+                  (CAST(contains(pad, ' el ') AS INT) + CAST(contains(pad, ' y ') AS INT)
+                   + CAST(contains(pad, ' los ') AS INT) + CAST(contains(pad, 'ción') AS INT)
+                   + CAST(contains(pad, 'ñ') AS INT)) AS s_es,
+                  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 10 ELSE 0 END AS s_zh
+           FROM p)
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'unknown'
+                WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'zh'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                ELSE 'es' END AS pred_lang,
+           {QUALITY_SQL.format(c="text")} AS qscore
+    FROM sc
+    """,
+)
+def llm_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + quality score per document (SURVEY.md
+    §2-E4). Both are pure expression trees (functions/text.py) with the
+    oracle reproducing the identical scoring — the declarative-pipeline
+    shape that scales; swapping in a real fastText-style model later
+    means replacing one column expression with a pandas_udf."""
+    d = tables.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        lang_id(F.col("text")).alias("pred_lang"),
+        quality_score(F.col("text")).alias("qscore"),
+    )
+
+
+# ================================================================ E4: fingerprint
+
+@query(
+    "llm_doc_fingerprint",
+    "E4",
+    oracle="""
+    WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              generate_series(1, greatest(length(t) - 2, 0)),
+              i -> substring(t, i, 3)))) AS gram
+          FROM t)
+    SELECT doc_id, min(substring(md5(gram), 1, 16)) AS fp
+    FROM g GROUP BY doc_id
+    """,
+)
+def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint (SURVEY.md §2-E4): minimum
+    hashed 3-gram per document (a 1-perm MinHash) — near-identical docs
+    collide. min() is a partial-aggregatable reduction; at 100 TB this
+    is a map-side-collapsing single pass."""
+    d = _docs_norm(spark, sf_dir)
+    g = d.select("doc_id", F.explode(char_ngrams(F.col("t"), 3)).alias("gram"))
+    return g.groupBy("doc_id").agg(
+        F.min(F.substring(F.md5("gram"), 1, 16)).alias("fp")
+    )
+
+
+# ================================================================ E5: centroids
+
+@query(
+    "llm_centroid_by_label",
+    "E5",
+    oracle="""
+    SELECT label, g.pos,
+           round(avg(CAST(embedding[g.pos] AS DOUBLE)), 6) AS c
+    FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos) g
+    GROUP BY 1, 2
+    """,
+)
+def llm_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension)
+    (SURVEY.md §2-E5): posexplode -> hash aggregate. The k-means-step /
+    class-prototype primitive.
+
+    Scale: |labels| x 64 groups regardless of row count — partial
+    aggregation does nearly all the work map-side.
+    """
+    e = tables.load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+    )
+
+
+# ================================================================ E5: multimodal payload plumbing
+
+@query(
+    "mm_payload_meta",
+    "E5",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+)
+def mm_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing (SURVEY.md §2-E — 'multimodal
+    columns'): treat content as an opaque BINARY payload with typed
+    metadata (byte length, content digest). The fixture has no real
+    media, so text bytes stand in; decode/feature-extraction over real
+    payloads lives in operators/multimodal.py (mapInPandas, stubbed
+    decoders) — this key verifies the binary-column plumbing end-to-end
+    against the oracle."""
+    d = tables.load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha"),
+    )
+
+
+# ================================================================ E6: doc<->embedding join
+
+@query(
+    "llm_doc_embedding_join",
+    "E6",
+    oracle="""
+    SELECT d.doc_id, d.lang, e.label, d.n_chars,
+           round(sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS emb_norm
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    """,
+)
+def llm_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach vectors to documents (doc_id = vec_id domain, SURVEY.md
+    §2-E6) — plain equi-join + array reduction; at scale this is the
+    bucketed-join candidate (both sides bucketed by id co-locate)."""
+    d = tables.load(spark, sf_dir, "documents")
+    e = tables.load(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "label",
+        "n_chars",
+        F.round(l2_norm("embedding"), 6).alias("emb_norm"),
+    )

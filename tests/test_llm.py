@@ -1,0 +1,71 @@
+"""LLM-op invariants beyond oracle parity (SURVEY.md §5 items 3-4):
+LSH precision/recall vs in-Spark brute force, dedup idempotence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from catena_spark import tables
+from catena_spark.functions.vectors import cosine
+from catena_spark.functions.text import doc_tokens
+from catena_spark.operators import llm
+from tests.conftest import SF_SMALL
+
+
+def _brute_jaccard_pairs(spark, sf_dir, threshold):
+    d = tables.load(spark, sf_dir, "documents").withColumn(
+        "t", F.lower(F.trim("text"))
+    )
+    g = d.select("doc_id", doc_tokens(F.col("t"), distinct=True).alias("toks"))
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+    j = F.size(F.array_intersect("ta", "tb")) / F.size(
+        F.array_union("ta", "tb")
+    ).cast("double")
+    return pairs.select("doc_a", "doc_b", F.round(j, 6).alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def test_minhash_precision_and_recall(spark):
+    truth = {
+        (r.doc_a, r.doc_b) for r in _brute_jaccard_pairs(spark, SF_SMALL, 0.9).collect()
+    }
+    found = {
+        (r.doc_a, r.doc_b) for r in llm.llm_minhash_pairs(spark, SF_SMALL).collect()
+    }
+    assert found <= truth, f"false positives after verify: {sorted(found - truth)[:5]}"
+    assert truth, "fixture should contain J>=0.9 pairs"
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.95, f"LSH recall {recall:.3f} < 0.95 ({len(truth)} true pairs)"
+
+
+def test_ann_lsh_recall(spark):
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in llm.llm_embedding_near_dup(spark, SF_SMALL).collect()
+    }
+    found = {(r.vec_a, r.vec_b) for r in llm.llm_ann_lsh(spark, SF_SMALL).collect()}
+    assert found <= truth  # exact verify => no false positives
+    assert truth
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.7, f"hyperplane-LSH recall {recall:.3f} < 0.7"
+
+
+def test_exact_dedup_idempotent(spark):
+    out = llm.llm_exact_dedup(spark, SF_SMALL)
+    # survivors are unique by hash; re-dedup of survivors is a no-op
+    assert out.count() == out.select("text_hash").distinct().count()
+    assert out.where(F.col("n_copies") < 1).count() == 0
+
+
+def test_simhash_near_dup_hamming(spark):
+    """Token-set duplicates must collide exactly in SimHash space."""
+    fp = llm.llm_simhash_fingerprint(spark, SF_SMALL)
+    dups = llm.llm_token_set_dup_pairs(spark, SF_SMALL)
+    j = (
+        dups.join(fp.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "ha"), "doc_a")
+        .join(fp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "hb"), "doc_b")
+    )
+    assert j.where(F.col("ha") != F.col("hb")).count() == 0

@@ -1,0 +1,67 @@
+"""Plan-quality gates (SURVEY.md §4, task brief: '.explain the plan and
+iterate until it's the plan you'd want'): pushdown reaches scans,
+dimension joins broadcast, top-k avoids global sort, as-of join avoids
+nested-loop, aggregates are partial before the exchange."""
+
+from __future__ import annotations
+
+from catena_spark.operators import llm, relational as rel, timeseries as ts
+from catena_spark.plans import (
+    assert_in_plan,
+    assert_not_in_plan,
+    assert_pushed_filter,
+    formatted_plan,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_flagship_pushdown_and_partial_agg(spark):
+    df = rel.agg_pricing_summary(spark, SF_SMALL)
+    assert_pushed_filter(df, "l_shipdate")
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, "no partial aggregation"
+
+
+def test_filter_pushdown_all_predicates(spark):
+    df = rel.filter_pushdown_dates(spark, SF_SMALL)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "l_returnflag")
+    assert_pushed_filter(df, "l_discount")
+
+
+def test_rollup_dims_broadcast(spark):
+    df = rel.agg_rollup_nation_region(spark, SF_SMALL)
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_topk_no_global_sort(spark):
+    df = rel.topk_revenue_q3(spark, SF_SMALL)
+    assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_asof_join_no_nested_loop(spark):
+    df = ts.ts_asof_join(spark, SF_SMALL)
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+def test_range_scan_pushdown(spark):
+    df = ts.ts_range_scan(spark, SF_SMALL)
+    # source/metric filters push down to the events scan (ts is computed
+    # post-scan from the nanos column, so only equality predicates push)
+    assert_pushed_filter(df, "user_id")
+    assert_pushed_filter(df, "event_type")
+
+
+def test_minhash_no_cross_product(spark):
+    df = llm.llm_minhash_pairs(spark, SF_SMALL)
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_scan_prunes_columns(spark):
+    df = rel.topk_revenue_q3(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    # lineitem scan must not read all 11 columns for a 4-column need
+    assert "l_comment" not in plan
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "lineitem" in ln]
+    if scan_lines:  # schema line present in formatted output
+        assert "l_tax" not in scan_lines[0]
