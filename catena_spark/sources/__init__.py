@@ -1,0 +1,12 @@
+"""Storage & ingest (SURVEY.md §2-A): catena's storage engine recast on
+Spark primitives — partitioned Parquet replaces mmap'd extent files, SS
+checkpoints replace the WAL, directory deletes replace retention, a
+rewrite job replaces compaction."""
+
+from .ingest import (  # noqa: F401
+    compact,
+    partition_stats,
+    retain_latest,
+    stream_ingest_events,
+    write_partitioned,
+)

@@ -1,0 +1,133 @@
+"""Batch + streaming ingest and storage maintenance (SURVEY.md §2-A).
+
+Catena's storage layer mapped 1:1 (SURVEY.md §1.2 table):
+
+| catena                                  | here                          |
+|-----------------------------------------|-------------------------------|
+| InsertRows -> memory partition + WAL    | writeStream parquet + checkpoint (A1/A2) |
+| fixed time-window partition rotation    | partitionBy(dt) derived column (A3) |
+| maxPartitions retention drop            | retain_latest() dir deletes (A4) |
+| compaction to sorted, indexed extents   | compact(): repartition + sortWithinPartitions (A5) |
+
+The sort-within-partitions on (source, metric, ts) is the one physical-
+design obligation we carry from catena: it makes Parquet row-group
+min/max stats selective for per-series time-range scans — the same role
+as catena's extent index (SURVEY.md §4).
+
+Scale: dt-partitioned layout gives Catalyst partition pruning for time
+predicates; compaction bin-packs small streaming output files so scans
+at 100 TB see large, sorted row groups, not micro-batch confetti.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+#: canonical series schema for streamed ingest (events-shaped).
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def with_dt(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """A3 partition rotation: derive the time-bucket partition column."""
+    return df.withColumn("dt", F.date_format(ts_col, "yyyy-MM-dd"))
+
+
+def write_partitioned(df: DataFrame, path: str, ts_col: str = "ts") -> None:
+    """A1 batch insert path: time-bucketed, series-clustered parquet.
+
+    sortWithinPartitions(source-key, metric-key, ts) == catena clustering
+    points by series inside a partition file; row-group stats become the
+    extent index.
+    """
+    cluster = [c for c in ("user_id", "event_type", "source", "metric") if c in df.columns]
+    (
+        with_dt(df, ts_col)
+        .repartition("dt")
+        .sortWithinPartitions(*cluster, ts_col)
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(path)
+    )
+
+
+def compact(spark: SparkSession, path: str, target_files_per_partition: int = 1) -> None:
+    """A5 compaction: rewrite each dt partition into few large, sorted
+    files (streaming sinks leave one file per micro-batch). Idempotent;
+    query results are invariant (tests/test_sources.py)."""
+    df = spark.read.parquet(path)
+    cluster = [c for c in ("user_id", "event_type", "source", "metric") if c in df.columns]
+    tmp = path.rstrip("/") + ".compact-tmp"
+    (
+        df.repartition(target_files_per_partition, "dt")
+        .sortWithinPartitions(*cluster, "ts")
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(tmp)
+    )
+    # atomic-ish swap (single-node test path; object stores would rename)
+    shutil.rmtree(path)
+    Path(tmp).rename(path)
+
+
+def partition_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Partition inventory (catena's partition-list metadata walk)."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+
+
+def retain_latest(path: str, max_partitions: int) -> list[str]:
+    """A4 retention: keep the newest ``max_partitions`` dt directories,
+    delete the rest (catena: oldest partition destroyed beyond
+    maxPartitions). Returns dropped partition names."""
+    root = Path(path)
+    parts = sorted(p for p in root.glob("dt=*") if p.is_dir())
+    drop = parts[: max(0, len(parts) - max_partitions)]
+    for p in drop:
+        shutil.rmtree(p)
+    return [p.name for p in drop]
+
+
+def stream_ingest_events(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """A1/A2/F1/F6: file-source streaming ingest with exactly-once sink.
+
+    The SS checkpoint (offsets+commits) IS the WAL: kill the query, add
+    files, restart with the same checkpoint -> each input file applied
+    exactly once (tests/test_streaming.py::test_restart_recovery).
+    Watermark enforces catena's late-data contract (writes into
+    already-rotated windows rejected) for stateful downstream ops.
+    """
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir).withWatermark("ts", watermark)
+    return (
+        with_dt(stream)
+        .writeStream.format("parquet")
+        .option("path", dest_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("dt")
+        .trigger(availableNow=True)
+        .start()
+    )

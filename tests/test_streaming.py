@@ -1,0 +1,170 @@
+"""Structured-Streaming parity + recovery tests (SURVEY.md §5 item 5):
+the same transformation through micro-batches equals the batch result;
+checkpoint restart applies each input exactly once (the WAL contract)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from catena_spark import tables
+from catena_spark.operators import timeseries as ts
+from catena_spark.sources.ingest import EVENTS_DDL, stream_ingest_events
+from catena_spark.streaming import (
+    dedup_within_watermark,
+    session_counts,
+    streaming_ewma,
+    windowed_counts,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def chunks(spark, tmp_path_factory):
+    """events sf0.001 split into 4 time-ordered parquet chunk files with
+    increasing mtimes (file-source processes them oldest-first)."""
+    root = tmp_path_factory.mktemp("stream_src")
+    ev = tables.load(spark, SF_SMALL, "events").orderBy("ts").cache()
+    n = ev.count()
+    rows = ev.collect()
+    bounds = [0, n // 4, n // 2, 3 * n // 4, n]
+    paths = []
+    for i in range(4):
+        chunk = spark.createDataFrame(rows[bounds[i] : bounds[i + 1]], schema=ev.schema)
+        p = str(root / f"chunk_{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(p)
+        paths.append(p)
+    ev.unpersist()
+    # single flat dir of files, mtime-ordered
+    flat = tmp_path_factory.mktemp("stream_flat")
+    import glob
+    import shutil
+
+    files = []
+    for i, p in enumerate(paths):
+        (src,) = glob.glob(f"{p}/*.parquet")
+        dst = str(flat / f"{i:02d}.parquet")
+        shutil.copy(src, dst)
+        t = time.time() + i
+        os.utime(dst, (t, t))
+        files.append(dst)
+    return str(flat), files
+
+
+def _run_stream(df, mode="complete", name="q"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_ingest_exactly_once_and_restart(spark, chunks, tmp_path):
+    src, files = chunks
+    dest = str(tmp_path / "dest")
+    ckpt = str(tmp_path / "ckpt")
+    # phase 1: only first 3 files visible (4th moved out of the dir)
+    hidden = str(tmp_path / os.path.basename(files[3]))
+    os.rename(files[3], hidden)
+    try:
+        q = stream_ingest_events(spark, src, dest, ckpt)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(dest).count()
+        ev = tables.load(spark, SF_SMALL, "events")
+        n_total = ev.count()
+        assert 0 < n1 < n_total
+    finally:
+        os.rename(hidden, files[3])
+    # phase 2: restart with same checkpoint — F6 exactly-once recovery
+    q = stream_ingest_events(spark, src, dest, ckpt)
+    q.awaitTermination(120)
+    out = spark.read.parquet(dest)
+    assert out.count() == n_total
+    assert out.select("event_id").distinct().count() == n_total  # no dups
+
+
+def test_windowed_counts_stream_equals_batch(spark, chunks):
+    src, _ = chunks
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    _run_stream(windowed_counts(stream), "complete", "win_counts")
+    got = {tuple(r) for r in spark.sql("select * from win_counts").collect()}
+    batch = tables.load(spark, SF_SMALL, "events")
+    want = {tuple(r) for r in windowed_counts(batch).collect()}
+    assert got == want
+
+
+def test_session_window_builtin_matches_sessionize(spark):
+    """F3 vs C9: built-in session_window (batch mode) agrees with the
+    lag-gap sessionization on per-source session count + sizes."""
+    ev = tables.load(spark, SF_SMALL, "events").withColumnRenamed("user_id", "uid")
+    built = (
+        session_counts(ev.withColumnRenamed("uid", "user_id"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .withColumn("source", F.col("user_id").cast("string"))
+        .select("source", "n_sessions", "n_events")
+    )
+    custom = (
+        ts.ts_sessionize_30m(spark, SF_SMALL)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    assert sorted(map(tuple, built.collect())) == sorted(map(tuple, custom.collect()))
+
+
+def test_dedup_within_watermark(spark, chunks, tmp_path):
+    src, files = chunks
+    # duplicate one chunk into the source dir => stream sees dup event_ids
+    import shutil
+
+    dup_dir = str(tmp_path / "dup_src")
+    os.makedirs(dup_dir)
+    for f in files[:2]:
+        shutil.copy(f, os.path.join(dup_dir, os.path.basename(f)))
+    shutil.copy(files[0], os.path.join(dup_dir, "dup_of_00.parquet"))
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .parquet(dup_dir)
+        .withWatermark("ts", "10 minutes")
+    )
+    _run_stream(dedup_within_watermark(stream), "append", "dedup_out")
+    out = spark.sql("select * from dedup_out")
+    n_distinct = out.select("event_id").distinct().count()
+    assert out.count() == n_distinct  # dups collapsed
+
+
+def test_streaming_ewma_matches_batch(spark, chunks):
+    src, _ = chunks
+    stream = spark.readStream.schema(EVENTS_DDL).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    _run_stream(streaming_ewma(stream), "append", "ewma_out")
+    got = spark.sql("select * from ewma_out")
+    # final ewma per series (state carried across 4 micro-batches)
+    w_final = got.groupBy("user_id", "event_type").agg(
+        F.max(F.struct("ts_us", "ewma")).alias("last")
+    )
+    stream_final = {
+        (str(r.user_id), r.event_type): r.last.ewma for r in w_final.collect()
+    }
+    batch = ts.ts_ewma(spark, SF_SMALL)
+    b_final = batch.groupBy("source", "metric").agg(
+        F.max(F.struct("ts_us", "ewma")).alias("last")
+    )
+    batch_final = {(r.source, r.metric): r.last.ewma for r in b_final.collect()}
+    assert stream_final.keys() == batch_final.keys()
+    for k, v in batch_final.items():
+        assert abs(stream_final[k] - v) < 1e-9, k
