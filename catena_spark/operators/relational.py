@@ -710,3 +710,171 @@ def fn_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k"),
         (k % 10).alias("k_bucket"),
     )
+
+
+# ---------------------------------------------------------------- D9: cube
+
+@query(
+    "agg_cube_flag_status",
+    "D9",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the fact table (all 2^2 grouping sets in one pass).
+
+    Scale: like rollup, the expansion happens before the partial
+    aggregate, so the shuffle still carries only (tiny) group rows —
+    4x the group count, not 4x the data.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        rsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------- D3 depth: Q5-shape 6-way join
+
+@query(
+    "join_q5_local_supplier",
+    "D3",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def join_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (2 facts + 4 dims) with the
+    "local supplier" theta condition c_nationkey = s_nationkey.
+
+    Scale: supplier/nation/region broadcast at any SF (<=10k rows);
+    customer broadcasts below ~1 GB and otherwise shuffles on custkey;
+    the only unavoidable big shuffle is orders<->lineitem on orderkey —
+    bucketing both facts on orderkey at write time removes even that.
+    The date filter pushes to the orders scan before the join.
+    """
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region")
+    o = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+    )
+    return j.groupBy("n_name").agg(
+        rsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------- D19: map/struct
+
+@query(
+    "fn_map_struct_suite",
+    "D19",
+    oracle="""
+    SELECT n_nationkey,
+           struct_pack(name := n_name, rk := n_regionkey).name AS s_name,
+           CAST(struct_pack(name := n_name, rk := n_regionkey).rk AS BIGINT) * 10
+               AS s_rk10,
+           map_extract(MAP(['nation', 'region'],
+                           [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)]),
+                       'region')[1] AS m_region,
+           CAST(cardinality(MAP(['nation', 'region'],
+                                [CAST(n_nationkey AS BIGINT),
+                                 CAST(n_regionkey AS BIGINT)])) AS BIGINT) AS m_size,
+           map_keys(MAP(['nation', 'region'], [1, 2])) AS m_key_names
+    FROM nation
+    """,
+)
+def fn_map_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/struct construction and access (SURVEY.md §2-D19): struct_pack
+    + field access, create_map + key lookup / cardinality / key list.
+
+    All columnar JVM expressions — nested types stay in Tungsten rows;
+    nothing crosses to Python.
+    """
+    nt = tables.load(spark, sf_dir, "nation")
+    st = F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("rk"))
+    m = F.create_map(
+        F.lit("nation"), F.col("n_nationkey").cast("long"),
+        F.lit("region"), F.col("n_regionkey").cast("long"),
+    )
+    return nt.select(
+        "n_nationkey",
+        st.getField("name").alias("s_name"),
+        (st.getField("rk").cast("long") * 10).alias("s_rk10"),
+        F.element_at(m, F.lit("region")).alias("m_region"),
+        F.size(m).cast("long").alias("m_size"),
+        F.map_keys(F.create_map(F.lit("nation"), F.lit(1), F.lit("region"), F.lit(2)))
+            .alias("m_key_names"),
+    )
+
+
+# ---------------------------------------------------------------- D21: conditional
+
+@query(
+    "fn_conditional_suite",
+    "D21",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'med'
+                ELSE 'low' END AS pri_bucket,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           round(least(greatest(o_totalprice, 1000.0), 400000.0), 2) AS clamped,
+           CASE WHEN o_totalprice >= 300000 THEN 'jumbo'
+                WHEN o_totalprice >= 100000 THEN 'large'
+                WHEN o_totalprice >= 10000  THEN 'mid'
+                ELSE 'small' END AS size_bucket
+    FROM orders
+    """,
+)
+def fn_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/coalesce/nullif/greatest/least (SURVEY.md §2-D21): priority
+    buckets, status normalization, value clamping, threshold chains —
+    all single-pass codegen'd expressions, no shuffle."""
+    o = tables.load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "med")
+        .otherwise("low")
+        .alias("pri_bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING"))
+            .alias("status_norm"),
+        F.round(
+            F.least(F.greatest("o_totalprice", F.lit(1000.0)), F.lit(400000.0)), 2
+        ).alias("clamped"),
+        F.when(F.col("o_totalprice") >= 300000, "jumbo")
+        .when(F.col("o_totalprice") >= 100000, "large")
+        .when(F.col("o_totalprice") >= 10000, "mid")
+        .otherwise("small")
+        .alias("size_bucket"),
+    )

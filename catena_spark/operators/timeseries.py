@@ -601,3 +601,201 @@ def ts_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------- C3 depth: counter increase
+
+@query(
+    "ts_increase_counter",
+    "C3",
+    oracle=_cte("""
+    , d AS (
+        SELECT source, metric, date_trunc('hour', ts) AS h, value,
+               value - lag(value) OVER (PARTITION BY source, metric
+                                        ORDER BY ts_us, value) AS delta
+        FROM s WHERE metric IN ('click', 'view')
+    )
+    SELECT source, metric, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           round(sum(CASE WHEN delta IS NULL THEN 0
+                          WHEN delta < 0 THEN value
+                          ELSE delta END), 6) AS increase
+    FROM d GROUP BY source, metric, h
+    """),
+)
+def ts_increase_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-reset-aware hourly increase (SURVEY.md §2-C3, the
+    Prometheus ``increase()`` shape): a drop in a monotonic counter means
+    the process restarted, so the post-reset value itself is the growth.
+
+    Scale: one shuffle on (source, metric) for the lag, then the hourly
+    rollup reuses that partitioning (hour is a subkey of the sort) with
+    map-side partial sums.
+    """
+    s = _series(spark, sf_dir).where(F.col("metric").isin("click", "view"))
+    w = Window.partitionBy("source", "metric").orderBy("ts_us", "value")
+    d = s.withColumn("delta", F.col("value") - F.lag("value").over(w))
+    inc = (
+        F.when(F.col("delta").isNull(), F.lit(0.0))
+        .when(F.col("delta") < 0, F.col("value"))
+        .otherwise(F.col("delta"))
+    )
+    return (
+        d.groupBy("source", "metric", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.round(F.sum(inc), 6).alias("increase"))
+        .select(
+            "source",
+            "metric",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+            "increase",
+        )
+    )
+
+
+# ---------------------------------------------------------------- C1 depth: seasonality profile
+
+@query(
+    "ts_hod_profile",
+    "C1",
+    oracle=_cte("""
+    SELECT metric, CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+           round(avg(value), 6) AS avg_v,
+           count(*) AS n
+    FROM s GROUP BY metric, hod
+    """),
+)
+def ts_hod_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per metric (SURVEY.md §2-C1
+    variant): the aggregate dashboards draw diurnal baselines from.
+
+    Scale: 5 metrics x 24 buckets — fully partial-aggregated, the
+    shuffle carries 120 rows regardless of input size.
+    """
+    s = _series(spark, sf_dir)
+    return (
+        s.groupBy("metric", F.hour("ts").cast("long").alias("hod"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_v"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------- C4 depth: linear interpolation
+
+@query(
+    "ts_gapfill_linear",
+    "C4",
+    oracle=_cte("""
+    , b AS (SELECT source, metric, date_trunc('hour', ts) AS h,
+                   round(avg(value), 6) AS v
+            FROM s GROUP BY 1, 2, 3),
+    bounds AS (SELECT source, metric, min(h) AS mn, max(h) AS mx
+               FROM b GROUP BY 1, 2),
+    grid AS (SELECT source, metric,
+                    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+             FROM bounds),
+    j AS (SELECT g.source, g.metric, g.h, b.v
+          FROM grid g LEFT JOIN b ON b.source = g.source
+               AND b.metric = g.metric AND b.h = g.h),
+    f AS (SELECT source, metric, h,
+                 CAST(round(v * 1000000, 0) AS BIGINT) AS v6,
+                 CAST(round(last_value(v IGNORE NULLS) OVER wp * 1000000, 0)
+                      AS BIGINT) AS pv6,
+                 last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                     OVER wp AS ph,
+                 CAST(round(first_value(v IGNORE NULLS) OVER wn * 1000000, 0)
+                      AS BIGINT) AS nv6,
+                 first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                     OVER wn AS nh
+          FROM j
+          WINDOW wp AS (PARTITION BY source, metric ORDER BY h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY source, metric ORDER BY h
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    g2 AS (SELECT source, metric, h, v6, pv6, nv6,
+                  date_diff('hour', ph, h)  AS dt_h,
+                  date_diff('hour', ph, nh) AS span_h
+           FROM f)
+    SELECT source, metric, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           CASE WHEN v6 IS NOT NULL THEN v6
+                ELSE (2 * (pv6 * (span_h - dt_h) + nv6 * dt_h) + span_h)
+                     // (2 * span_h)
+           END AS v_interp_micro,
+           (v6 IS NULL) AS was_gap
+    FROM g2
+    """),
+)
+def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with linear interpolation (SURVEY.md §2-C4): hourly grid
+    per series bounds (as ts_gapfill_ffill), gaps filled by interpolating
+    between the bracketing observed buckets on the time axis.
+
+    Grid endpoints are observed buckets by construction (bounds come from
+    the data), so every gap has both brackets — no edge NULL branch.
+
+    Values are carried as BIGINT micro-units (``round(v * 1e6)``) and the
+    interpolation is exact integer arithmetic — ``(2*num + span) div
+    (2*span)`` is round-half-up of num/span for the non-negative fixture
+    domain — because double interpolation lands exactly on .xxxxxx5
+    rounding ties (6-decimal inputs x dyadic time fractions) that Spark's
+    BigDecimal HALF_UP and DuckDB's float rounding break differently.
+
+    Scale: same single (source, metric) shuffle as the ffill variant;
+    the two directional fills are two frames over one sorted partition,
+    no extra exchange.
+    """
+    s = _series(spark, sf_dir)
+    b = s.groupBy(
+        "source", "metric", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    bounds = b.groupBy("source", "metric").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = bounds.select(
+        "source",
+        "metric",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    j = grid.join(b, ["source", "metric", "h"], "left")
+    wp = (
+        Window.partitionBy("source", "metric")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("source", "metric")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    h_obs = F.when(F.col("v").isNotNull(), F.col("h"))
+    micro = lambda c: F.round(c * 1_000_000, 0).cast("long")  # noqa: E731
+    f = j.select(
+        "source",
+        "metric",
+        "h",
+        micro(F.col("v")).alias("v6"),
+        micro(F.last("v", ignorenulls=True).over(wp)).alias("pv6"),
+        F.last(h_obs, ignorenulls=True).over(wp).alias("ph"),
+        micro(F.first("v", ignorenulls=True).over(wn)).alias("nv6"),
+        F.first(h_obs, ignorenulls=True).over(wn).alias("nh"),
+    )
+    dt_h = (F.unix_micros("h") - F.unix_micros("ph")) / F.lit(HOUR_US)
+    span_h = (F.unix_micros("nh") - F.unix_micros("ph")) / F.lit(HOUR_US)
+    g2 = f.select(
+        "source",
+        "metric",
+        "h",
+        "v6",
+        "pv6",
+        "nv6",
+        dt_h.cast("long").alias("dt_h"),
+        span_h.cast("long").alias("span_h"),
+    )
+    return g2.select(
+        "source",
+        "metric",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        F.when(F.col("v6").isNotNull(), F.col("v6"))
+        .otherwise(
+            F.expr("(2 * (pv6 * (span_h - dt_h) + nv6 * dt_h) + span_h) div (2 * span_h)")
+        )
+        .alias("v_interp_micro"),
+        F.col("v6").isNull().alias("was_gap"),
+    )
