@@ -1,0 +1,203 @@
+"""Property-based invariants (SURVEY.md §5 item 4, hypothesis).
+
+Each test generates an arbitrary small events/documents table, writes it
+as a parquet dir shaped like the driver fixtures, and runs the REAL
+operator callables against it — so the invariants exercise the same code
+path the driver checks, not a reimplementation.
+
+Invariants (SURVEY.md §5): resample preserves counts and extrema;
+gap-fill produces a complete per-series grid and never invents values;
+sessionization conserves events and matches the gap-count definition;
+exact dedup is idempotent and partition-complete; linear interpolation
+stays within each series' observed value envelope.
+"""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+import tempfile
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from catena_spark.operators import llm, timeseries as ts
+
+T0 = datetime.datetime(2024, 1, 1)
+
+#: (user_id, event_type, minutes-offset, value) — small domains force
+#: collisions (same series, same hour, duplicate ts) that shrink well.
+points = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.sampled_from(["click", "view"]),
+        st.integers(0, 5000),
+        st.floats(0.0, 1000.0, allow_nan=False, allow_infinity=False, width=32),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+docs = st.lists(
+    st.tuples(st.sampled_from(["spark join", "filter window", "Spark  Join "]),
+              st.sampled_from(["en", "de"])),
+    min_size=1,
+    max_size=30,
+)
+
+PROP_SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _write_events(spark, rows) -> str:
+    tmp = tempfile.mkdtemp(prefix="catena-prop-")
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [T0 + datetime.timedelta(minutes=m) for _, _, m, _ in rows],
+            "user_id": [u for u, _, _, _ in rows],
+            "event_type": [m for _, m, _, _ in rows],
+            "value": [float(v) for _, _, _, v in rows],
+            "props": ['{"k": 1}'] * len(rows),
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    return tmp
+
+
+def _write_docs(spark, rows) -> str:
+    tmp = tempfile.mkdtemp(prefix="catena-prop-")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(rows)),
+            "text": [t for t, _ in rows],
+            "lang": [lang for _, lang in rows],
+            "source": ["src0"] * len(rows),
+            "n_chars": [len(t) for t, _ in rows],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp}/documents.parquet"
+    )
+    return tmp
+
+
+@PROP_SETTINGS
+@given(rows=points)
+def test_resample_conserves_counts_and_extrema(spark, rows):
+    tmp = _write_events(spark, rows)
+    try:
+        out = ts.ts_resample_1h(spark, tmp).collect()
+        assert sum(r["n"] for r in out) == len(rows)
+        vals = [v for _, _, _, v in rows]
+        assert min(r["min_v"] for r in out) == min(vals)
+        assert max(r["max_v"] for r in out) == max(vals)
+        # buckets are (hour, metric)-unique
+        keys = [(r["hour_s"], r["metric"]) for r in out]
+        assert len(keys) == len(set(keys))
+    finally:
+        shutil.rmtree(tmp)
+
+
+@PROP_SETTINGS
+@given(rows=points)
+def test_gapfill_grid_complete_and_never_invents(spark, rows):
+    tmp = _write_events(spark, rows)
+    try:
+        out = ts.ts_gapfill_ffill(spark, tmp).collect()
+        per_series: dict[tuple, list] = {}
+        for r in out:
+            per_series.setdefault((r["source"], r["metric"]), []).append(r)
+        observed: dict[tuple, set] = {}
+        for u, m, mins, _ in rows:
+            h = (T0 + datetime.timedelta(minutes=mins)).replace(
+                minute=0, second=0, microsecond=0
+            )
+            observed.setdefault((str(u), m), set()).add(h.strftime("%Y-%m-%d %H:%M:%S"))
+        assert set(per_series) == set(observed)
+        for key, rs in per_series.items():
+            hours = sorted(r["hour_s"] for r in rs)
+            # complete hourly grid between the series' own bounds
+            t_lo = datetime.datetime.strptime(hours[0], "%Y-%m-%d %H:%M:%S")
+            t_hi = datetime.datetime.strptime(hours[-1], "%Y-%m-%d %H:%M:%S")
+            assert len(rs) == int((t_hi - t_lo).total_seconds()) // 3600 + 1
+            assert len(hours) == len(set(hours))
+            # non-gap rows == observed buckets; fill never invents values
+            assert {r["hour_s"] for r in rs if not r["was_gap"]} == observed[key]
+            filled = {r["v_filled"] for r in rs if r["was_gap"]}
+            seeded = {r["v_filled"] for r in rs if not r["was_gap"]}
+            assert filled <= seeded
+            assert all(r["v_filled"] is not None for r in rs)
+    finally:
+        shutil.rmtree(tmp)
+
+
+@PROP_SETTINGS
+@given(rows=points)
+def test_sessionize_conserves_events_and_gap_rule(spark, rows):
+    tmp = _write_events(spark, rows)
+    try:
+        out = ts.ts_sessionize_30m(spark, tmp).collect()
+        assert sum(r["n_events"] for r in out) == len(rows)
+        # expected session count per source = 1 + (#gaps > 30 min)
+        by_source: dict[str, list] = {}
+        for u, _, mins, _ in rows:
+            by_source.setdefault(str(u), []).append(mins)
+        for src, minutes in by_source.items():
+            minutes.sort()
+            expected = 1 + sum(
+                1 for a, b in zip(minutes, minutes[1:]) if (b - a) > 30
+            )
+            got = len([r for r in out if r["source"] == src])
+            assert got == expected, (src, minutes)
+    finally:
+        shutil.rmtree(tmp)
+
+
+@PROP_SETTINGS
+@given(rows=points)
+def test_linear_interp_within_series_envelope(spark, rows):
+    tmp = _write_events(spark, rows)
+    try:
+        out = ts.ts_gapfill_linear(spark, tmp).collect()
+        env: dict[tuple, list] = {}
+        for r in out:
+            if not r["was_gap"]:
+                env.setdefault((r["source"], r["metric"]), []).append(
+                    r["v_interp_micro"]
+                )
+        for r in out:
+            lo, hi = min(env[(r["source"], r["metric"])]), max(
+                env[(r["source"], r["metric"])]
+            )
+            assert lo <= r["v_interp_micro"] <= hi
+    finally:
+        shutil.rmtree(tmp)
+
+
+@PROP_SETTINGS
+@given(rows=docs)
+def test_exact_dedup_idempotent_and_complete(spark, rows):
+    tmp = _write_docs(spark, rows)
+    try:
+        out = llm.llm_exact_dedup(spark, tmp).collect()
+        # partition-complete: every doc is counted exactly once
+        assert sum(r["n_copies"] for r in out) == len(rows)
+        # one survivor per normalized (lower/trim) text
+        normed = {t.lower().strip() for t, _ in rows}
+        assert len(out) == len(normed)
+        # idempotent: dedup of the survivors is the survivors
+        survivors = [rows[int(r["keep_id"])] for r in out]
+        tmp2 = _write_docs(spark, survivors)
+        try:
+            out2 = llm.llm_exact_dedup(spark, tmp2).collect()
+            assert len(out2) == len(out)
+            assert all(r["n_copies"] == 1 for r in out2)
+        finally:
+            shutil.rmtree(tmp2)
+    finally:
+        shutil.rmtree(tmp)
