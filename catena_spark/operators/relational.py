@@ -878,3 +878,118 @@ def fn_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("small")
         .alias("size_bucket"),
     )
+
+
+# ---------------------------------------------------------------- D10 depth: distribution ranks
+
+@query(
+    "win_ntile_dense",
+    "D10",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(ntile(4) OVER w AS BIGINT)    AS quartile,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 6)     AS prank,
+           round(cume_dist() OVER w, 6)        AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_ntile_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranking windows (SURVEY.md §2-D10): ntile / dense_rank
+    / percent_rank / cume_dist of customers by balance within nation.
+
+    percent_rank and cume_dist are exact rationals (k/n) — IEEE-identical
+    across engines; rounded anyway per parity rule #3. One shuffle on
+    c_nationkey serves all four functions (shared window spec).
+    """
+    c = tables.load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+# ---------------------------------------------------------------- D3 scale: salted skew join
+
+@query(
+    "join_skew_salted",
+    "D3",
+    oracle="""
+    SELECT s_name, count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join (SURVEY.md §4 skew handling), oracle-checked against
+    the plain join it must be equivalent to: the dim side is exploded
+    over SALT replicas and the fact side picks a deterministic salt, so
+    one hot supplier key fans out over SALT reducers instead of one.
+
+    When it matters at 100 TB: dim too big to broadcast AND fact keys
+    Zipf-skewed — the alternatives are AQE's skew-join split (handles
+    storage skew, not single-key hash skew) or this, which handles both.
+    At test scale Catalyst will still broadcast the tiny salted dim;
+    the salting is inert but the plan stays correct at any size.
+    """
+    salt_n = 8
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    s_exp = s.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
+    )
+    li_s = li.withColumn("salt", (F.col("l_orderkey") % salt_n).cast("int"))
+    return (
+        li_s.join(
+            s_exp,
+            (li_s.l_suppkey == s_exp.s_suppkey) & (li_s.salt == s_exp.salt),
+        )
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            rsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------- D14 depth: correlated EXISTS
+
+@query(
+    "subq_exists_urgent_big",
+    "D14",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND o.o_totalprice > 200000)
+    """,
+)
+def subq_exists_urgent_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with extra predicates (SURVEY.md §2-D14) via the
+    SQL entry point — Catalyst rewrites it to a left-semi join with the
+    filters pushed into the subquery scan."""
+    for t in ("customer", "orders"):
+        tables.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT'
+                        AND o.o_totalprice > 200000)
+        """
+    )
