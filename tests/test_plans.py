@@ -65,3 +65,18 @@ def test_scan_prunes_columns(spark):
     scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "lineitem" in ln]
     if scan_lines:  # schema line present in formatted output
         assert "l_tax" not in scan_lines[0]
+
+
+def test_q5_dims_broadcast_facts_shuffle(spark):
+    df = rel.join_q5_local_supplier(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert_pushed_filter(df, "o_orderdate")
+
+
+def test_exists_rewrites_to_semi_join(spark):
+    df = rel.subq_exists_urgent_big(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert_pushed_filter(df, "o_totalprice")
