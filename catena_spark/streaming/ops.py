@@ -111,3 +111,82 @@ def streaming_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     return src.groupBy("user_id", "event_type").applyInPandasWithState(
         fold, _EWMA_OUT, _EWMA_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------- driver-checked batch twins
+# The same callables above run unchanged on batch DataFrames; these
+# registry entries hash-check that shared code path against DuckDB, so
+# §2-F window semantics are oracle-verified, not just pytest-paritied
+# (the streaming execution itself is covered by tests/test_streaming.py).
+
+from .. import tables  # noqa: E402
+from ..registry import query  # noqa: E402
+
+
+@query(
+    "stream_windowed_counts",
+    "F2",
+    oracle="""
+    SELECT strftime(to_timestamp((epoch_us(ts) // 21600000000) * 21600),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_counts(spark, sf_dir):
+    """Tumbling 6h windows (F2) on the batch path. Spark's window()
+    aligns tumbling buckets to the epoch, hence the epoch-floor oracle."""
+    return windowed_counts(tables.load(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_sliding_avg",
+    "F2",
+    oracle="""
+    WITH cand AS (
+        SELECT e.*, date_trunc('hour', e.ts) - INTERVAL (o.o) HOUR AS win_start
+        FROM events e, (SELECT unnest(generate_series(0, 1)) AS o) o)
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, round(avg(value), 6) AS avg_v, count(*) AS n
+    FROM cand GROUP BY 1, 2
+    """,
+)
+def stream_sliding_avg(spark, sf_dir):
+    """Sliding 2h/1h windows (F2): every event lands in width/slide = 2
+    overlapping buckets; the oracle materializes both window starts per
+    event (hour-truncate minus 0/1 hour) and aggregates."""
+    return sliding_avg(tables.load(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_session_counts",
+    "F3",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            >= 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+    sessions AS (
+        SELECT user_id, ts_us,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM flagged)
+    SELECT user_id, min(ts_us) AS start_us,
+           max(ts_us) + 1800000000 AS end_us, count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def stream_session_counts(spark, sf_dir):
+    """Gap-based session windows (F3) on the batch path.
+
+    Semantics note vs the C9 sessionizer: ``session_window`` merges
+    events whose gap is STRICTLY under the 30-minute duration (each
+    event's [ts, ts+30m) half-open window must overlap the next), so the
+    oracle's new-session rule is ``gap >= 30m`` — where C9's hand-rolled
+    rule is ``gap > 30m``. Session end is last-event ts + gap duration.
+    """
+    return session_counts(tables.load(spark, sf_dir, "events"))
