@@ -695,3 +695,86 @@ def llm_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.round(l2_norm("embedding"), 6).alias("emb_norm"),
     )
+
+
+# ================================================================ E3: ANN via IVF coarse quantizer (rows-only)
+
+@query("llm_ann_ivf", "E3", oracle=None)
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via an IVF coarse quantizer
+    (SURVEY.md §2-E3, the second scale path beside llm_ann_lsh):
+    k=10 centroids seeded from fixed vec_ids, refined with one Lloyd
+    iteration, every vector assigned to its nearest centroid (inverted
+    lists), queries probe the nprobe=3 nearest lists and run exact
+    cosine only inside them.
+
+    Deterministic end-to-end: fixed seed ids, argmax/rank tiebreaks on
+    ids — no RNG anywhere (SURVEY.md §7 risk #4). Recall vs the exact
+    brute-force twin (llm_cosine_topk) is gated in tests/test_llm.py.
+
+    Scale: the all-pairs problem becomes |probed lists| work per query;
+    centroid assignment is a linear scan against a broadcast k-row
+    table; list storage is just a cluster_id column — at 100 TB,
+    repartition by cluster_id and each probe touches nprobe partitions.
+    Training on a sample (here: one Lloyd step from seeds) is the
+    standard IVF recipe; more steps change constants, not the plan.
+    """
+    k, nprobe, topk = 10, 3, 5
+    e = tables.load(spark, sf_dir, "embeddings")
+
+    def nearest(df, cent, left_vec, out_rank, n_keep):
+        j = df.join(F.broadcast(cent), F.col("cid").isNotNull())
+        scored = j.select(
+            *df.columns, "cid",
+            F.round(cosine(left_vec, "cv"), 6).alias("c_sim"),
+        )
+        w = Window.partitionBy(*[c for c in df.columns if c != "cid"][:1]).orderBy(
+            F.col("c_sim").desc(), "cid"
+        )
+        return (
+            scored.withColumn(out_rank, F.row_number().over(w))
+            .where(F.col(out_rank) <= n_keep)
+        )
+
+    # seed centroids from fixed ids, then one Lloyd refinement step
+    seeds = e.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    assign0 = nearest(
+        e.select("vec_id", "embedding"), seeds, "embedding", "r", 1
+    ).select("vec_id", "embedding", "cid")
+    cent = (
+        assign0.select("cid", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+    )
+    # inverted lists: every vector -> nearest refined centroid
+    assign = nearest(
+        e.select("vec_id", "embedding"), cent, "embedding", "r", 1
+    ).select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"), "cid")
+    # probes: nprobe nearest lists per query
+    probes = nearest(
+        e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        ),
+        cent,
+        "qv",
+        "pr",
+        nprobe,
+    ).select("qid", "qv", "cid")
+    cands = probes.join(assign, "cid").where(F.col("nid") != F.col("qid"))
+    scored = cands.select(
+        "qid", "nid", F.round(cosine("qv", "nv"), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "nid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= topk)
+    )

@@ -69,3 +69,17 @@ def test_simhash_near_dup_hamming(spark):
         .join(fp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "hb"), "doc_b")
     )
     assert j.where(F.col("ha") != F.col("hb")).count() == 0
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """IVF probe search must recover most of the exact top-5 sets."""
+    from catena_spark.operators.llm import llm_ann_ivf, llm_cosine_topk
+
+    exact = {
+        (r["qid"], r["nid"]) for r in llm_cosine_topk(spark, SF_SMALL).collect()
+    }
+    approx = {
+        (r["qid"], r["nid"]) for r in llm_ann_ivf(spark, SF_SMALL).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall:.2f} below gate"
