@@ -170,3 +170,17 @@ def sample_frames(df: DataFrame, n_frames: int = 4, *, allow_fake: bool = True) 
     return df.where(F.col("modality") == "video").select(
         "doc_id", "payload", "declared_w", "declared_h"
     ).mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------- driver-surface entries
+
+from ..registry import query  # noqa: E402
+
+
+@query("mm_feature_extract", "E-mm", oracle=None)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver entry for the mapInPandas feature pipeline:
+    payload table -> decode stub -> FEATURE_DIM floats per row. The
+    deterministic fake decoder makes the output stable across runs, so
+    the driver's rows+schema check is meaningful."""
+    return extract_features(payload_table(spark, sf_dir), allow_fake=True)

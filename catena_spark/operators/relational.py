@@ -993,3 +993,32 @@ def subq_exists_urgent_big(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND o.o_totalprice > 200000)
         """
     )
+
+
+# ---------------------------------------------------------------- D22: deterministic sampling
+
+@query(
+    "sample_hash_bernoulli",
+    "D22",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                                   || CAST(l_linenumber AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10 = 0
+    """,
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample via content hashing
+    (SURVEY.md §2-D22). ``df.sample`` is engine-seeded and can never
+    hash-match an oracle; keying the coin flip on md5(row id) gives the
+    same sample on any engine, any partitioning, any run — which is
+    also the property a reproducible 100 TB pipeline actually wants
+    (resumable, audit-stable samples).
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 10
+    return li.where(bucket == 0).select("l_orderkey", "l_linenumber", "l_quantity")

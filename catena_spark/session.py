@@ -47,17 +47,48 @@ _RUNTIME_CONF = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``catena_spark`` importable on executor Python workers.
+
+    Closures that reference module-level functions (the multimodal
+    mapInPandas stages) are cloudpickled BY REFERENCE, so workers must
+    import this package — guaranteed in our own sessions (cwd) but not
+    in the driver's, whose session starts from an arbitrary directory.
+    A zip of the package shipped via addPyFile covers any session; on a
+    real cluster the same call distributes it to every executor.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_catena_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_root = Path(__file__).resolve().parent
+    zpath = Path(tempfile.gettempdir()) / "catena_spark_pkg.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for py in sorted(pkg_root.rglob("*.py")):
+            zf.write(py, Path("catena_spark") / py.relative_to(pkg_root))
+    sc.addPyFile(str(zpath))
+    sc._catena_pkg_shipped = True
+
+
 def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
     """Apply parity-critical runtime conf to an existing session.
 
-    The driver constructs its own SparkSession; UTC timezone and AQE must
-    hold there too, so every loader in tables.py funnels through this.
+    The driver constructs its own SparkSession; UTC timezone, AQE, and
+    executor-side importability must hold there too, so every loader in
+    tables.py funnels through this.
     """
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # static-only conf on some builds; never fatal
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # best-effort; our own sessions already have the package
     return spark
 
 
