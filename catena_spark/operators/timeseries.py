@@ -444,24 +444,67 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- C7: EWMA (rows-only)
 
-@query("ts_ewma", "C7", oracle=None)
+#: WITH RECURSIVE prefix (the shared _cte() helper can't carry the
+#: RECURSIVE keyword the EWMA oracle needs).
+def _cte_recursive(body: str) -> str:
+    from ..tables import SERIES_SQL
+
+    return (
+        f"WITH RECURSIVE series AS ({SERIES_SQL}), "
+        "s AS (SELECT *, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM series)\n"
+        + body
+    )
+
+
+@query(
+    "ts_ewma",
+    "C7",
+    oracle=_cte_recursive("""
+    , o AS (SELECT source, metric, ts_us, value,
+                   row_number() OVER (PARTITION BY source, metric
+                                      ORDER BY ts_us, value) AS rn
+            FROM s),
+    rec AS (
+        SELECT source, metric, ts_us, value, rn, value AS ewma
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.source, o.metric, o.ts_us, o.value, o.rn,
+               CAST(0.3 AS DOUBLE) * o.value + CAST(0.7 AS DOUBLE) * rec.ewma
+        FROM o JOIN rec ON o.source = rec.source AND o.metric = rec.metric
+                       AND o.rn = rec.rn + 1)
+    SELECT source, metric, ts_us, value, ewma FROM rec
+    """),
+)
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average per series, alpha=0.3
     (SURVEY.md §2-C7). Not expressible with built-in window aggregates ->
     grouped-map Pandas UDF (Arrow-batched; one group per series) — the
     sanctioned slow path, and the only Python-crossing operator in this
-    module. Verified by pytest invariants + rows-only driver check.
+    module.
 
-    Scale: applyInPandas shuffles once on the series key; each group
-    streams through pandas ``ewm``. Memory is O(largest series) per
-    executor — for pathological single-series skew, split by time bucket
-    and chain EWMA states across buckets.
+    The recurrence ``e = 0.3*x + 0.7*e`` is written out explicitly (not
+    pandas ``.ewm``, whose adjust=False path divides by ``0.7 + 0.3`` —
+    which is NOT 1.0 in IEEE doubles and perturbs the last ulp) so the
+    DuckDB recursive-CTE oracle runs the bit-identical float sequence
+    and C7 is hash-checked, not rows-only.
+
+    Scale: applyInPandas shuffles once on the series key. Memory is
+    O(largest series) per executor — for pathological single-series
+    skew, split by time bucket and chain EWMA states across buckets
+    (the streaming twin already carries state that way). The per-row
+    Python loop is fine because EWMA is inherently sequential; swap in
+    scipy.signal.lfilter per group for long series.
     """
     s = _series(spark, sf_dir).select("source", "metric", "ts_us", "value")
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_us", "value"])
-        pdf["ewma"] = pdf["value"].ewm(alpha=0.3, adjust=False).mean()
+        pdf = pdf.sort_values(["ts_us", "value"]).reset_index(drop=True)
+        e = None
+        out = []
+        for x in pdf["value"]:
+            e = x if e is None else 0.3 * x + 0.7 * e
+            out.append(e)
+        pdf["ewma"] = out
         return pdf
 
     return s.groupBy("source", "metric").applyInPandas(
