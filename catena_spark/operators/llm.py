@@ -346,21 +346,26 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verify) — same verify kernel, shuffle bounded by bucket
     collisions instead of n^2.
     """
-    e = tables.load(spark, sf_dir, "embeddings")
+    e = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label", l2_norm("embedding").alias("nrm")
+    )
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
-        F.col("label").alias("la"),
+        F.col("label").alias("la"), F.col("nrm").alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
-        F.col("label").alias("lb"),
+        F.col("label").alias("lb"), F.col("nrm").alias("nb"),
     )
     j = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    # norms are computed once per VECTOR, not per pair — sqrt(fold) gives
+    # the same double either way, so the cosine stays bit-identical to
+    # the naive form while the per-pair work drops from 3 folds to 1
     return (
         j.select(
             "vec_a",
             "vec_b",
-            F.round(cosine("va", "vb"), 6).alias("cos_sim"),
+            F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
             (F.col("la") == F.col("lb")).alias("same_label"),
         )
         .where(F.col("cos_sim") >= 0.4)
@@ -411,33 +416,47 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for bi in range(n_bands)
         ],
     )
+    # candidate generation carries IDS ONLY: the band self-join and the
+    # pair dedup shuffle ints, never the 64-float arrays (at 100 TB the
+    # array payload is what makes a shuffle explode, not the row count)
     stacked = bands.select(
         "vec_id",
-        "embedding",
         F.explode(
             F.array(*[
                 F.struct(F.lit(bi).alias("band"), F.col(f"band{bi}").alias("bucket"))
                 for bi in range(n_bands)
             ])
         ).alias("bb"),
-    ).select("vec_id", "embedding", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = stacked.select(
-        F.col("band"), F.col("bucket"),
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
-    )
-    b = stacked.select(
-        F.col("band"), F.col("bucket"),
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
-    )
-    cand = (
-        a.join(b, ["band", "bucket"])
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    pairs = (
+        stacked.alias("a")
+        .join(stacked.alias("b"), ["band", "bucket"])
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "va", "vb")
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    # verify: attach (vector, precomputed norm) per side, one dot fold
+    en = e.select("vec_id", "embedding", l2_norm("embedding").alias("nrm"))
+    cand = pairs.join(
+        en.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+            F.col("nrm").alias("na"),
+        ),
+        "vec_a",
+    ).join(
+        en.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "vec_b",
     )
     return (
         cand.select(
-            "vec_a", "vec_b", F.round(cosine("va", "vb"), 6).alias("cos_sim")
+            "vec_a",
+            "vec_b",
+            F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= 0.4)
     )
