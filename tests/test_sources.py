@@ -65,3 +65,40 @@ def test_retention_drops_oldest(spark, tmp_path):
     # dropped data is gone; newest data intact (catena drops OLDEST first)
     remaining_min_dt = min(r.dt for r in partition_stats(spark, path).collect())
     assert all(d < f"dt={remaining_min_dt}" for d in dropped)
+
+
+def test_rollup_incremental_refresh_matches_full(spark, tmp_path):
+    """refresh_rollup on changed days == full rematerialization."""
+    import pyspark.sql.functions as F
+
+    from catena_spark.sources.ingest import materialize_rollup, refresh_rollup
+
+    src = str(tmp_path / "events_src")
+    dest = str(tmp_path / "rollup")
+    ev = tables.load(spark, SF_SMALL, "events")
+    # initial state: everything before Jan 20
+    ev.where(F.col("ts") < "2024-01-20").write.parquet(src)
+    materialize_rollup(spark, src, dest)
+    before = spark.read.parquet(dest).count()
+    # late/new data arrives for Jan 18-25; append + incremental refresh
+    ev.where(F.col("ts") >= "2024-01-18").write.mode("append").parquet(src)
+    changed = sorted(
+        r["dt"]
+        for r in spark.read.parquet(src)
+        .where(F.col("ts") >= "2024-01-18")
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+        .distinct()
+        .collect()
+    )
+    refresh_rollup(spark, src, dest, changed)
+    incremental = spark.read.parquet(dest)
+    # oracle: full recompute from the same source
+    full_dest = str(tmp_path / "rollup_full")
+    materialize_rollup(spark, src, full_dest)
+    full = spark.read.parquet(full_dest)
+    assert incremental.count() == full.count() > 0
+    assert incremental.count() != before  # refresh actually changed rows
+    key = ["dt", "user_id", "event_type", "hour"]
+    assert incremental.select(*key, "n", "sum_v").exceptAll(
+        full.select(*key, "n", "sum_v")
+    ).count() == 0
