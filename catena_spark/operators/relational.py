@@ -1022,3 +1022,110 @@ def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 10
     return li.where(bucket == 0).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+# ---------------------------------------------------------------- D3 depth: Q7-shape dim self-join
+
+@query(
+    "join_q7_nation_pairs",
+    "D3",
+    oracle="""
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           count(*) AS n_items,
+           -- scale 4: price(2dp) x discount-complement(2dp) sums have
+           -- EXACTLY 4 decimals, so rounding there can never tie; scale
+           -- 2 ties on real .xx5 values and engines break them apart
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE n1.n_regionkey <> n2.n_regionkey
+    GROUP BY n1.n_name, n2.n_name
+    """,
+)
+def join_q7_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-region trade flows — the nation dimension
+    joins TWICE under different roles (customer's vs supplier's nation),
+    which exercises alias resolution and double-broadcast of one table.
+
+    Scale: both nation copies broadcast; the region inequality filters
+    post-join (25x25 pairs — trivial); the fact-side joins are the same
+    orderkey/custkey/suppkey shuffles as Q5.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    s = tables.load(spark, sf_dir, "supplier")
+    n1 = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("supp_nation"),
+        F.col("n_regionkey").alias("n2_region"),
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .where(F.col("n1_region") != F.col("n2_region"))
+    )
+    return j.groupBy("cust_nation", "supp_nation").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        rsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- D2/D3 depth: Q19-shape disjunctive join
+
+@query(
+    "join_q19_disjunctive",
+    "D2",
+    oracle="""
+    SELECT count(*) AS n, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def join_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a disjunction of conjunctive branches spanning
+    both join sides. Catalyst extracts the common join key, pushes the
+    per-side residuals (brand/size to the part scan, quantity bounds to
+    lineitem via OR-simplification) and evaluates the full predicate
+    post-join — the classic test that disjunctions don't defeat pushdown.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch = lambda brand, s1, s2, q1, q2: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s1, s2)
+        & F.col("l_quantity").between(q1, q2)
+    )
+    return (
+        j.where(
+            branch("Brand#1", 1, 15, 1, 20)
+            | branch("Brand#3", 10, 30, 10, 35)
+            | branch("Brand#5", 20, 50, 20, 50)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )

@@ -102,3 +102,24 @@ def test_rollup_incremental_refresh_matches_full(spark, tmp_path):
     assert incremental.select(*key, "n", "sum_v").exceptAll(
         full.select(*key, "n", "sum_v")
     ).count() == 0
+
+
+def test_dt_partition_layout_prunes(spark, tmp_path):
+    """Time predicates on the dt-partitioned layout prune whole partition
+    directories at plan time (SCALE.md storage claim)."""
+    import pyspark.sql.functions as F
+
+    from catena_spark.sources.ingest import write_partitioned
+
+    dest = str(tmp_path / "events_dt")
+    write_partitioned(tables.load(spark, SF_SMALL, "events"), dest)
+    df = spark.read.parquet(dest).where(
+        (F.col("dt") >= "2024-01-10") & (F.col("dt") < "2024-01-12")
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    # only the two selected days' rows come back
+    days = {str(r["dt"]) for r in df.select("dt").distinct().collect()}
+    assert days == {"2024-01-10", "2024-01-11"}  # dt inferred as DATE
