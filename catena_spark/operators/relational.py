@@ -48,8 +48,8 @@ def scan_lineitem_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
            round(sum(l_extendedprice), 2)                                   AS sum_base,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
            round(avg(l_quantity), 6)                                        AS avg_qty,
            round(avg(l_extendedprice), 6)                                   AS avg_price,
            round(avg(l_discount), 6)                                        AS avg_disc,
@@ -75,8 +75,8 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             rsum(F.col("l_quantity")).alias("sum_qty"),
             rsum(F.col("l_extendedprice")).alias("sum_base"),
-            rsum(disc_price).alias("sum_disc_price"),
-            rsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            rsum(disc_price, 4).alias("sum_disc_price"),
+            rsum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
             ravg(F.col("l_quantity")).alias("avg_qty"),
             ravg(F.col("l_extendedprice")).alias("avg_price"),
             ravg(F.col("l_discount")).alias("avg_disc"),
@@ -396,7 +396,7 @@ def win_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "D12",
     oracle="""
     SELECT o.o_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
            strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS order_day
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -425,7 +425,7 @@ def topk_revenue_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            rsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            rsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
         )
         .select(
             "o_orderkey",
@@ -744,7 +744,7 @@ def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_q5_local_supplier",
     "D3",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -789,7 +789,7 @@ def join_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r_name") == "ASIA")
     )
     return j.groupBy("n_name").agg(
-        rsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        rsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
     )
 
 
@@ -924,7 +924,7 @@ def win_ntile_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     "D3",
     oracle="""
     SELECT s_name, count(*) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_name
     """,
@@ -956,7 +956,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            rsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            rsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             ),
         )
@@ -1091,7 +1091,7 @@ def join_q7_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_q19_disjunctive",
     "D2",
     oracle="""
-    SELECT count(*) AS n, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT count(*) AS n, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 1 AND 20)
@@ -1124,7 +1124,7 @@ def join_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            rsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            rsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             ),
         )

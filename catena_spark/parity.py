@@ -8,10 +8,13 @@ follows these rules — on BOTH sides:
    **leave query outputs as strings** (``ts_str``/``DUCK_TS``) or epoch
    BIGINT — sidesteps Spark-µs vs DuckDB-ns representation entirely.
 2. Alias every computed column identically in Spark and SQL.
-3. Aggregated doubles are rounded before hashing: ``round(sum, 2)``,
-   ``round(avg, 6)`` — coarse enough that float summation-order noise
-   (~1e-5 absolute on 1e9-scale sums) cannot flip the rounded value,
-   and both engines then land on the bit-identical nearest double.
+3. Aggregated doubles are rounded before hashing — AT THE SCALE WHERE
+   THE TRUE QUANTITY IS DECIMAL-EXACT, never coarser: a sum of 2dp
+   values rounds at 2, price(2dp) x discount-complement(2dp) products
+   at 4, x tax-complement at 6. Coarser scales hit REAL half-way ties
+   (e.g. a true revenue of 753930.795 rounded at 2) that engines break
+   differently; at the exact scale, float noise (~1e-9) can never reach
+   a boundary and both engines land on the bit-identical double.
 4. Division: Spark ``/`` is always double; DuckDB 1.0 ``/`` likewise, but
    integer-result intent must use explicit casts on both sides.
 5. Any LIMIT/top-k carries a deterministic total ORDER BY (key tiebreaks).
