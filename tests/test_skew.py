@@ -1,0 +1,52 @@
+"""Skew-handling correctness at generated scale (SCALE.md claims):
+a Zipf-hot fact key (50% of rows on one supplier) must not break the
+salted join's equivalence with the plain join, and AQE must be allowed
+to split the hot partition. Data is generated into tmp_path — the
+fixtures' keys are uniform, so skew needs its own table.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_salted_join_on_hot_key(spark, tmp_path):
+    n = 200_000
+    hot = spark.range(n).select(
+        # half the rows hit supplier 7; the rest spread over 1000
+        F.when(F.col("id") % 2 == 0, 7)
+        .otherwise(F.col("id") % 1000)
+        .alias("supp_key"),
+        (F.col("id") % 97).cast("double").alias("amount"),
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("s_key"), F.concat(F.lit("S"), F.col("id")).alias("s_name")
+    )
+    fact_path, dim_path = str(tmp_path / "fact"), str(tmp_path / "dim")
+    hot.write.parquet(fact_path)
+    dim.write.parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    d = spark.read.parquet(dim_path)
+
+    plain = (
+        fact.join(d, fact.supp_key == d.s_key)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("amount"), 2).alias("amt"))
+    )
+
+    salt_n = 8
+    d_exp = d.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
+    )
+    f_s = fact.withColumn("salt", (F.col("amount").cast("long") % salt_n).cast("int"))
+    salted = (
+        f_s.join(d_exp, (f_s.supp_key == d_exp.s_key) & (f_s.salt == d_exp.salt))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("amount"), 2).alias("amt"))
+    )
+
+    p = {r["s_name"]: (r["n"], r["amt"]) for r in plain.collect()}
+    s = {r["s_name"]: (r["n"], r["amt"]) for r in salted.collect()}
+    assert p == s
+    # the hot key really is hot (test is meaningless otherwise)
+    assert p["S7"][0] >= n // 2

@@ -168,3 +168,40 @@ def test_streaming_ewma_matches_batch(spark, chunks):
     assert stream_final.keys() == batch_final.keys()
     for k, v in batch_final.items():
         assert abs(stream_final[k] - v) < 1e-9, k
+
+
+def test_rate_source_pipeline(spark):
+    """F7: the rate source drives the same transformation stack — proves
+    the ops are source-agnostic (file, rate, or Kafka at deployment)."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 5).cast("bigint").alias("user_id"),
+            F.lit("tick").alias("event_type"),
+            (F.col("value") % 100).cast("double").alias("value"),
+        )
+    )
+    q = (
+        windowed_counts(stream, width="1 second")
+        .writeStream.format("memory")
+        .queryName("rate_out")
+        .outputMode("complete")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("select * from rate_out").count() > 0:
+                break
+            time.sleep(0.5)
+        out = spark.sql("select * from rate_out")
+        assert out.count() > 0
+        assert set(out.columns) == {"win_start", "event_type", "n", "sum_v"}
+    finally:
+        q.stop()
