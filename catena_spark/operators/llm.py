@@ -797,3 +797,34 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= topk)
     )
+
+
+# ================================================================ E1: dedup remap table
+
+@query(
+    "llm_dedup_remap",
+    "E1",
+    oracle="""
+    WITH n AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+    k AS (SELECT h, min(doc_id) AS keep_id FROM n GROUP BY h)
+    SELECT n.doc_id AS dup_id, k.keep_id
+    FROM n JOIN k USING (h)
+    WHERE n.doc_id <> k.keep_id
+    """,
+)
+def llm_dedup_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup remap table (SURVEY.md §2-E1 depth): (dropped doc -> kept
+    survivor) pairs — the artifact a pipeline actually applies when
+    rewriting references/joining downstream tables after dedup.
+
+    Scale: hash-aggregate for survivors + one equi-join back on the
+    16-byte hash; at 100 TB the survivor side is |distinct|-sized and
+    usually broadcastable after the first dedup pass.
+    """
+    d = _docs_norm(spark, sf_dir).select("doc_id", F.md5("t").alias("h"))
+    keep = d.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        d.join(keep, "h")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("doc_id").alias("dup_id"), "keep_id")
+    )

@@ -842,3 +842,51 @@ def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v_interp_micro"),
         F.col("v6").isNull().alias("was_gap"),
     )
+
+
+# ---------------------------------------------------------------- C1 depth: OHLC bars
+
+@query(
+    "ts_ohlc_1h",
+    "C1",
+    oracle=_cte("""
+    SELECT source, metric, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS hour_s,
+           arg_min(value, ts_us) AS open_v,
+           max(value)            AS high_v,
+           min(value)            AS low_v,
+           arg_max(value, ts_us) AS close_v,
+           count(*)              AS n
+    FROM s GROUP BY source, metric, date_trunc('hour', ts)
+    """),
+)
+def ts_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per series (SURVEY.md §2-C1 depth) — the
+    canonical TSDB downsample for anything chart-shaped.
+
+    min_by/max_by give open/close as partial-aggregatable reductions —
+    one hash aggregate, no window, no sort. (ts_us is unique per series
+    in the fixtures, so arg_min/min_by agree without a tiebreak; raw
+    values pass through unrounded, so parity is bit-exact.)
+    """
+    s = _series(spark, sf_dir)
+    return (
+        s.groupBy("source", "metric", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.min_by("value", "ts_us").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", "ts_us").alias("close_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "source",
+            "metric",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+            "open_v",
+            "high_v",
+            "low_v",
+            "close_v",
+            "n",
+        )
+    )
