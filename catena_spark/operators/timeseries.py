@@ -890,3 +890,87 @@ def ts_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------- C6 depth: as-of with tolerance
+
+@query(
+    "ts_asof_join_tolerance",
+    "C6",
+    oracle=_cte("""
+    , c AS (SELECT source, ts_us, value FROM s WHERE metric = 'click'),
+    p AS (SELECT source, ts_us, value FROM s WHERE metric = 'purchase')
+    SELECT c.source, c.ts_us, c.value AS click_value,
+           CASE WHEN c.ts_us - p.ts_us <= 86400000000
+                THEN p.value END AS last_purchase_value,
+           (p.ts_us IS NOT NULL AND c.ts_us - p.ts_us <= 86400000000)
+               AS within_tolerance
+    FROM c ASOF LEFT JOIN p
+      ON c.source = p.source AND p.ts_us <= c.ts_us
+    """),
+)
+def ts_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 24h tolerance (SURVEY.md §2-C6 depth): a match
+    older than the tolerance is treated as no match — the pandas
+    ``merge_asof(tolerance=...)`` semantic.
+
+    Same single-shuffle union-and-fill as ts_asof_join, carrying the
+    matched timestamp alongside the value (one struct fill, not two
+    passes) so the tolerance is a post-filter, not a second join.
+    """
+    s = _series(spark, sf_dir)
+    tol_us = 24 * HOUR_US
+    clicks = s.where(F.col("metric") == "click").select(
+        "source", "ts_us", F.col("value").alias("click_value"),
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("struct<ts_us:bigint,v:double>").alias("p"),
+    )
+    purchases = s.where(F.col("metric") == "purchase").select(
+        "source", "ts_us", F.lit(None).cast("double").alias("click_value"),
+        F.lit(0).alias("is_click"),
+        F.struct(F.col("ts_us").alias("ts_us"), F.col("value").alias("v")).alias("p"),
+    )
+    u = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ts_us", "is_click")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        u.withColumn("lp", F.last("p", ignorenulls=True).over(w))
+        .where(F.col("is_click") == 1)
+    )
+    in_tol = (F.col("ts_us") - F.col("lp.ts_us")) <= tol_us
+    return filled.select(
+        "source",
+        "ts_us",
+        "click_value",
+        F.when(in_tol, F.col("lp.v")).alias("last_purchase_value"),
+        F.coalesce(in_tol, F.lit(False)).alias("within_tolerance"),
+    )
+
+
+# ---------------------------------------------------------------- C10 depth: value histogram
+
+@query(
+    "ts_value_histogram",
+    "C10",
+    oracle=_cte("""
+    SELECT metric, CAST(floor(value / 25.0) * 25 AS BIGINT) AS bucket_lo,
+           count(*) AS n
+    FROM s GROUP BY 1, 2
+    """),
+)
+def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per metric (SURVEY.md §2-C10): the
+    distribution companion to the percentile summary. Bucket index is
+    exact integer math on 2dp values — no float-boundary ambiguity.
+
+    Scale: |metrics x buckets| groups — partial aggregation collapses
+    everything map-side; the shuffle is measured in dozens of rows.
+    """
+    s = _series(spark, sf_dir)
+    return s.groupBy(
+        "metric",
+        (F.floor(F.col("value") / 25.0) * 25).cast("long").alias("bucket_lo"),
+    ).agg(F.count(F.lit(1)).alias("n"))
