@@ -205,3 +205,53 @@ def test_rate_source_pipeline(spark):
         assert set(out.columns) == {"win_start", "event_type", "n", "sum_v"}
     finally:
         q.stop()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """F1 — catena's late-write rejection, recast. The eviction boundary
+    IS the partition-rotation moment: a late row arriving while its
+    window is still in state merges (catena: write into a still-writable
+    memory partition succeeds); a late row arriving AFTER the window was
+    finalized+evicted is dropped — it neither re-opens the window nor
+    re-emits it (catena: write into a rotated-out partition rejected).
+    Asserted via append-mode uniqueness: the finalized window appears
+    exactly once, with only the on-time count."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def mk(name, rows, mtime):
+        df = spark.createDataFrame(
+            [(i, ts_, u, "click", 1.0, "{}") for i, ts_, u in rows],
+            schema=EVENTS_DDL,
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp_mk"))
+        (f,) = glob.glob(str(tmp_path / "tmp_mk" / "*.parquet"))
+        shutil.copy(f, f"{src}/{name}")
+        os.utime(f"{src}/{name}", (mtime, mtime))
+
+    now = time.time()
+    h = dt.timedelta(hours=1)
+    mk("00.parquet", [(1, t0, 1), (2, t0 + 6 * h, 1)], now)        # seed 12:00 + advance
+    mk("01.parquet", [(5, t0 + 7 * h, 1)], now + 2)                # evict 12:00 (n=1 emits)
+    mk("02.parquet", [(3, t0 + dt.timedelta(seconds=5), 1)], now + 4)  # VERY late
+    mk("03.parquet", [(6, t0 + 8 * h, 1)], now + 6)                # force later evictions
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    _run_stream(windowed_counts(stream, width="1 hour"), "append", "late_out")
+    rows = [
+        (r["win_start"], r["n"])
+        for r in spark.sql("select * from late_out").collect()
+    ]
+    noon = [x for x in rows if x[0] == "2024-03-01 12:00:00"]
+    # exactly one finalized emission, counting only the on-time event:
+    # the late row was dropped, not merged and not re-emitted
+    assert noon == [("2024-03-01 12:00:00", 1)], rows
