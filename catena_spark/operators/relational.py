@@ -1156,3 +1156,110 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+# ---------------------------------------------------------------- D7 depth: pivot / unpivot
+
+@query(
+    "pivot_flag_by_status",
+    "D7",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS qty_F,
+           round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2) AS qty_O,
+           count(*) FILTER (l_linestatus = 'F') AS n_F,
+           count(*) FILTER (l_linestatus = 'O') AS n_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_flag_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (SURVEY.md §2-D7 depth): linestatus values become columns.
+    With the pivot values listed explicitly, Catalyst compiles this to
+    one pass of conditional aggregates — no extra shuffle vs plain
+    groupBy, and no driver-side distinct-values scan."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_F"),
+        F.col("O_qty").alias("qty_O"),
+        F.col("F_n").alias("n_F"),
+        F.col("O_n").alias("n_O"),
+    )
+
+
+@query(
+    "unpivot_order_measures",
+    "D7",
+    oracle="""
+    SELECT o_orderkey, 'total_price' AS measure, o_totalprice AS val FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) AS val
+    FROM orders
+    """,
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (SURVEY.md §2-D7 depth): wide measures to long
+    (measure, value) rows — the shape feature stores and metric
+    pipelines ingest. Narrow-side scan, no shuffle at all."""
+    o = tables.load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").cast("double").alias("custkey")
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "custkey"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "o_totalprice", "total_price").otherwise("custkey"),
+    )
+
+
+# ---------------------------------------------------------------- D21 depth: null semantics
+
+@query(
+    "fn_null_semantics",
+    "D21",
+    oracle="""
+    WITH x AS (SELECT o_orderkey,
+                      nullif(o_orderstatus, 'P') AS maybe_status,
+                      CASE WHEN o_totalprice > 200000 THEN o_totalprice END
+                          AS big_price
+               FROM orders)
+    SELECT o_orderkey,
+           (maybe_status IS NOT DISTINCT FROM 'F') AS nsafe_eq_f,
+           (maybe_status IS NULL)                  AS is_pending,
+           coalesce(big_price, -1.0)               AS big_or_sentinel,
+           count(big_price) OVER ()                AS n_big_nonnull
+    FROM x
+    """,
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics (SURVEY.md §2-D21 depth): null-safe equality
+    (Spark ``<=>`` == SQL IS NOT DISTINCT FROM), NULL-generating CASE,
+    null-skipping count — the three-valued-logic corners that silently
+    corrupt pipelines when engines disagree."""
+    o = tables.load(spark, sf_dir, "orders")
+    x = o.select(
+        "o_orderkey",
+        F.nullif("o_orderstatus", F.lit("P")).alias("maybe_status"),
+        F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice")).alias(
+            "big_price"
+        ),
+    )
+    w_all = Window.partitionBy()
+    return x.select(
+        "o_orderkey",
+        F.col("maybe_status").eqNullSafe(F.lit("F")).alias("nsafe_eq_f"),
+        F.col("maybe_status").isNull().alias("is_pending"),
+        F.coalesce("big_price", F.lit(-1.0)).alias("big_or_sentinel"),
+        F.count("big_price").over(w_all).alias("n_big_nonnull"),
+    )
