@@ -974,3 +974,46 @@ def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         (F.floor(F.col("value") / 25.0) * 25).cast("long").alias("bucket_lo"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------- C10/G3: MAD via grouped-agg pandas UDF
+
+@query(
+    "ts_mad_per_metric",
+    "C10",
+    oracle=_cte("""
+    SELECT metric, round(mad(value), 6) AS mad_v, count(*) AS n
+    FROM s GROUP BY metric
+    """),
+)
+def ts_mad_per_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per metric (SURVEY.md §2-C10 depth;
+    §2-G3's grouped-agg pandas UDF example): median(|x - median(x)|) is
+    a nested median no built-in aggregate expresses, so it runs as a
+    GROUPED_AGG pandas UDF — Arrow batches in, one scalar out per group.
+    DuckDB's native mad() is the independent oracle kernel.
+
+    Rounding at 6 is tie-free here: medians of 2dp values are true
+    <=3dp decimals, which can never sit on a 7th-digit-5 boundary.
+
+    Scale: grouped-agg shuffles once on the group key like any hash
+    aggregate; per-group memory is the group's value vector (bounded by
+    series cardinality design, same note as EWMA).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mad(v: pd.Series) -> float:
+        return float((v - v.median()).abs().median())
+
+    # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the count rides along as a UDF
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    s = _series(spark, sf_dir)
+    return s.groupBy("metric").agg(
+        F.round(mad("value"), 6).alias("mad_v"),
+        n_rows("value").alias("n"),
+    )
