@@ -1263,3 +1263,39 @@ def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("big_price", F.lit(-1.0)).alias("big_or_sentinel"),
         F.count("big_price").over(w_all).alias("n_big_nonnull"),
     )
+
+
+# ---------------------------------------------------------------- D17 depth: ANSI-safe arithmetic
+
+@query(
+    "fn_try_arithmetic",
+    "D17",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_quantity / nullif(l_tax, 0)      AS qty_per_tax,
+           CAST(floor(l_extendedprice) AS BIGINT)
+               % nullif(CAST(floor(l_quantity) AS BIGINT), 0) AS price_mod_qty,
+           (l_tax = 0)                        AS tax_free
+    FROM lineitem
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic (SURVEY.md §2-D17 depth): Spark 4 runs ANSI
+    mode by default, where bare division/modulo by zero THROWS at
+    runtime — on a 1000-executor job, one zero denominator kills the
+    stage. try_divide/try_mod return NULL instead (DuckDB oracle:
+    nullif-guarded denominators). l_tax is genuinely zero on a slice of
+    every SF, so the NULL branch is exercised, not theoretical.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_quantity", "l_tax").alias("qty_per_tax"),
+        # floor-then-cast on BOTH engines: DuckDB's double->BIGINT cast
+        # rounds half-up while Spark's truncates
+        F.try_mod(
+            F.floor("l_extendedprice"), F.floor("l_quantity")
+        ).alias("price_mod_qty"),
+        (F.col("l_tax") == 0).alias("tax_free"),
+    )
