@@ -1017,3 +1017,99 @@ def ts_mad_per_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mad("value"), 6).alias("mad_v"),
         n_rows("value").alias("n"),
     )
+
+
+# ---------------------------------------------------------------- C9 depth: funnel
+
+@query(
+    "ts_funnel_signup_purchase",
+    "C9",
+    oracle=_cte("""
+    , su AS (SELECT source, min(ts_us) AS signup_us
+             FROM s WHERE metric = 'signup' GROUP BY source),
+    pu AS (SELECT source, min(ts_us) AS purchase_us
+           FROM s WHERE metric = 'purchase' GROUP BY source)
+    SELECT su.source, su.signup_us,
+           pu.purchase_us,
+           (pu.purchase_us IS NOT NULL AND pu.purchase_us >= su.signup_us
+            AND pu.purchase_us - su.signup_us <= 604800000000) AS converted_7d
+    FROM su LEFT JOIN pu ON su.source = pu.source
+    """),
+)
+def ts_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (SURVEY.md §2-C9 depth): per user, first signup
+    and first purchase, converted iff the purchase follows the signup
+    within 7 days — the canonical product-analytics events query.
+
+    Scale: two partial-aggregatable min()s + one equi-join on the user
+    key; no window, no ordering. At 100 TB both aggregates collapse
+    map-side to |users| rows before the shuffle.
+    """
+    s = _series(spark, sf_dir)
+    su = (
+        s.where(F.col("metric") == "signup")
+        .groupBy("source")
+        .agg(F.min("ts_us").alias("signup_us"))
+    )
+    pu = (
+        s.where(F.col("metric") == "purchase")
+        .groupBy("source")
+        .agg(F.min("ts_us").alias("purchase_us"))
+    )
+    j = su.join(pu, "source", "left")
+    week_us = 7 * 24 * HOUR_US
+    return j.select(
+        "source",
+        "signup_us",
+        "purchase_us",
+        (
+            F.col("purchase_us").isNotNull()
+            & (F.col("purchase_us") >= F.col("signup_us"))
+            & ((F.col("purchase_us") - F.col("signup_us")) <= week_us)
+        ).alias("converted_7d"),
+    )
+
+
+# ---------------------------------------------------------------- C9 depth: cohort retention
+
+@query(
+    "ts_cohort_retention",
+    "C9",
+    oracle=_cte("""
+    , firsts AS (SELECT source, date_trunc('week', min(ts)) AS cohort_week
+                 FROM s GROUP BY source),
+    active AS (SELECT DISTINCT source, date_trunc('week', ts) AS act_week FROM s)
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           count(DISTINCT f.source) AS n_users,
+           count(DISTINCT CASE WHEN a.act_week = f.cohort_week + INTERVAL 7 DAY
+                               THEN a.source END) AS n_retained_w1
+    FROM firsts f JOIN active a ON f.source = a.source
+    GROUP BY f.cohort_week
+    """),
+)
+def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (SURVEY.md §2-C9 depth): users grouped by
+    first-activity week; how many were active again the following week.
+
+    Scale: one aggregate for cohorts, one distinct for activity, one
+    equi-join on the user key — every stage partial-aggregates on the
+    same key, so the whole query is a single shuffle chain with
+    |users|-bounded intermediates.
+    """
+    s = _series(spark, sf_dir)
+    firsts = s.groupBy("source").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = s.select(
+        "source", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    j = firsts.join(active, "source")
+    next_week = F.col("cohort_week") + F.expr("INTERVAL 7 DAY")
+    return j.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week")
+    ).agg(
+        F.countDistinct("source").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("act_week") == next_week, F.col("source"))
+        ).alias("n_retained_w1"),
+    )
