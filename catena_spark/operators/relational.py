@@ -1299,3 +1299,25 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price_mod_qty"),
         (F.col("l_tax") == 0).alias("tax_free"),
     )
+
+
+# ---------------------------------------------------------------- D13 depth: EXCEPT ALL
+
+@query(
+    "setop_except_all",
+    "D13",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (SURVEY.md §2-D13 depth): bag-semantics difference —
+    each duplicate subtracts one occurrence, unlike EXCEPT's set
+    semantics. The multiplicity bookkeeping is exactly what silently
+    breaks when an engine rewrites it as an anti-join."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select("l_orderkey")
+    b = li.where(F.col("l_linestatus") == "F").select("l_orderkey")
+    return a.exceptAll(b)

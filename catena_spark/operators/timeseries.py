@@ -188,19 +188,26 @@ def ts_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     map partition to |hours x metrics| rows before the shuffle.
     """
     s = _series(spark, sf_dir)
+    # group on the truncated TIMESTAMP (8 bytes), format after the agg:
+    # the shuffle key stays narrow and the string conversion runs once
+    # per output group, not once per input row
     return (
-        s.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
-                "hour_s"
-            ),
-            "metric",
-        )
+        s.groupBy(F.date_trunc("hour", "ts").alias("h"), "metric")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("value"), 6).alias("avg_v"),
             F.round(F.sum("value"), 2).alias("sum_v"),
             F.min("value").alias("min_v"),
             F.max("value").alias("max_v"),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+            "metric",
+            "n",
+            "avg_v",
+            "sum_v",
+            "min_v",
+            "max_v",
         )
     )
 
@@ -1112,4 +1119,55 @@ def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(
             F.when(F.col("act_week") == next_week, F.col("source"))
         ).alias("n_retained_w1"),
+    )
+
+
+# ---------------------------------------------------------------- C3 depth: instantaneous rate
+
+@query(
+    "ts_irate",
+    "C3",
+    oracle=_cte("""
+    , r AS (SELECT source, metric, ts_us, value,
+                   row_number() OVER (PARTITION BY source, metric
+                                      ORDER BY ts_us DESC, value DESC) AS rn
+            FROM s)
+    SELECT a.source, a.metric,
+           (a.value - b.value)
+           / (CAST(a.ts_us - b.ts_us AS DOUBLE) / 1000000.0) AS irate
+    FROM r a JOIN r b
+      ON a.source = b.source AND a.metric = b.metric
+     AND a.rn = 1 AND b.rn = 2
+    """),
+)
+def ts_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instantaneous rate (SURVEY.md §2-C3 depth, Prometheus ``irate``):
+    per-second delta of each series' LAST TWO points — the "current
+    speed" read for dashboards, immune to long-range averaging.
+
+    Scale: one (source, metric) window pass keeping rn <= 2, then a
+    self-join on the two ranks — a single shuffle; one-point series drop
+    out via the inner join. Unrounded: both engines divide the same two
+    doubles by the same exact integer-derived denominator.
+    """
+    s = _series(spark, sf_dir)
+    w = Window.partitionBy("source", "metric").orderBy(
+        F.col("ts_us").desc(), F.col("value").desc()
+    )
+    r = s.select(
+        "source", "metric", "ts_us", "value", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 2)
+    a = r.where(F.col("rn") == 1).select(
+        "source", "metric", F.col("ts_us").alias("ts_a"), F.col("value").alias("va")
+    )
+    b = r.where(F.col("rn") == 2).select(
+        "source", "metric", F.col("ts_us").alias("ts_b"), F.col("value").alias("vb")
+    )
+    return a.join(b, ["source", "metric"]).select(
+        "source",
+        "metric",
+        (
+            (F.col("va") - F.col("vb"))
+            / ((F.col("ts_a") - F.col("ts_b")).cast("double") / F.lit(1000000.0))
+        ).alias("irate"),
     )
