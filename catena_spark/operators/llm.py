@@ -21,7 +21,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import tables
-from ..functions.text import QUALITY_SQL, char_ngrams, doc_tokens, lang_id, quality_score
+from ..functions.text import (
+    QUALITY_SQL,
+    char_ngrams,
+    doc_tokens,
+    lang_id,
+    quality_score,
+    regex_tokens,
+)
 from ..functions.vectors import cosine, dot, l2_norm
 from ..registry import query
 
@@ -827,4 +834,38 @@ def llm_dedup_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(keep, "h")
         .where(F.col("doc_id") != F.col("keep_id"))
         .select(F.col("doc_id").alias("dup_id"), "keep_id")
+    )
+
+
+# ================================================================ E4: BPE-ish token counting
+
+@query(
+    "llm_bpe_token_counts",
+    "E4",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(trim(text)), '\w+|[^\w\s]'))
+                AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(
+                    regexp_extract_all(lower(trim(text)), '\w+|[^\w\s]')))
+                AS BIGINT) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def llm_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with the BPE-ish pre-tokenizer regex (SURVEY.md
+    §2-E4): word pieces OR single non-space symbols — the split every
+    BPE/WordPiece tokenizer applies before merges, so these counts are
+    the standard "token budget" estimate for training-data accounting.
+    Both engines run the same regex on the same normalized text.
+
+    Scale: per-row regexp_extract_all + array length, fully codegen'd,
+    no shuffle at all.
+    """
+    d = _docs_norm(spark, sf_dir)
+    toks = regex_tokens(F.col("t"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
     )
