@@ -1321,3 +1321,67 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.where(F.col("l_returnflag") == "A").select("l_orderkey")
     b = li.where(F.col("l_linestatus") == "F").select("l_orderkey")
     return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------- D7 depth: statistical aggregates
+
+@query(
+    "agg_stats_suite",
+    "D7",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6)                 AS sd_qty,
+           round(var_samp(l_quantity), 6)                    AS var_qty,
+           round(stddev_pop(l_discount), 6)                  AS sdp_disc,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (SURVEY.md §2-D7 depth): sample/population
+    stddev + variance, correlation, covariance — all single-pass
+    partial-aggregatable moments (Spark and DuckDB both merge
+    (n, mean, M2)-style states, so distribution doesn't change results
+    beyond float noise absorbed by the rounding).
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.stddev_pop("l_discount"), 6).alias("sdp_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- D7 depth: collect to array
+
+@query(
+    "agg_collect_sorted",
+    "D7",
+    oracle="""
+    SELECT c_mktsegment,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           CAST(len(list(DISTINCT o_orderstatus)) AS BIGINT) AS n_statuses
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-array aggregation (SURVEY.md §2-D7 depth): per group,
+    the DISTINCT values as a SORTED array — collect_set's order is
+    nondeterministic under parallelism, so the sort is what makes the
+    result well-defined on any cluster (and hash-comparable at all)."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.size(F.collect_set("o_orderstatus")).cast("long").alias("n_statuses"),
+        )
+    )
