@@ -255,3 +255,54 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # exactly one finalized emission, counting only the on-time event:
     # the late row was dropped, not merged and not re-emitted
     assert noon == [("2024-03-01 12:00:00", 1)], rows
+
+
+def test_foreachbatch_upsert_latest(spark, chunks, tmp_path):
+    """foreachBatch upsert (the production sink escape hatch): each
+    micro-batch merges its per-series latest values into a state table;
+    the final table equals the batch ts_latest_per_series — proving the
+    merge logic is idempotent-correct across batch boundaries."""
+    src, _ = chunks
+    state_dir = str(tmp_path / "latest_state")
+
+    def upsert(batch_df, batch_id):
+        batch_latest = (
+            batch_df.groupBy("user_id", "event_type")
+            .agg(F.max(F.struct(F.col("ts").alias("ts"), F.col("value").alias("v"))).alias("pt"))
+            .select("user_id", "event_type", F.col("pt.ts").alias("ts"), F.col("pt.v").alias("value"))
+        )
+        try:
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+        except Exception:
+            merged = batch_latest
+        else:
+            merged = (
+                prev.unionByName(batch_latest)
+                .groupBy("user_id", "event_type")
+                .agg(F.max(F.struct("ts", "value")).alias("pt"))
+                .select("user_id", "event_type", F.col("pt.ts").alias("ts"), F.col("pt.value").alias("value"))
+            )
+        merged.cache().count()  # materialize before overwriting the input
+        merged.write.mode("overwrite").parquet(state_dir + ".tmp")
+        import shutil
+
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.move(state_dir + ".tmp", state_dir)
+        merged.unpersist()
+
+    stream = spark.readStream.schema(EVENTS_DDL).option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {
+        (str(r["user_id"]), r["event_type"]): (r["ts"], r["value"])
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    want = {
+        (r["source"], r["metric"]): (r["ts_us"], r["value"])
+        for r in ts.ts_latest_per_series(spark, SF_SMALL).collect()
+    }
+    assert got.keys() == want.keys()
+    for k, (ts_got, v_got) in got.items():
+        ts_us = int(ts_got.timestamp() * 1_000_000)
+        assert abs(ts_us - want[k][0]) < 1000 and v_got == want[k][1], k
