@@ -869,3 +869,37 @@ def llm_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
     )
+
+
+# ================================================================ E4: composed quality-filter pipeline
+
+@query(
+    "llm_quality_filter_pipeline",
+    "E4",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               {QUALITY_SQL.format(c="text")} AS q
+        FROM documents)
+    SELECT doc_id, lang, n_chars, q
+    FROM scored
+    WHERE lang IN ('en', 'de') AND n_chars BETWEEN 20 AND 2000 AND q >= 0.5
+    """,
+)
+def llm_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pre-training filter (SURVEY.md §2-E4): the standard
+    keep-gate — language allowlist AND length band AND quality floor —
+    as one declarative filter over the scored corpus. This is the shape
+    every C4/FineWeb-style pipeline runs first; at 100 TB all three
+    predicates evaluate in one codegen'd pass over the scan and the
+    survivors stream straight into dedup (llm_exact_dedup et al.).
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", "n_chars", quality_score(F.col("text")).alias("q")
+    )
+    return scored.where(
+        F.col("lang").isin("en", "de")
+        & F.col("n_chars").between(20, 2000)
+        & (F.col("q") >= 0.5)
+    )
