@@ -29,13 +29,22 @@ def regex_tokens(text: Column | str) -> Column:
 
 
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Distinct character n-grams via sequence+transform (no UDF)."""
+    """Distinct character n-grams via sequence+transform (no UDF).
+
+    Texts shorter than ``n`` yield an EMPTY array: a bare
+    ``sequence(1, length-n+1)`` would hit Spark's descending-step
+    default when start > stop (sequence(1,0) == [1,0]) and fabricate
+    grams DuckDB's generate_series(1,0) (empty) never produces — the
+    guard keeps both engines at [] (ADVICE r1).
+    """
     col = F.col(text) if isinstance(text, str) else text
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1))),
         lambda i: col.substr(i, F.lit(n)),
     )
-    return F.array_distinct(grams)
+    return F.when(F.length(col) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def quality_score(text: Column | str) -> Column:

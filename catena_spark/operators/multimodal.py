@@ -182,5 +182,21 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only driver entry for the mapInPandas feature pipeline:
     payload table -> decode stub -> FEATURE_DIM floats per row. The
     deterministic fake decoder makes the output stable across runs, so
-    the driver's rows+schema check is meaningful."""
-    return extract_features(payload_table(spark, sf_dir), allow_fake=True)
+    the driver's rows+schema check is meaningful.
+
+    The feature vector is serialized to a fixed-precision string (and
+    summarized by dim/norm): the driver's pandas-based canonicalization
+    can't factorize ndarray cells (ADVICE r1), so no driver-facing query
+    may emit a raw array column.
+    """
+    feats = extract_features(payload_table(spark, sf_dir), allow_fake=True)
+    return feats.select(
+        "doc_id",
+        F.size("feat").alias("feat_dim"),
+        F.round(
+            F.sqrt(F.aggregate("feat", F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("feat_norm"),
+        F.array_join(
+            F.transform("feat", lambda x: F.format_string("%.4f", x)), ","
+        ).alias("feat_csv"),
+    )

@@ -809,7 +809,8 @@ def join_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(cardinality(MAP(['nation', 'region'],
                                 [CAST(n_nationkey AS BIGINT),
                                  CAST(n_regionkey AS BIGINT)])) AS BIGINT) AS m_size,
-           map_keys(MAP(['nation', 'region'], [1, 2])) AS m_key_names
+           array_to_string(map_keys(MAP(['nation', 'region'], [1, 2])), ',')
+               AS m_key_names
     FROM nation
     """,
 )
@@ -832,8 +833,14 @@ def fn_map_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (st.getField("rk").cast("long") * 10).alias("s_rk10"),
         F.element_at(m, F.lit("region")).alias("m_region"),
         F.size(m).cast("long").alias("m_size"),
-        F.map_keys(F.create_map(F.lit("nation"), F.lit(1), F.lit("region"), F.lit(2)))
-            .alias("m_key_names"),
+        # array_join, not the raw array: the driver's pandas-based hash
+        # canonicalization can't factorize ndarray cells (ADVICE r1).
+        F.array_join(
+            F.map_keys(
+                F.create_map(F.lit("nation"), F.lit(1), F.lit("region"), F.lit(2))
+            ),
+            ",",
+        ).alias("m_key_names"),
     )
 
 
@@ -1364,7 +1371,7 @@ def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "D7",
     oracle="""
     SELECT c_mktsegment,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
            CAST(len(list(DISTINCT o_orderstatus)) AS BIGINT) AS n_statuses
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
@@ -1381,7 +1388,10 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            # joined string, not the raw array: the driver's pandas hash
+            # canonicalization can't factorize ndarray cells (ADVICE r1).
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",")
+                .alias("statuses"),
             F.size(F.collect_set("o_orderstatus")).cast("long").alias("n_statuses"),
         )
     )

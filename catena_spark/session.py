@@ -60,15 +60,28 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_catena_pkg_shipped", False):
         return
+    import hashlib
     import tempfile
     import zipfile
     from pathlib import Path
 
     pkg_root = Path(__file__).resolve().parent
-    zpath = Path(tempfile.gettempdir()) / "catena_spark_pkg.zip"
-    with zipfile.ZipFile(zpath, "w") as zf:
-        for py in sorted(pkg_root.rglob("*.py")):
-            zf.write(py, Path("catena_spark") / py.relative_to(pkg_root))
+    # Content-hashed filename => each distinct package state ships its own
+    # immutable artifact; concurrent sessions (driver verify + pytest +
+    # bench) can no longer rewrite a zip another JVM is mid-fetching
+    # (ADVICE r1). Deterministic zip (no mtimes) so the hash is stable.
+    files = sorted(pkg_root.rglob("*.py"))
+    h = hashlib.sha256()
+    for py in files:
+        h.update(str(py.relative_to(pkg_root)).encode())
+        h.update(py.read_bytes())
+    zpath = Path(tempfile.gettempdir()) / f"catena_spark_pkg_{h.hexdigest()[:16]}.zip"
+    if not zpath.exists():
+        tmp = zpath.with_suffix(f".{os.getpid()}.tmp")
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for py in files:
+                zf.write(py, Path("catena_spark") / py.relative_to(pkg_root))
+        tmp.rename(zpath)  # atomic publish; losers overwrite identical bytes
     sc.addPyFile(str(zpath))
     sc._catena_pkg_shipped = True
 
@@ -85,6 +98,16 @@ def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static-only conf on some builds; never fatal
+    # Read back the keys oracle hash parity actually depends on — a
+    # silently-ignored failure here would corrupt every timestamp hash
+    # with no signal (ADVICE r1). Loud beats lenient.
+    for k in ("spark.sql.session.timeZone",):
+        got = spark.conf.get(k, None)
+        if got != _RUNTIME_CONF[k]:
+            raise RuntimeError(
+                f"parity-critical conf {k}={got!r}, need {_RUNTIME_CONF[k]!r}; "
+                "oracle hash comparison would silently diverge"
+            )
     try:
         _ship_package(spark)
     except Exception:

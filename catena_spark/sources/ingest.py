@@ -59,14 +59,27 @@ def write_partitioned(df: DataFrame, path: str, ts_col: str = "ts") -> None:
 
 
 def compact(spark: SparkSession, path: str, target_files_per_partition: int = 1) -> None:
-    """A5 compaction: rewrite each dt partition into few large, sorted
-    files (streaming sinks leave one file per micro-batch). Idempotent;
-    query results are invariant (tests/test_sources.py)."""
+    """A5 compaction: rewrite each dt partition into ``target_files_per_
+    partition`` large, sorted files (streaming sinks leave one file per
+    micro-batch). Idempotent; query results are invariant
+    (tests/test_sources.py).
+
+    A bare ``repartition(N, "dt")`` hash-partitions on dt alone, so every
+    dt collapses into ONE task/file no matter what N says (ADVICE r1); a
+    per-row hash bucket in the key is what actually fans each dt out to N
+    files. At 100 TB this is also the skew fix: one hot day no longer
+    serializes through a single writer.
+    """
     df = spark.read.parquet(path)
     cluster = [c for c in ("user_id", "event_type", "source", "metric") if c in df.columns]
+    n = max(1, int(target_files_per_partition))
+    bucket = (F.abs(F.xxhash64(*cluster, "ts")) % n) if n > 1 else F.lit(0)
+    n_dt = df.select("dt").distinct().count()
     tmp = path.rstrip("/") + ".compact-tmp"
     (
-        df.repartition(target_files_per_partition, "dt")
+        df.withColumn("_bucket", bucket)
+        .repartition(max(1, n_dt * n), "dt", "_bucket")
+        .drop("_bucket")
         .sortWithinPartitions(*cluster, "ts")
         .write.mode("overwrite")
         .partitionBy("dt")

@@ -89,6 +89,27 @@ def test_rows_only_runs(spark, key):
     assert df.count() >= 0
 
 
+@pytest.mark.parametrize("key", list(_SPECS))
+def test_no_complex_driver_output(spark, key):
+    """No driver-facing query may emit array/map/struct columns: the
+    driver's pandas-based hash canonicalization factorizes cell values
+    and ndarray cells are unhashable (ADVICE r1 — fn_map_struct_suite /
+    mm_feature_extract died there). Serialize with array_join/to_json
+    instead; applies to rows-only specs too."""
+    import pyspark.sql.types as T
+
+    df = _SPECS[key].fn(spark, SF_SMALL)
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{key}: complex-typed driver output {complex_cols}; "
+        "serialize (array_join/to_json) for the driver's canonicalizer"
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
