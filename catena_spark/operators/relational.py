@@ -1395,3 +1395,402 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.collect_set("o_orderstatus")).cast("long").alias("n_statuses"),
         )
     )
+
+
+# ================================================================ round 2:
+# TPC-H query shapes adapted to the fixture star schema (FIXTURES.md; no
+# partsupp table exists, so Q2/Q11/Q20 cost lookups use p_retailprice as
+# the cost proxy where needed). Each shape exercises a distinct plan
+# pattern the 100 TB target cares about; plan assertions in
+# tests/test_plans.py.
+
+# ---------------------------------------------------------------- D3/D12 depth: Q10 returned-item revenue
+
+@query(
+    "join_q10_returned_revenue",
+    "D3",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def join_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last year.
+
+    Scale: lineitem (fact) filters on l_returnflag at the scan
+    (pushed), joins orders (filtered by date, pushed) then broadcasts
+    customer-side dims; top-20 is TakeOrderedAndProject, never a global
+    sort. Revenue rounds at 4 = the decimal-exact scale of
+    price(2dp) x (1-discount)(2dp) (parity rule #3).
+    """
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = tables.load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = tables.load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- D4/D7 depth: Q13 order-count distribution
+
+@query(
+    "agg_q13_order_distribution",
+    "D7",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def agg_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer, with the
+    join predicate in the LEFT JOIN's ON clause (not a post-filter —
+    moving it would silently drop order-less customers).
+
+    Scale: double aggregation where the second groupBy key (c_count) has
+    tiny cardinality — the first agg does the heavy lifting map-side;
+    the second is a near-free re-shuffle of one row per customer.
+    """
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------- D7 depth: Q14 promo revenue share
+
+@query(
+    "join_q14_promo_share",
+    "D7",
+    oracle="""
+    SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4)
+               AS promo_rev,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev,
+           round(100.0 * round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0 END), 4)
+                       / round(sum(l_extendedprice * (1 - l_discount)), 4), 6)
+               AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+)
+def join_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate revenue share of PROMO
+    parts in one ship-month.
+
+    Parity: the percentage divides the two ALREADY-ROUNDED (decimal-
+    exact, rule #3) sums, so both engines divide bit-identical doubles
+    and round(.,6) agrees. Scale: date filter pushes to the fact scan;
+    part is broadcast; single-row result via partial aggregation.
+    """
+    li = tables.load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-06-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    p = tables.load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    out = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        rsum(promo, 4).alias("promo_rev"),
+        rsum(rev, 4).alias("total_rev"),
+    )
+    return out.select(
+        "promo_rev",
+        "total_rev",
+        F.round(100.0 * F.col("promo_rev") / F.col("total_rev"), 6).alias("promo_pct"),
+    )
+
+
+# ---------------------------------------------------------------- D7/D14 depth: Q18 large-volume orders
+
+@query(
+    "agg_q18_large_orders",
+    "D7",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey,
+           round(o_totalprice, 2) AS o_price,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    HAVING round(sum(l_quantity), 2) > 300
+    """,
+)
+def agg_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold (fixture l_quantity is integral 1..50, so the sum is
+    float-exact and the HAVING comparison can't tie across engines; the
+    round(.,2) guard keeps that true even if quantities went decimal).
+
+    Scale: aggregate lineitem by orderkey FIRST (map-side partials on
+    the fact), then join the two slim tables up — never the raw fact
+    through a 3-way join.
+    """
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(rsum("l_quantity", 2).alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        qty.join(o, qty.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_price"),
+            "total_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------- D14 depth: Q22 idle wealthy customers
+
+@query(
+    "subq_q22_idle_wealthy",
+    "D14",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0.0
+          )
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def subq_q22_idle_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    order (none since 2000-01-01), by nation. Scalar subquery (global
+    avg) + anti join with a pushed-down date predicate on the anti side.
+
+    Parity: the avg threshold is rounded to the 2dp balance scale
+    before comparison, so boundary customers can't flip on float noise.
+    Scale: the scalar avg is a 1-row broadcast; the NOT EXISTS is a
+    left_anti shuffle join on custkey; both sides prune to 2 columns.
+    """
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    threshold = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(F.round(F.avg("c_acctbal"), 2).alias("t"))
+    )
+    return (
+        c.join(F.broadcast(threshold))
+        .where(F.col("c_acctbal") > F.col("t"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            rsum("c_acctbal", 2).alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- D3/D7 depth: Q9 profit by supplier nation x year
+
+@query(
+    "join_q9_profit_by_nation",
+    "D3",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity), 4) AS profit
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def join_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (p_retailprice stands in for ps_supplycost — no
+    partsupp in the fixture schema): profit per supplier-nation per
+    order-year over a part-name pattern.
+
+    Scale: the 5-way join keeps lineitem as the single streamed fact;
+    part/supplier/nation broadcast (explicitly hinted), orders arrives
+    pre-projected to (key, year). profit is decimal-exact at 4dp
+    (2dp x 2dp products), parity rule #3.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = tables.load(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(rsum(profit, 4).alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------- D3/D7 depth: Q8 market share
+
+@query(
+    "join_q8_market_share",
+    "D7",
+    oracle="""
+    SELECT o_year,
+           round(nation_rev, 4) AS nation_rev,
+           round(total_rev, 4)  AS total_rev,
+           round(round(nation_rev, 4) / round(total_rev, 4), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               sum(CASE WHEN sn.n_name = 'NATION_5'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                   AS nation_rev,
+               sum(l_extendedprice * (1 - l_discount)) AS total_rev
+        FROM lineitem
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region    ON cn.n_regionkey = r_regionkey
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY year(o_orderdate)
+    )
+    """,
+)
+def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_5 suppliers' share of revenue sold to
+    ASIA-region customers, per order year. Two aliases of nation join
+    different sides (customer's vs supplier's) — the classic
+    self-join-of-a-dim pattern.
+
+    Scale: one pass over the fact; every dim broadcasts; the share
+    divides two already-rounded decimal-exact sums (rule #3).
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = tables.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cn = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    r = tables.load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    s = tables.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            rsum(F.when(F.col("sn_name") == "NATION_5", rev).otherwise(0.0), 4)
+                .alias("nation_rev"),
+            rsum(rev, 4).alias("total_rev"),
+        )
+    )
+    return base.select(
+        "o_year",
+        "nation_rev",
+        "total_rev",
+        F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+    )
+
+
+# ---------------------------------------------------------------- D14 depth: Q15 top supplier
+
+@query(
+    "subq_q15_top_supplier",
+    "D14",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def subq_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum quarterly revenue —
+    the view + scalar-max-subquery pattern (NOT a LIMIT 1: ties must
+    all surface, which is also why equality on the rounded revenue is
+    cross-engine safe).
+
+    Scale: revenue agg is one partial-agg pass over the date-pruned
+    fact; the max is a 1-row broadcast back onto the tiny agg result.
+    """
+    li = tables.load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = tables.load(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        rsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
