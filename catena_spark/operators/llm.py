@@ -903,3 +903,281 @@ def llm_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("n_chars").between(20, 2000)
         & (F.col("q") >= 0.5)
     )
+
+
+# ================================================================ E2: portable MinHash-LSH (oracle-checked)
+
+def _portable_minhash_sigs(d: DataFrame, n_hashes: int = 12) -> DataFrame:
+    """(doc_id, toks, mh[0..n)) with ENGINE-PORTABLE minhashes: each hash
+    is the lexicographic MIN of md5('<seed>:' || token) hex strings —
+    md5 hex is identical in Spark and DuckDB, and string ordering is
+    plain byte order in both, so the whole signature is reproducible in
+    ANSI SQL (unlike the xxhash64 family in llm_minhash_pairs, which is
+    Spark-only and hence rows-only-checked)."""
+    toks = d.select("doc_id", doc_tokens(F.col("t"), distinct=True).alias("toks"))
+
+    def _seeded(prefix: str):
+        # single-arg closure: a 2-param lambda would hit PySpark's
+        # (element, index) HOF calling convention and shadow the seed
+        return lambda t: F.md5(F.concat(F.lit(prefix), t))
+
+    cols = [
+        F.array_min(F.transform("toks", _seeded(f"{s}:"))).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+    return toks.select("doc_id", "toks", *cols)
+
+
+@query(
+    "llm_minhash_pairs_portable",
+    "E2",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS tk
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, tk,
+        md5(list_min(list_transform(tk, t -> md5('0:' || t)))
+            || list_min(list_transform(tk, t -> md5('1:' || t)))
+            || list_min(list_transform(tk, t -> md5('2:' || t)))
+            || list_min(list_transform(tk, t -> md5('3:' || t)))) AS band0,
+        md5(list_min(list_transform(tk, t -> md5('4:' || t)))
+            || list_min(list_transform(tk, t -> md5('5:' || t)))
+            || list_min(list_transform(tk, t -> md5('6:' || t)))
+            || list_min(list_transform(tk, t -> md5('7:' || t)))) AS band1,
+        md5(list_min(list_transform(tk, t -> md5('8:' || t)))
+            || list_min(list_transform(tk, t -> md5('9:' || t)))
+            || list_min(list_transform(tk, t -> md5('10:' || t)))
+            || list_min(list_transform(tk, t -> md5('11:' || t)))) AS band2
+      FROM toks
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tk AS ta, b.tk AS tb
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id
+       AND (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2)
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_filter(ta, x -> list_contains(tb, x))) AS DOUBLE)
+                 / CAST(len(ta) + len(tb)
+                        - len(list_filter(ta, x -> list_contains(tb, x)))
+                   AS DOUBLE), 6) AS jaccard
+    FROM cand
+    WHERE round(CAST(len(list_filter(ta, x -> list_contains(tb, x))) AS DOUBLE)
+                / CAST(len(ta) + len(tb)
+                       - len(list_filter(ta, x -> list_contains(tb, x)))
+                  AS DOUBLE), 6) >= 0.9
+    """,
+)
+def llm_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with a FULLY oracle-checkable hash
+    family (SURVEY.md §2-E2): 12 md5-string minhashes in 3 bands x 4
+    rows (P[candidate | J=0.9] ~ 0.96), banded bucket equi-join for
+    candidates, exact-Jaccard verify at J >= 0.9.
+
+    Scale: identical shape to llm_minhash_pairs — signatures are one
+    narrow row per doc; candidates come from an equi-join on (band,
+    bucket), so the shuffle carries band buckets, never the n^2 cross
+    product. The oracle's OR-join is DuckDB-side only (500 docs at
+    sf0.01); Spark executes the banded plan that survives 100 TB.
+    """
+    d = _docs_norm(spark, sf_dir)
+    sigs = _portable_minhash_sigs(d, 12)
+    bands = sigs.select(
+        "doc_id",
+        "toks",
+        F.md5(F.concat("mh0", "mh1", "mh2", "mh3")).alias("b0"),
+        F.md5(F.concat("mh4", "mh5", "mh6", "mh7")).alias("b1"),
+        F.md5(F.concat("mh8", "mh9", "mh10", "mh11")).alias("b2"),
+    )
+    # explode to (doc_id, band_idx, bucket): LSH's scale trick — the
+    # candidate join is a plain shuffle equi-join on the bucket key.
+    exploded = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.col("b0").alias("bucket")),
+                F.struct(F.lit(1).alias("band"), F.col("b1").alias("bucket")),
+                F.struct(F.lit(2).alias("band"), F.col("b2").alias("bucket")),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    tok = sigs.select("doc_id", "toks")
+    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = (F.size("ta") + F.size("tb")).cast("double") - inter
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= 0.9)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ================================================================ E1/E2 depth: dup-cluster connected components
+
+@query(
+    "llm_dup_components",
+    "E1",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+                       string_split(lower(trim(text)), ' '))), ' ')) AS sh
+            FROM documents) a
+      JOIN (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+                       string_split(lower(trim(text)), ' '))), ' ')) AS sh
+            FROM documents) b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id,
+           least(a, min(b)) AS component_id,
+           CAST(count(DISTINCT b) FILTER (b <> a) + 1 AS BIGINT) AS component_size
+    FROM reach
+    GROUP BY a
+    """,
+)
+def llm_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the duplicate-pair graph (token-set
+    duplicates, llm_token_set_dup_pairs edges): every doc in a dup
+    cluster labeled with the cluster's min doc_id + cluster size — the
+    step that turns pairwise near-dup output into keep/drop decisions.
+
+    Spark side is ITERATIVE min-label propagation (the standard
+    large-graph approach: O(diameter) joins, each a key-partitioned
+    shuffle, localCheckpoint between rounds to cut lineage); the oracle
+    is a recursive-CTE transitive closure, viable only at oracle scale.
+    Convergence is reached when no label changes; dup clusters here are
+    cliques, so 2-3 rounds suffice, but the loop is general.
+    """
+    d = _docs_norm(spark, sf_dir)
+    n = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(doc_tokens(F.col("t"), distinct=True)), " ")
+        ).alias("sh"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    pairs = a.join(
+        b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(20):  # label propagation: converges in O(diameter)
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("component_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("component_id"),
+            "component_size",
+        )
+    )
+
+
+# ================================================================ E5 depth: int8 scalar quantization
+
+@query(
+    "llm_vector_quantize_int8",
+    "E5",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+             greatest(list_max(list_transform(embedding,
+                                              x -> abs(CAST(x AS DOUBLE)))),
+                      1e-12) / 127.0 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS label, scale,
+           list_sum(list_transform(
+               list_zip(xd, list_transform(xd, x -> floor(x / scale + 0.5) * scale)),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) / 64.0 AS mse
+    FROM q
+    """,
+)
+def llm_vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization round-trip error per embedding
+    (SURVEY.md §2-E5 depth): per-vector max-abs scale, q = floor(x/scale
+    + 0.5), report the dequantization MSE — the compression step every
+    100 TB vector corpus runs before ANN indexing (4x smaller, and the
+    error column IS the quality audit).
+
+    Parity: scale and mse ship UNROUNDED — every step (float32->double
+    widen, /, floor, *, sequential left-fold sum over the 64 lanes) is
+    IEEE-identical in both engines, verified bit-exact at sf0.001/0.01
+    (the verify-skill gotcha: don't round what's already bit-equal).
+    Scale: pure per-row array HOFs — codegen'd, zero shuffle.
+    """
+    e = tables.load(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    df = e.select("vec_id", F.col("label").cast("long").alias("label"), xd.alias("xd"))
+    df = df.withColumn(
+        "scale",
+        F.greatest(F.array_max(F.transform("xd", F.abs)), F.lit(1e-12)) / F.lit(127.0),
+    )
+    deq = F.transform("xd", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale"))
+    mse = (
+        F.aggregate(
+            F.zip_with("xd", deq, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(64.0)
+    )
+    return df.select("vec_id", "label", "scale", mse.alias("mse"))

@@ -200,3 +200,12 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("feat", lambda x: F.format_string("%.4f", x)), ","
         ).alias("feat_csv"),
     )
+
+
+@query("mm_frame_sample", "E-mm", oracle=None)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver entry for the video frame sampler: 1->n row
+    fan-out inside mapInPandas batches (3 'frames' per video payload),
+    per-frame decoded mean from the deterministic stub decoder. Scalar
+    output columns only (driver canonicalizer contract, ADVICE r1)."""
+    return sample_frames(payload_table(spark, sf_dir), n_frames=3, allow_fake=True)
