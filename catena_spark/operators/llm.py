@@ -1181,3 +1181,368 @@ def llm_vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(64.0)
     )
     return df.select("vec_id", "label", "scale", mse.alias("mse"))
+
+
+# ================================================================ E2 depth: SimHash near-dup pairs
+
+@query(
+    "llm_simhash_near_pairs",
+    "E2",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(list_distinct(
+                      string_split(lower(trim(text)), ' '))) AS tok
+                  FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    bits AS (SELECT doc_id, g.pos,
+                    CASE WHEN substring(h, g.pos, 1)
+                              IN ('8','9','a','b','c','d','e','f')
+                         THEN 1 ELSE -1 END AS b
+             FROM h, (SELECT unnest(generate_series(1, 32)) AS pos) g),
+    per_pos AS (SELECT doc_id, pos, sum(b) AS s FROM bits GROUP BY 1, 2),
+    sh AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN s > 0
+                                THEN CAST(pow(2, pos - 1) AS BIGINT) ELSE 0 END)
+                       AS BIGINT) AS simhash
+           FROM per_pos GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b
+      ON a.doc_id < b.doc_id
+     AND ((a.simhash >> 24) & 255 = (b.simhash >> 24) & 255
+          OR (a.simhash >> 16) & 255 = (b.simhash >> 16) & 255
+          OR (a.simhash >> 8) & 255 = (b.simhash >> 8) & 255
+          OR a.simhash & 255 = b.simhash & 255)
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def llm_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIR SEARCH (SURVEY.md §2-E2 depth): the banding
+    step llm_simhash_fingerprint leaves open. 32-bit fingerprints split
+    into 4 byte-bands; by pigeonhole, any pair at Hamming distance <= 3
+    shares at least one untouched band, so the band-bucket equi-join is
+    EXACT (no recall loss) for the <= 3 cutoff; verify = bit_count(xor).
+
+    Scale: same LSH shape as MinHash banding — explode to (band, byte)
+    keys, shuffle equi-join on the bucket, distinct, then an O(1)
+    popcount filter per candidate. Never an all-pairs product; the
+    oracle's OR-join is DuckDB-side only.
+    """
+    fp = llm_simhash_fingerprint(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("byte"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.byte")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ================================================================ E4 depth: stratified sampling
+
+@query(
+    "llm_stratified_sample",
+    "D22",
+    oracle="""
+    WITH rates AS (SELECT * FROM (VALUES ('en', 100), ('de', 300),
+                                         ('es', 500), ('fr', 700),
+                                         ('zh', 1000)) AS t(lang, permille)),
+    coin AS (SELECT d.doc_id, d.lang, r.permille,
+                    CAST(('0x' || substr(md5('strat:' || CAST(d.doc_id AS VARCHAR)),
+                                         1, 8)) AS BIGINT) % 1000 AS bucket
+             FROM documents d JOIN rates r ON d.lang = r.lang)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM coin WHERE bucket < permille
+    GROUP BY lang
+    """,
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum (language) downsampling (SURVEY.md
+    §2-D22 depth) — the data-mixing step of every pre-training pipeline:
+    keep 10% of English, 30% German, 50% Spanish, 70% French, all
+    Chinese, with the keep/drop coin keyed on md5(doc_id) so the sample
+    is identical on any engine, partitioning, or rerun (resumable and
+    audit-stable at 100 TB; engine-seeded df.sample can never be).
+
+    Scale: rates join is a broadcast of a 5-row dim; the coin is a
+    per-row hash — no shuffle until the final tiny per-lang aggregate.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("en", 100), ("de", 300), ("es", 500), ("fr", 700), ("zh", 1000)],
+        "lang string, permille int",
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .where(bucket < F.col("permille"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )
+
+
+# ================================================================ E4 depth: sequence packing
+
+@query(
+    "llm_token_packing",
+    "E4",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+                             AS n_tok
+                  FROM documents),
+    c AS (SELECT doc_id, n_tok,
+                 sum(n_tok) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum
+          FROM toks)
+    SELECT doc_id, n_tok,
+           CAST((cum - n_tok) // 512 AS BIGINT) AS seq_id,
+           CAST((cum - n_tok) % 512 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def llm_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (SURVEY.md §2-E4 depth): assign each doc a
+    training-sequence id by running token offset / 512 — the step that
+    turns a filtered corpus into fixed-length pretraining sequences.
+    Integer window arithmetic end-to-end => exact cross-engine parity.
+
+    Scale note: a single global ORDER BY doc_id window is a 1-partition
+    bottleneck at 100 TB; the production variant packs per shard
+    (partitionBy(shard) windows, shard = doc_id range) and offsets by
+    per-shard totals — same math, embarrassingly parallel. The global
+    form here is what the oracle can express; the sharded form is
+    tested in tests/test_llm.py.
+    """
+    d = _docs_norm(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.size(doc_tokens(F.col("t"))).cast("long").alias("n_tok")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = toks.withColumn("cum", F.sum("n_tok").over(w))
+    start = F.col("cum") - F.col("n_tok")
+    return c.select(
+        "doc_id",
+        "n_tok",
+        F.floor(start / 512).cast("long").alias("seq_id"),
+        (start % 512).cast("long").alias("seq_offset"),
+    )
+
+
+# ================================================================ E4 depth: PII scrubbing
+
+@query(
+    "llm_pii_scrub",
+    "E4",
+    oracle="""
+    WITH aug AS (SELECT doc_id,
+                        lower(trim(text)) || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com or call 555'
+                          || CAST(doc_id * 7919 AS VARCHAR) AS raw
+                 FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '[0-9][0-9][0-9]+')) AS BIGINT)
+               AS n_numbers,
+           md5(regexp_replace(regexp_replace(raw,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+', '<EMAIL>', 'g'),
+                   '[0-9][0-9][0-9]+', '<NUM>', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (SURVEY.md §2-E4 depth): email and long-number
+    redaction with counts — the compliance pass every training corpus
+    runs. The fixture corpus is synthetic clean words, so deterministic
+    PII is APPENDED first (user<id>@mail.example.com, 555<id*7919>) and
+    then scrubbed; the md5 of the scrubbed text proves the replacement
+    byte-for-byte. Patterns stay in the RE2 ∩ Java-regex common dialect
+    (character classes + explicit repeats, no lookaround) so both
+    engines compile identically.
+
+    Scale: pure per-row regexp in codegen, zero shuffle.
+    """
+    d = _docs_norm(spark, sf_dir)
+    raw = F.concat(
+        F.col("t"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555"),
+        (F.col("doc_id") * 7919).cast("string"),
+    )
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+"
+    num = r"[0-9][0-9][0-9]+"
+    aug = d.select("doc_id", raw.alias("raw"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), email, "<EMAIL>"), num, "<NUM>"
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(email), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(num), 0)).cast("long").alias("n_numbers"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+# ================================================================ E depth: benchmark contamination
+
+@query(
+    "llm_contamination_check",
+    "E2",
+    oracle="""
+    WITH corpus AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
+                    WHERE source <> 'src0'),
+    bench AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
+              WHERE source = 'src0'),
+    cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(t, ' ')) - 4, 0)),
+               i -> array_to_string(string_split(t, ' ')[i:i+4], ' ')))) AS gram
+           FROM corpus),
+    bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(t, ' ')) - 4, 0)),
+               i -> array_to_string(string_split(t, ' ')[i:i+4], ' ')))) AS gram
+           FROM bench)
+    SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+    FROM cg JOIN bg ON cg.gram = bg.gram
+    GROUP BY cg.doc_id
+    """,
+)
+def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan (SURVEY.md §2-E2 depth): flag corpus
+    docs sharing any distinct word-5-gram with a held-out benchmark set
+    (here: source='src0' plays the benchmark) — the decontamination gate
+    run before every pretraining job.
+
+    Scale: benchmark grams are the SMALL side (a benchmark is a few
+    thousand docs even at 100 TB corpus scale) — deduped then broadcast;
+    the corpus side streams gram-exploded rows past the broadcast hash
+    set with no shuffle of the corpus. The per-doc count aggregate
+    shuffles only the surviving (contaminated) grams.
+    """
+    d = _docs_norm(spark, sf_dir)
+    five_gram = lambda col: F.array_distinct(  # noqa: E731
+        F.filter(
+            F.transform(
+                F.split(col, " "),
+                lambda _, i: F.array_join(F.slice(F.split(col, " "), i + 1, 5), " "),
+            ),
+            lambda g: F.size(F.split(g, " ")) == 5,
+        )
+    )
+    corpus = d.where(F.col("source") != "src0").select(
+        "doc_id", F.explode(five_gram(F.col("t"))).alias("gram")
+    )
+    bench = (
+        d.where(F.col("source") == "src0")
+        .select(F.explode(five_gram(F.col("t"))).alias("gram"))
+        .distinct()
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated_grams"))
+    )
+
+
+# ================================================================ E3 depth: k-means assignment step
+
+@query(
+    "llm_kmeans_assign",
+    "E3",
+    oracle="""
+    WITH cent AS (SELECT vec_id AS cid,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+                  FROM embeddings WHERE vec_id < 8),
+    v AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+          FROM embeddings),
+    d AS (SELECT v.vec_id, v.label, cent.cid,
+                 list_sum(list_transform(list_zip(v.x, cent.c),
+                                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+          FROM v, cent),
+    r AS (SELECT vec_id, label, cid, d2,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, cid) AS rn
+          FROM d)
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           cid AS cluster_id, d2 AS dist_sq
+    FROM r WHERE rn = 1
+    """,
+)
+def llm_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's-iteration ASSIGN step (SURVEY.md §2-E3 depth): nearest of
+    K=8 fixed centroids (seeded as vec_id<8, deterministic) per squared
+    L2 — the inner kernel of distributed k-means / IVF coarse
+    quantization. dist_sq ships unrounded: the sequential left-fold over
+    64 lanes is IEEE-identical in both engines (proven pattern:
+    llm_centroid_by_label, llm_vector_quantize_int8).
+
+    Scale: K centroids broadcast to every executor; each vector scans K
+    candidates locally (a broadcast nested-loop by construction), then
+    the argmin is a per-vector window over K rows — no shuffle of the
+    big side at any point. The UPDATE step is llm_centroid_by_label's
+    groupBy-mean; iterate the two for full k-means.
+    """
+    e = tables.load(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    v = e.select("vec_id", F.col("label").cast("long").alias("label"), xd.alias("x"))
+    cent = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), xd.alias("c")
+    )
+    d2 = F.aggregate(
+        F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+    dists = v.join(F.broadcast(cent)).withColumn("d2", d2)
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id", "label", F.col("cid").alias("cluster_id"), F.col("d2").alias("dist_sq")
+        )
+    )

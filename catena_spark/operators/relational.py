@@ -1794,3 +1794,235 @@ def subq_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
+
+
+# ---------------------------------------------------------------- D7 depth: Q6 forecast revenue
+
+@query(
+    "agg_q6_forecast_revenue",
+    "D7",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def agg_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, the query every
+    columnar engine must run at IO speed.
+
+    Scale: all three predicates are scan-level (PushedFilters: shipdate
+    range + discount range + quantity bound prune row groups via parquet
+    min/max stats); the aggregate is a partial-combine down to ONE row —
+    zero shuffle beyond the final reduce. The plan IS the benchmark:
+    anything between scan and agg is overhead.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        rsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------- D14 depth: Q4 priority counts
+
+@query(
+    "subq_q4_priority_count",
+    "D14",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def subq_q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (fixture-adapted: no commit/receipt dates, so the
+    EXISTS tests late shipping, l_shipdate > o_orderdate): priority mix
+    of orders with at least one late lineitem.
+
+    Scale: the correlated EXISTS is a LEFT SEMI join on l_orderkey with
+    the date comparison as join residual — one shuffle keyed on
+    orderkey, no row multiplication (semi stops at first match), then a
+    5-group aggregate. The date filter on orders is pushed to its scan.
+    """
+    o = tables.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = tables.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------- D3 depth: Q12 priority-by-class
+
+@query(
+    "join_q12_priority_by_class",
+    "D3",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def join_q12_priority_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (fixture-adapted: l_linestatus stands in for the
+    absent l_shipmode): per line class, how many shipped items belonged
+    to high- vs low-priority orders — the join + conditional-aggregate
+    pattern.
+
+    Scale: lineitem is date-pruned at the scan, then ONE shuffle join on
+    orderkey against orders; the CASE counts are partial-aggregated
+    map-side to 2 groups. No second shuffle: groupBy key is tiny.
+    """
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- D5 depth: Q21 sole-blame supplier
+
+@query(
+    "join_q21_sole_blame_supplier",
+    "D5",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1
+    WHERE s_suppkey = l1.l_suppkey
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def join_q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (fixture-adapted: l_returnflag='R' stands in for
+    the absent receipt-after-commit lateness test): suppliers solely to
+    blame in multi-supplier orders — the hardest TPC-H join composition,
+    a semi join AND an anti join against the same fact table.
+
+    Scale: both EXISTS branches key on l_orderkey, so Catalyst plans
+    them as LeftSemi/LeftAnti joins sharing the orderkey shuffle
+    partitioning of l1 — three co-partitioned passes over lineitem,
+    no row blow-up, then a supplier broadcast and a top-20
+    TakeOrderedAndProject.
+    """
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    s = tables.load(spark, sf_dir, "supplier")
+    l1 = li.where(F.col("l_returnflag") == "R")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    blamed = (
+        l1.join(
+            l2, (l1.l_orderkey == F.col("o2")) & (l1.l_suppkey != F.col("s2")), "left_semi"
+        ).join(
+            l3, (l1.l_orderkey == F.col("o3")) & (l1.l_suppkey != F.col("s3")), "left_anti"
+        )
+    )
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- D11 depth: time-range window frame
+
+@query(
+    "win_time_range_trailing_1h",
+    "D11",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+           CAST(count(*) OVER w AS BIGINT) AS cnt_1h,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+               AS sum_cents_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (SURVEY.md §2-D11 depth): per user, the
+    trailing-1-hour event count and value sum at every event — the frame
+    is defined by a TIME interval (rangeBetween on epoch seconds), not a
+    row count, so same-timestamp peers enter the frame together on both
+    engines.
+
+    Parity: values are summed as exact integer cents (2-decimal fixture
+    domain), sidestepping float accumulation-order divergence inside the
+    frame (parity rule: integer micro-units for order-dependent sums).
+
+    Scale: one shuffle on user_id, one sort by ts within partitions;
+    the running frame is computed in a single pass per partition.
+    """
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.count(F.lit(1)).over(w).cast("long").alias("cnt_1h"),
+        F.sum("cents").over(w).cast("long").alias("sum_cents_1h"),
+    )

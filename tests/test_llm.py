@@ -83,3 +83,53 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF recall {recall:.2f} below gate"
+
+
+def test_token_packing_sharded_form_matches_global(spark):
+    """The 100 TB variant of llm_token_packing: per-shard windows plus a
+    per-shard base offset must reproduce the global single-window result
+    exactly — this is the distributivity that makes packing
+    embarrassingly parallel at scale (docstring contract)."""
+    from pyspark.sql import Window
+
+    from catena_spark import tables
+    from catena_spark.functions.text import doc_tokens
+    from catena_spark.operators.llm import llm_token_packing
+
+    d = tables.load(spark, SF_SMALL, "documents").withColumn(
+        "t", F.lower(F.trim("text"))
+    )
+    toks = d.select(
+        "doc_id",
+        F.size(doc_tokens(F.col("t"))).cast("long").alias("n_tok"),
+        (F.col("doc_id") / 16).cast("long").alias("shard"),
+    )
+    # per-shard running start + per-shard token totals
+    w_in = (
+        Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = toks.withColumn("local_start", F.sum("n_tok").over(w_in) - F.col("n_tok"))
+    shard_tot = toks.groupBy("shard").agg(F.sum("n_tok").alias("tot"))
+    w_base = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = shard_tot.withColumn(
+        "base", F.coalesce(F.sum("tot").over(w_base), F.lit(0))
+    ).select("shard", "base")
+    sharded = (
+        local.join(F.broadcast(base), "shard")
+        .withColumn("start", F.col("base") + F.col("local_start"))
+        .select(
+            "doc_id",
+            "n_tok",
+            F.floor(F.col("start") / 512).cast("long").alias("seq_id"),
+            (F.col("start") % 512).cast("long").alias("seq_offset"),
+        )
+    )
+    g = {r["doc_id"]: (r["n_tok"], r["seq_id"], r["seq_offset"])
+         for r in llm_token_packing(spark, SF_SMALL).collect()}
+    s = {r["doc_id"]: (r["n_tok"], r["seq_id"], r["seq_offset"])
+         for r in sharded.collect()}
+    assert g == s
