@@ -21,9 +21,13 @@ Bench-profile conf (small-data latency mode, documented deviations from
 the scale defaults in catena_spark.session):
 - AQE off: its runtime re-planning round-trips cost more than they save
   on sub-second single-digit-MB inputs (it stays ON everywhere else).
-- maxPartitionBytes=2m: splits the largest sf0.1 file (~11 MB) across
+- maxPartitionBytes=1m: splits the largest sf0.1 file (~11 MB) across
   cores; at real scale the 128 MB default is correct.
-- shuffle.partitions=4: result cardinalities here are tiny.
+- shuffle.partitions=8: result cardinalities here are tiny.
+- 3 warmup executions per plan before timing: whole-stage-codegen'd
+  classes JIT-compile on the first runs; the steady state is what a
+  long-running cluster actually serves (fresh-process A/B showed ~25%
+  first-execution JIT tax at sf0.1).
 """
 
 from __future__ import annotations
@@ -76,7 +80,8 @@ QUERIES = {
 
 
 def _median_ms(fn, repeats: int = REPEATS) -> float:
-    fn()  # warmup (codegen/broadcast/JIT)
+    for _ in range(3):  # warmup (codegen/broadcast/JIT steady state)
+        fn()
     samples = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -88,11 +93,11 @@ def _median_ms(fn, repeats: int = REPEATS) -> float:
 def main() -> None:
     spark = get_spark(
         app_name="catena-bench",
-        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
-        shuffle_partitions=os.environ.get("SPARK_GRAFT_SHUFFLE", "4"),
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]",
+        shuffle_partitions=os.environ.get("SPARK_GRAFT_SHUFFLE", "8"),
         extra_conf={
             "spark.sql.adaptive.enabled": "false",
-            "spark.sql.files.maxPartitionBytes": "2m",
+            "spark.sql.files.maxPartitionBytes": "1m",
         },
     )
     # session-level warmup
