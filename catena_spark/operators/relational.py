@@ -2026,3 +2026,207 @@ def win_time_range_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("cnt_1h"),
         F.sum("cents").over(w).cast("long").alias("sum_cents_1h"),
     )
+
+
+# ---------------------------------------------------------------- D17 depth: bitwise suite
+
+@query(
+    "fn_bitwise_suite",
+    "D17",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT)        AS k_and,
+           CAST(o_orderkey | 4096 AS BIGINT)       AS k_or,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS k_xor,
+           CAST(o_orderkey << 2 AS BIGINT)         AS k_shl,
+           CAST(o_orderkey >> 3 AS BIGINT)         AS k_shr,
+           CAST(bit_count(o_orderkey) AS BIGINT)   AS k_pop
+    FROM orders
+    """,
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator suite (SURVEY.md §2-D17 depth): and/or/xor,
+    shifts, popcount — the primitives the SimHash/bucketing operators
+    build on, exercised standalone. Integer-exact on both engines;
+    pure codegen, zero shuffle."""
+    o = tables.load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("long").alias("k_and"),
+        k.bitwiseOR(F.lit(4096)).cast("long").alias("k_or"),
+        k.bitwiseXOR(F.col("o_custkey")).cast("long").alias("k_xor"),
+        F.shiftleft(k, 2).cast("long").alias("k_shl"),
+        F.shiftright(k, 3).cast("long").alias("k_shr"),
+        F.bit_count(k).cast("long").alias("k_pop"),
+    )
+
+
+# ---------------------------------------------------------------- D11 depth: value-position windows
+
+@query(
+    "win_first_last_nth",
+    "D11",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey)  OVER w AS last_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key,
+           CAST(round(o_totalprice - first_value(o_totalprice) OVER w, 2)
+                AS DOUBLE) AS delta_vs_first
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value window suite (SURVEY.md §2-D11 depth) with
+    the frame SPELLED OUT (unbounded-unbounded): the default frame for
+    last_value is RANGE..CURRENT ROW on both engines — a classic silent
+    semantic trap — so the explicit frame is the only portable form.
+    Tiebreak (o_orderdate, o_orderkey) is total => deterministic under
+    any partitioning. One shuffle on o_custkey serves all four windows.
+    delta_vs_first rounds at 2 (prices are 2dp; difference of 2dp values
+    is 2dp-exact, no tie risk)."""
+    o = tables.load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        F.round(
+            F.col("o_totalprice") - F.first("o_totalprice").over(w), 2
+        ).alias("delta_vs_first"),
+    )
+
+
+# ---------------------------------------------------------------- D7 depth: exact median + mode
+
+@query(
+    "agg_median_mode",
+    "D7",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity, count(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    md AS (SELECT l_returnflag, median(l_quantity) AS median_qty,
+                  CAST(count(*) AS BIGINT) AS n_items
+           FROM lineitem GROUP BY 1),
+    mo AS (SELECT l_returnflag, l_quantity AS mode_qty
+           FROM (SELECT l_returnflag, l_quantity, c,
+                        row_number() OVER (PARTITION BY l_returnflag
+                                           ORDER BY c DESC, l_quantity) AS rn
+                 FROM counts)
+           WHERE rn = 1)
+    SELECT md.l_returnflag, md.median_qty, mo.mode_qty, md.n_items
+    FROM md JOIN mo ON md.l_returnflag = mo.l_returnflag
+    """,
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + deterministic mode per group (SURVEY.md §2-D7
+    depth). Median is the exact continuous median (both engines average
+    the two middle values — an IEEE-identical (a+b)/2 on 2dp inputs).
+    Mode is computed MANUALLY (count + row_number with a min-value
+    tiebreak): built-in mode() tiebreaking is engine-defined and can
+    never hash-match, so the portable form is the explicit one.
+
+    Scale: the count-distinct-ish (flag, quantity) pre-aggregate is
+    partial-combined map-side; the window runs over ~50 rows per flag.
+    Exact median at 100 TB would use percentile_approx instead — the
+    sketch variant is agg_approx_sketches (rows-only by nature).
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("c"), "l_quantity")
+    mo = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    md = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    return md.join(mo, "l_returnflag").select(
+        "l_returnflag", "median_qty", "mode_qty", "n_items"
+    )
+
+
+# ---------------------------------------------------------------- D14 depth: correlated scalar subquery
+
+@query(
+    "subq_corr_above_nation_avg",
+    "D14",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE CAST(round(c.c_acctbal * 100, 0) AS BIGINT)
+          * (SELECT count(*) FROM customer c2
+             WHERE c2.c_nationkey = c.c_nationkey)
+          > (SELECT sum(CAST(round(c2.c_acctbal * 100, 0) AS BIGINT))
+             FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def subq_corr_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (SURVEY.md §2-D14 depth): customers
+    whose balance beats their nation's average. The comparison is the
+    integer CROSS-MULTIPLY ``cents * n > sum_cents`` — algebraically
+    identical to ``bal > avg`` but exact, where a float avg's last bit
+    depends on each engine's summation order and flips boundary rows
+    (parity rule: never compare against an order-dependent float).
+
+    Spark side decorrelates explicitly: per-nation (count, sum) aggregate
+    broadcast back onto customer — the same plan Catalyst derives for
+    the correlated SQL form, stated declaratively.
+    """
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    per_nation = (
+        c.select("c_nationkey", cents.alias("cents"))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("sum_cents"))
+    )
+    return (
+        c.withColumn("cents", cents)
+        .join(F.broadcast(per_nation), "c_nationkey")
+        .where(F.col("cents") * F.col("n_cust") > F.col("sum_cents"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", "c_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------- D8 depth: sketch aggregates
+
+@query("agg_approx_sketches", "D8", oracle=None)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (SURVEY.md §2-D8/C10 scale path): HyperLogLog++
+    distinct counts and approximate percentiles per l_returnflag — the
+    estimators that replace exact distinct/median at 100 TB (fixed-size
+    state, partial-mergeable, one pass). Rows-only by nature: sketch
+    internals are engine-specific and can never hash-match an oracle;
+    the error-bound contract vs exact values is pytest-enforced
+    (tests/test_properties.py::test_sketch_error_bounds).
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("p"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    ).select(
+        "l_returnflag",
+        "approx_orders",
+        F.col("p")[0].alias("p50_price"),
+        F.col("p")[1].alias("p95_price"),
+        F.col("p")[2].alias("p99_price"),
+        "n_items",
+    )

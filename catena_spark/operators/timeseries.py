@@ -1168,3 +1168,71 @@ def ts_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.col("ts_a") - F.col("ts_b")).cast("double") / F.lit(1000000.0))
         ).alias("irate"),
     )
+
+
+# ---------------------------------------------------------------- C1 depth: hypertable rollup cascade
+
+@query(
+    "ts_rollup_cascade",
+    "C1",
+    oracle=f"""
+    WITH s AS ({SERIES_SQL})
+    SELECT metric,
+           CASE WHEN GROUPING(date_trunc('day', ts)) = 0
+                THEN strftime(date_trunc('day', ts), '%Y-%m-%d') END AS day_s,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+           END AS hour_s,
+           CAST(GROUPING(date_trunc('day', ts)) * 2
+                + GROUPING(date_trunc('hour', ts)) AS BIGINT) AS lvl,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM s
+    GROUP BY ROLLUP (metric, date_trunc('day', ts), date_trunc('hour', ts))
+    HAVING GROUPING(metric) = 0
+    """,
+)
+def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade (SURVEY.md §2-C1 depth): hourly,
+    daily, and per-metric totals in ONE pass via ROLLUP(metric, day,
+    hour) — the batch equivalent of a TimescaleDB continuous-aggregate
+    hierarchy, where each resolution is the partial-aggregate of the
+    finer one.
+
+    Scale: ROLLUP computes all three levels from a single shuffle of the
+    finest grouping (Spark expands grouping sets BEFORE the exchange, so
+    the map-side combine still applies); a naive 3-query cascade would
+    scan+shuffle three times. Sums are exact integer cents (parity rule:
+    no order-dependent float accumulation in hash-compared output).
+    """
+    s = tables.series(spark, sf_dir)
+    day = F.date_trunc("day", "ts")
+    hour = F.date_trunc("hour", "ts")
+    g = (
+        s.select(
+            "metric",
+            day.alias("d"),
+            hour.alias("h"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .rollup("metric", "d", "h")
+        .agg(
+            F.grouping("d").alias("gd"),
+            F.grouping("h").alias("gh"),
+            F.grouping("metric").alias("gm"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .where(F.col("gm") == 0)
+    )
+    return g.select(
+        "metric",
+        F.when(F.col("gd") == 0, F.date_format("d", "yyyy-MM-dd")).alias("day_s"),
+        F.when(F.col("gh") == 0, F.date_format("h", "yyyy-MM-dd HH:mm:ss")).alias(
+            "hour_s"
+        ),
+        (F.col("gd") * 2 + F.col("gh")).cast("long").alias("lvl"),
+        "n",
+        "sum_cents",
+    )

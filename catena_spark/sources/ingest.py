@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..registry import query
+
 #: canonical series schema for streamed ingest (events-shaped).
 EVENTS_DDL = (
     "event_id bigint, ts timestamp, user_id bigint, "
@@ -194,3 +196,65 @@ def refresh_rollup(
         changed.write.mode("overwrite").partitionBy("dt").parquet(dest_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+# ---------------------------------------------------------------- A6 depth: non-parquet sources
+
+@query(
+    "src_csv_json_roundtrip",
+    "A6",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def src_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV and JSON-lines source connectors (SURVEY.md §2-A6 depth):
+    events round-trip parquet -> CSV -> JSON -> aggregate, proving the
+    schema'd text-format read paths carry timestamps and doubles without
+    loss — the oracle aggregates the original parquet, so any connector
+    corruption hash-mismatches.
+
+    Both reads use EXPLICIT schemas (EVENTS_DDL): at 100 TB, schema
+    inference is a full extra pass over the data and is never acceptable;
+    timestampFormat is pinned so the CSV path is locale/tz-independent.
+    """
+    import tempfile
+
+    ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    tmp = Path(tempfile.mkdtemp(prefix="catena_src_rt_"))
+    csv_dir, json_dir = str(tmp / "csv"), str(tmp / "json")
+    tsfmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    (
+        ev.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", tsfmt)
+        .csv(csv_dir)
+    )
+    csv_df = (
+        spark.read.schema(EVENTS_DDL)
+        .option("header", "true")
+        .option("timestampFormat", tsfmt)
+        .csv(csv_dir)
+    )
+    csv_df.write.mode("overwrite").option("timestampFormat", tsfmt).json(json_dir)
+    json_df = (
+        spark.read.schema(EVENTS_DDL)
+        .option("timestampFormat", tsfmt)
+        .json(json_dir)
+    )
+    out = json_df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias(
+            "sum_cents"
+        ),
+    )
+    out = out.localCheckpoint(eager=True)  # materialize before tmp cleanup
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -201,3 +201,31 @@ def test_exact_dedup_idempotent_and_complete(spark, rows):
             shutil.rmtree(tmp2)
     finally:
         shutil.rmtree(tmp)
+
+
+def test_sketch_error_bounds(spark):
+    """agg_approx_sketches contract: HLL distinct within 5% of exact,
+    approx percentiles inside the exact value range per group."""
+    import pyspark.sql.functions as F
+
+    from catena_spark import tables
+    from catena_spark.operators.relational import agg_approx_sketches
+    from tests.conftest import SF_SMALL
+
+    li = tables.load(spark, SF_SMALL, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("d"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    for r in agg_approx_sketches(spark, SF_SMALL).collect():
+        e = exact[r["l_returnflag"]]
+        assert abs(r["approx_orders"] - e["d"]) / e["d"] <= 0.05
+        for c in ("p50_price", "p95_price", "p99_price"):
+            assert e["lo"] <= r[c] <= e["hi"]
+        assert r["p50_price"] <= r["p95_price"] <= r["p99_price"]
