@@ -209,3 +209,54 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-frame decoded mean from the deterministic stub decoder. Scalar
     output columns only (driver canonicalizer contract, ADVICE r1)."""
     return sample_frames(payload_table(spark, sf_dir), n_frames=3, allow_fake=True)
+
+
+def audio_window_rms(
+    df: DataFrame, *, win: int = 256, allow_fake: bool = True
+) -> DataFrame:
+    """Windowed RMS over decoded audio (SURVEY.md §2-E-mm): decode the
+    payload to a 1-D sample stream (stub decoder, flattened), split into
+    fixed ``win``-sample windows, one output row per window with its RMS
+    and peak — the fan-out shape of real audio feature pipelines
+    (VAD, loudness normalization) with the decode stubbed.
+
+    mapInPandas so the 1->n window expansion happens executor-side in
+    Arrow batches; only (doc_id, payload, dims) enter the stage.
+    """
+    out_schema = "doc_id bigint, win_idx int, n_samples int, rms double, peak double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                samples = decode_payload(
+                    bytes(r.payload), int(r.declared_w), int(r.declared_h),
+                    allow_fake=allow_fake,
+                ).ravel()
+                for i in range(0, len(samples), win):
+                    chunk = samples[i : i + win].astype(np.float64)
+                    rows.append(
+                        (
+                            r.doc_id,
+                            i // win,
+                            len(chunk),
+                            float(np.sqrt(np.mean(chunk * chunk))),
+                            float(np.max(np.abs(chunk))),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "win_idx", "n_samples", "rms", "peak"]
+            )
+
+    return df.where(F.col("modality") == "audio").select(
+        "doc_id", "payload", "declared_w", "declared_h"
+    ).mapInPandas(run, out_schema)
+
+
+@query("mm_audio_window_rms", "E-mm", oracle=None)
+def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver entry for the audio windowing stage: per audio
+    payload, 256-sample window RMS/peak rows from the deterministic stub
+    decoder. Scalar output columns only (driver canonicalizer
+    contract)."""
+    return audio_window_rms(payload_table(spark, sf_dir), win=256, allow_fake=True)

@@ -1236,3 +1236,112 @@ def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_cents",
     )
+
+
+# ---------------------------------------------------------------- C6 depth: forward as-of join
+
+@query(
+    "ts_asof_join_forward",
+    "C6",
+    oracle=_cte("""
+    , c AS (SELECT source, ts_us, value FROM s WHERE metric = 'click'),
+    p AS (SELECT source, ts_us, value FROM s WHERE metric = 'purchase')
+    SELECT c.source, c.ts_us, c.value AS click_value,
+           p.value AS next_purchase_value
+    FROM c ASOF LEFT JOIN p
+      ON c.source = p.source AND p.ts_us >= c.ts_us
+    """),
+)
+def ts_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (SURVEY.md §2-C6 depth): each click gets the
+    user's NEXT purchase value at-or-after it — the attribution
+    direction (what did this click lead to), mirroring ts_asof_join's
+    backward fill.
+
+    Same union-and-fill shape, reversed: backward-fill via first(...,
+    ignorenulls) over the FOLLOWING frame. Ties: a same-µs purchase
+    sorts after the click (is_click desc at equal ts), matching ASOF's
+    inclusive `>=`. One shuffle on source, bounded state.
+    """
+    s = _series(spark, sf_dir)
+    clicks = s.where(F.col("metric") == "click").select(
+        "source", "ts_us", F.col("value").alias("click_value"),
+        F.lit(1).alias("is_click"), F.lit(None).cast("double").alias("pv"),
+    )
+    purchases = s.where(F.col("metric") == "purchase").select(
+        "source", "ts_us", F.lit(None).cast("double").alias("click_value"),
+        F.lit(0).alias("is_click"), F.col("value").alias("pv"),
+    )
+    u = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ts_us", F.desc("is_click"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    return (
+        u.withColumn("next_purchase_value", F.first("pv", ignorenulls=True).over(w))
+        .where(F.col("is_click") == 1)
+        .select("source", "ts_us", "click_value", "next_purchase_value")
+    )
+
+
+# ---------------------------------------------------------------- C1 depth: time-weighted average
+
+@query(
+    "ts_time_weighted_avg",
+    "C1",
+    oracle=_cte("""
+    , seg AS (SELECT source, metric,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                     lead(ts_us) OVER (PARTITION BY source, metric
+                                       ORDER BY ts_us, value) - ts_us AS dt_us
+              FROM s)
+    SELECT source, metric,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(cents * dt_us) AS BIGINT) AS weighted_cents_us,
+           CAST(sum(dt_us) AS BIGINT) AS span_us,
+           CAST(sum(cents * dt_us) AS DOUBLE) / CAST(sum(dt_us) AS DOUBLE)
+               / 100.0 AS twa
+    FROM seg WHERE dt_us IS NOT NULL
+    GROUP BY source, metric
+    HAVING sum(dt_us) > 0
+    """),
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per series (SURVEY.md §2-C1 depth): each
+    point's value is held until the next point (step interpolation) and
+    weighted by that duration — the TSDB aggregate for irregular
+    sampling, where a plain avg over-weights bursts.
+
+    Parity: value-cents x duration-µs products and their sums are exact
+    BIGINTs on both engines; the only float op is ONE final division of
+    identical integers. Window tiebreak (ts_us, value) is total.
+
+    Scale: one shuffle on the series key for the lead(), then a partial
+    aggregate — same two-stage shape as ts_delta/ts_rate.
+    """
+    s = _series(spark, sf_dir)
+    w = Window.partitionBy("source", "metric").orderBy("ts_us", "value")
+    seg = s.select(
+        "source",
+        "metric",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull())
+    return (
+        seg.groupBy("source", "metric")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.col("cents") * F.col("dt_us")).cast("long").alias(
+                "weighted_cents_us"
+            ),
+            F.sum("dt_us").cast("long").alias("span_us"),
+        )
+        .where(F.col("span_us") > 0)
+        .withColumn(
+            "twa",
+            F.col("weighted_cents_us").cast("double")
+            / F.col("span_us").cast("double")
+            / F.lit(100.0),
+        )
+    )

@@ -80,3 +80,42 @@ def test_exists_rewrites_to_semi_join(spark):
     plan = formatted_plan(df)
     assert "LeftSemi" in plan
     assert_pushed_filter(df, "o_totalprice")
+
+
+def test_q6_all_predicates_pushed(spark):
+    df = rel.agg_q6_forecast_revenue(spark, SF_SMALL)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "l_discount")
+    assert_pushed_filter(df, "l_quantity")
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, "no partial aggregation"
+
+
+def test_q21_semi_anti_no_cartesian(spark):
+    df = rel.join_q21_sole_blame_supplier(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_contamination_benchmark_broadcast(spark):
+    df = llm.llm_contamination_check(spark, SF_SMALL)
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_kmeans_centroids_broadcast_no_shuffle_of_vectors(spark):
+    df = llm.llm_kmeans_assign(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_rollup_cascade_single_shuffle(spark):
+    df = ts.ts_rollup_cascade(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("Exchange") <= 2, "rollup should shuffle once (+AQE read)"
+    assert "Expand" in plan, "grouping-sets Expand missing"
+
+
+def test_simhash_near_pairs_no_cross_product(spark):
+    df = llm.llm_simhash_near_pairs(spark, SF_SMALL)
+    assert_not_in_plan(df, "CartesianProduct")
