@@ -1546,3 +1546,68 @@ def llm_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", F.col("cid").alias("cluster_id"), F.col("d2").alias("dist_sq")
         )
     )
+
+
+# ================================================================ E1 depth: keep-best dedup policy
+
+@query(
+    "llm_dedup_keep_best",
+    "E1",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+                       string_split(lower(trim(text)), ' '))), ' ')) AS sh
+            FROM documents) a
+      JOIN (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+                       string_split(lower(trim(text)), ' '))), ' ')) AS sh
+            FROM documents) b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS component_id
+             FROM reach GROUP BY a),
+    q AS (SELECT doc_id, {QUALITY_SQL.format(c="text")} AS q FROM documents),
+    ranked AS (
+      SELECT comp.doc_id, comp.component_id, q.q,
+             row_number() OVER (PARTITION BY comp.component_id
+                                ORDER BY q.q DESC, comp.doc_id) AS rn
+      FROM comp JOIN q ON comp.doc_id = q.doc_id
+    )
+    SELECT doc_id, component_id, q AS quality, (rn = 1) AS keep
+    FROM ranked
+    """,
+)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup POLICY (SURVEY.md §2-E1 depth): for every doc in
+    a duplicate cluster, keep exactly the highest-quality member
+    (quality_score desc, doc_id tiebreak) — the decision step that turns
+    llm_dup_components' cluster labels into the actual training-set
+    drop list.
+
+    Scale: reuses the label-propagation components (no new shuffle
+    shape); quality is a per-row expression; the keep flag is one
+    row_number window per component — components are small by
+    construction, so no skew concern.
+    """
+    comp = llm_dup_components(spark, sf_dir).select("doc_id", "component_id")
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    j = comp.join(d, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(F.desc("quality"), "doc_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id", "component_id", "quality", (F.col("rn") == 1).alias("keep")
+        )
+    )

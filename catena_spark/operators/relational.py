@@ -2230,3 +2230,120 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p")[2].alias("p99_price"),
         "n_items",
     )
+
+
+# ---------------------------------------------------------------- D15 depth: edit distance
+
+@query(
+    "fn_edit_distance_pairs",
+    "D15",
+    oracle="""
+    WITH t AS (SELECT doc_id, substr(lower(trim(text)), 1, 40) AS t40
+               FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.t40, b.t40) AS BIGINT) AS edit_dist,
+           round(1.0 - CAST(levenshtein(a.t40, b.t40) AS DOUBLE)
+                       / greatest(length(a.t40), length(b.t40)), 6) AS sim
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def fn_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance + normalized similarity for adjacent doc
+    prefixes (SURVEY.md §2-D15 depth): the fuzzy-matching kernel
+    (record linkage, OCR dedup) as a built-in JVM expression on both
+    engines — never a Python UDF.
+
+    The 40-char prefix bounds the O(len^2) DP per pair; at 100 TB
+    the pair GENERATOR is LSH banding (llm_minhash_pairs), with edit
+    distance as the verify kernel exactly as exercised here.
+    """
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.lower(F.trim("text")), 1, 40).alias("t40")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("t40").alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("t40").alias("tb"))
+    ed = F.levenshtein("ta", "tb")
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            ed.cast("long").alias("edit_dist"),
+            F.round(
+                1.0 - ed.cast("double") / F.greatest(F.length("ta"), F.length("tb")),
+                6,
+            ).alias("sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- D3 depth: null-safe join
+
+@query(
+    "join_null_safe",
+    "D3",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders),
+    b AS (SELECT DISTINCT nullif(o_orderstatus, 'P') AS k FROM orders)
+    SELECT b.k AS status_key, CAST(count(*) AS BIGINT) AS n_orders
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (SURVEY.md §2-D3 depth): Spark's <=>
+    (eqNullSafe) vs SQL IS NOT DISTINCT FROM — NULL keys match each
+    other instead of vanishing, the semantics entity-resolution joins
+    need for optional keys.
+
+    Plan note: eqNullSafe keys still hash-partition (NULL hashes to a
+    bucket like any value), so this stays a proper hash join — no
+    fallback to nested-loop.
+    """
+    o = tables.load(spark, sf_dir, "orders")
+    a = o.select("o_orderkey", F.nullif("o_orderstatus", F.lit("P")).alias("k"))
+    b = a.select("k").distinct().select(F.col("k").alias("kb"))
+    return (
+        a.join(b, a.k.eqNullSafe(F.col("kb")))
+        .groupBy(F.col("kb").alias("status_key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------- D7 depth: exact decimal aggregation
+
+@query(
+    "agg_decimal_exact",
+    "D7",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+               AS sum_price_dec,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty_dec,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL aggregation (SURVEY.md §2-D7 depth): money sums in
+    DECIMAL(18,2) — associative, commutative, and ORDER-INDEPENDENT,
+    unlike float sums whose last bit depends on partitioning. This is
+    the type a financial pipeline must aggregate in at 100 TB, where
+    any reduction order is possible; emitted as canonical strings so
+    the comparison is representation-exact.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sp"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("sp").cast("decimal(18,2)").cast("string").alias("sum_price_dec"),
+            F.col("sq").cast("decimal(18,2)").cast("string").alias("sum_qty_dec"),
+            "n",
+        )
+    )

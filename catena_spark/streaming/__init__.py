@@ -6,6 +6,8 @@ from .ops import (  # noqa: F401
     dedup_within_watermark,
     session_counts,
     sliding_avg,
+    static_enrich_counts,
     streaming_ewma,
+    user_tier_dim,
     windowed_counts,
 )

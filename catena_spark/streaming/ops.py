@@ -190,3 +190,66 @@ def stream_session_counts(spark, sf_dir):
     rule is ``gap > 30m``. Session end is last-event ts + gap duration.
     """
     return session_counts(tables.load(spark, sf_dir, "events"))
+
+
+def static_enrich_counts(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """F2 depth — stream-static join: enrich a (possibly streaming)
+    events frame with a STATIC user dimension, then windowed counts per
+    tier. Stream-static joins need no state store (the static side is
+    just a broadcast lookup per micro-batch), which is why this is the
+    canonical way to attach dimensions to a stream at scale."""
+    return (
+        events.join(F.broadcast(user_dim), "user_id")
+        .groupBy(F.window("ts", "6 hours"), "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "tier",
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+def user_tier_dim(events_batch: DataFrame) -> DataFrame:
+    """Deterministic static user dimension: tier = user_id % 3 mapped to
+    a name — a stand-in for any dimension table loaded once per job."""
+    return (
+        events_batch.select("user_id")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.element_at(
+                F.array(F.lit("bronze"), F.lit("silver"), F.lit("gold")),
+                (F.col("user_id") % 3 + 1).cast("int"),
+            ),
+        )
+    )
+
+
+@query(
+    "stream_static_enrich",
+    "F2",
+    oracle="""
+    WITH dim AS (SELECT DISTINCT user_id,
+                        ['bronze', 'silver', 'gold'][CAST(user_id % 3 AS INTEGER) + 1]
+                            AS tier
+                 FROM events)
+    SELECT strftime(to_timestamp((epoch_us(e.ts) // 21600000000) * 21600),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           dim.tier,
+           count(*) AS n,
+           sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS sum_cents
+    FROM events e JOIN dim USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static dimension enrichment (F2 depth) on the batch path;
+    the streaming execution of the same function is parity-tested in
+    tests/test_streaming.py::test_stream_static_enrich_matches_batch."""
+    ev = tables.load(spark, sf_dir, "events")
+    return static_enrich_counts(ev, user_tier_dim(ev))

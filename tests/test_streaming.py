@@ -306,3 +306,33 @@ def test_foreachbatch_upsert_latest(spark, chunks, tmp_path):
     for k, (ts_got, v_got) in got.items():
         ts_us = int(ts_got.timestamp() * 1_000_000)
         assert abs(ts_us - want[k][0]) < 1000 and v_got == want[k][1], k
+
+
+def test_stream_static_enrich_matches_batch(spark, chunks):
+    """F2 depth: the stream-static dimension join through micro-batches
+    equals the batch result — the static side re-broadcasts per batch
+    with no state store involved."""
+    from catena_spark.streaming import static_enrich_counts, user_tier_dim
+
+    src, _ = chunks
+    ev_batch = tables.load(spark, SF_SMALL, "events")
+    dim = user_tier_dim(ev_batch).cache()
+    expected = {
+        (r["win_start"], r["tier"]): (r["n"], r["sum_cents"])
+        for r in static_enrich_counts(ev_batch, dim).collect()
+    }
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = _run_stream(
+        static_enrich_counts(stream, dim), mode="complete", name="enrich"
+    )
+    got = {
+        (r["win_start"], r["tier"]): (r["n"], r["sum_cents"])
+        for r in spark.sql("select * from enrich").collect()
+    }
+    dim.unpersist()
+    q.stop()
+    assert got == expected
