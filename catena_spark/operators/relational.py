@@ -2347,3 +2347,74 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------- D16 depth: interval arithmetic
+
+@query(
+    "fn_interval_suite",
+    "D16",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d %H:%M:%S') AS due_ts,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(date_part('quarter', o_orderdate) AS BIGINT) AS q,
+           CAST(date_part('doy', o_orderdate) AS BIGINT) AS doy,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                AS BIGINT) AS days_since_95,
+           strftime(o_orderdate - INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S')
+               AS minus_6h
+    FROM orders
+    """,
+)
+def fn_interval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic + calendar parts (SURVEY.md §2-D16 depth):
+    timestamp ± INTERVAL, month-end, quarter/day-of-year extraction,
+    day difference vs an epoch — the due-date/SLA math of every orders
+    pipeline. Calendar functions chosen for the cross-engine-identical
+    subset (week numbering and months_between differ by dialect and are
+    deliberately excluded). All codegen'd; zero shuffle.
+    """
+    o = tables.load(spark, sf_dir, "orders")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), fmt).alias(
+            "due_ts"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01")).cast("long").alias(
+            "days_since_95"
+        ),
+        F.date_format(F.col("o_orderdate") - F.expr("INTERVAL 6 HOURS"), fmt).alias(
+            "minus_6h"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- D13 depth: INTERSECT ALL
+
+@query(
+    "setop_intersect_all",
+    "D13",
+    oracle="""
+    SELECT c_nationkey FROM (
+      SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT ALL
+      SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+    ) t
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (SURVEY.md §2-D13 depth): bag-semantics
+    intersection — each nation key survives min(count_left, count_right)
+    times, which DISTINCT-based intersect destroys. Physical plan is a
+    single hash aggregate per side + join on the key with count
+    arithmetic — no row explosion.
+    """
+    c = tables.load(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = c.where(F.col("c_acctbal") > 0).select("c_nationkey")
+    return a.intersectAll(b)

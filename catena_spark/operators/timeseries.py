@@ -1345,3 +1345,58 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0),
         )
     )
+
+
+# ---------------------------------------------------------------- C1 depth: LTTB downsampling
+
+def lttb(df: DataFrame, n_out: int = 64) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per series — the
+    standard visualization-grade reducer (keeps the visually dominant
+    point per bucket; first/last always kept). The selection of bucket
+    i's point depends on the point chosen in bucket i-1, an inherently
+    sequential recurrence -> grouped-map Pandas UDF per series (the
+    same sanctioned slow path as EWMA; everything else in this module
+    is pure Catalyst).
+
+    Scale: one shuffle on the series key; per-group work is O(len);
+    memory O(largest series) per executor — bucket-split long series
+    and chain edge points if a single series outgrows an executor.
+    """
+    import numpy as np
+
+    schema = "source string, metric string, ts_us long, value double"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "value"]).reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_out:
+            return pdf[["source", "metric", "ts_us", "value"]]
+        x = pdf["ts_us"].to_numpy(dtype="float64")
+        y = pdf["value"].to_numpy(dtype="float64")
+        # n_out-2 interior buckets over points 1..n-1
+        edges = np.linspace(1, n - 1, n_out - 1).astype(int)
+        chosen = [0]
+        prev = 0
+        for b in range(n_out - 2):
+            lo, hi = edges[b], edges[b + 1]
+            nxt_lo, nxt_hi = edges[b + 1], (edges[b + 2] if b + 2 < len(edges) else n)
+            ax, ay = x[prev], y[prev]
+            cx, cy = x[nxt_lo:nxt_hi].mean(), y[nxt_lo:nxt_hi].mean()
+            bx, by = x[lo:hi], y[lo:hi]
+            area = np.abs((ax - cx) * (by - ay) - (ax - bx) * (cy - ay))
+            prev = lo + int(np.argmax(area))
+            chosen.append(prev)
+        chosen.append(n - 1)
+        out = pdf.iloc[chosen]
+        return out[["source", "metric", "ts_us", "value"]]
+
+    return df.groupBy("source", "metric").applyInPandas(run, schema)
+
+
+@query("ts_lttb_downsample", "C1", oracle=None)
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver entry for LTTB (64 points per series); shape
+    invariants (first/last kept, ≤64 rows/series, subset of input)
+    are pytest-enforced (tests/test_timeseries.py)."""
+    s = _series(spark, sf_dir).select("source", "metric", "ts_us", "value")
+    return lttb(s, 64)

@@ -95,3 +95,58 @@ def test_asof_join_never_future(spark):
         "left_semi",
     )
     assert j.count() == out.where(F.col("last_purchase_value").isNotNull()).count()
+
+
+def test_lttb_shape_invariants(spark):
+    """LTTB contract: ≤64 points per series, first/last retained, every
+    output point is an input point of the same series."""
+    from catena_spark.operators.timeseries import ts_lttb_downsample
+
+    s = ts._series(spark, SF_SMALL).select("source", "metric", "ts_us", "value")
+    inp = {
+        (r["source"], r["metric"], r["ts_us"], r["value"]) for r in s.collect()
+    }
+    bounds = {
+        (r["source"], r["metric"]): (r["lo"], r["hi"], r["n"])
+        for r in s.groupBy("source", "metric")
+        .agg(
+            F.min("ts_us").alias("lo"),
+            F.max("ts_us").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    out = ts_lttb_downsample(spark, SF_SMALL).collect()
+    per_series: dict = {}
+    for r in out:
+        key = (r["source"], r["metric"], r["ts_us"], r["value"])
+        assert key in inp, "LTTB fabricated a point"
+        per_series.setdefault(key[:2], []).append((r["ts_us"], r["value"]))
+    for sk, pts in per_series.items():
+        lo, hi, n = bounds[sk]
+        assert len(pts) <= 64
+        assert len(pts) == min(64, n)
+        tss = sorted(t for t, _ in pts)
+        assert tss[0] == lo and tss[-1] == hi, "first/last not retained"
+
+
+def test_lttb_actually_downsamples_long_series(spark):
+    """A 500-point synthetic series (fixture series are all <64 points)
+    must reduce to exactly 64 points, keep endpoints, and preserve the
+    global extremes' neighborhood (the peak bucket keeps its peak)."""
+    import math
+
+    from catena_spark.operators.timeseries import lttb
+
+    pts = [
+        ("s1", "m1", i * 1_000_000, math.sin(i / 7.0) * 100.0 + (1000.0 if i == 250 else 0.0))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(pts, "source string, metric string, ts_us long, value double")
+    out = sorted((r["ts_us"], r["value"]) for r in lttb(df, 64).collect())
+    assert len(out) == 64
+    assert out[0][0] == 0 and out[-1][0] == 499 * 1_000_000
+    src = dict((p[2], p[3]) for p in pts)
+    assert all(src[t] == v for t, v in out), "fabricated point"
+    # the spiked global max at i=250 dominates its bucket's triangle area
+    assert any(t == 250 * 1_000_000 for t, _ in out)
