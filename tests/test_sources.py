@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import glob
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from catena_spark import tables
@@ -123,3 +125,28 @@ def test_dt_partition_layout_prunes(spark, tmp_path):
     # only the two selected days' rows come back
     days = {str(r["dt"]) for r in df.select("dt").distinct().collect()}
     assert days == {"2024-01-10", "2024-01-11"}  # dt inferred as DATE
+
+
+def test_kafka_source_gated_with_actionable_error(spark):
+    """No Kafka classpath in this container: the connector must fail
+    fast with deploy instructions, not at first micro-batch."""
+    from catena_spark.sources.connectors import kafka_events_stream
+
+    with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+        kafka_events_stream(spark, "localhost:9092", "events")
+
+
+def test_lakehouse_sinks_gated_parquet_works(spark, tmp_path):
+    """delta/iceberg sinks fail loudly without their runtimes; the
+    parquet dispatch path round-trips."""
+    from catena_spark.sources.connectors import write_table
+
+    df = tables.load(spark, SF_SMALL, "nation")
+    p = str(tmp_path / "nation_pq")
+    write_table(df, p, fmt="parquet", mode="overwrite")
+    assert spark.read.parquet(p).count() == df.count()
+    for fmt in ("delta", "iceberg"):
+        with pytest.raises(NotImplementedError):
+            write_table(df, str(tmp_path / fmt), fmt=fmt)
+    with pytest.raises(ValueError):
+        write_table(df, p, fmt="orc2")
