@@ -79,3 +79,50 @@ def register_all(spark: SparkSession) -> None:
         "char_ngrams", udtf(CharNgrams, returnType=CharNgrams.RETURN_TYPE)
     )
     spark.udf.register("cosine_sim", pandas_udf(_cosine_sim, "double"))
+
+
+# ---------------------------------------------------------------- G5 driver key
+
+from ..registry import query  # noqa: E402
+from .. import tables  # noqa: E402
+
+
+@query(
+    "udtf_tokenize_lateral",
+    "G5",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\w+|[^\\w\\s]') AS tk
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(g.i - 1 AS BIGINT) AS pos,
+           tk[g.i] AS term,
+           regexp_matches(substring(tk[g.i], 1, 1), '[a-z0-9_]') AS is_word
+    FROM toks, (SELECT unnest(generate_series(1, 4096)) AS i) g
+    WHERE g.i <= len(tk)
+    """,
+)
+def udtf_tokenize_lateral(spark, sf_dir):
+    """Python UDTF through the SQL entry point (SURVEY.md §2-G5/G6):
+    ``LATERAL tokenize(text)`` — true 1->n lateral expansion with per-row
+    Python logic, registered on whatever session the driver brings
+    (executors import the shipped package zip; ensure_runtime_conf).
+
+    The doc_id<50 pushdown bounds the Python crossing; the oracle is
+    DuckDB's regexp_extract_all + positional unnest. Scale: a UDTF is
+    the slow path by design — the JVM twin (functions/text.py
+    regex_tokens) serves the batch pipelines; this key proves the SQL
+    surface works end-to-end.
+    """
+    from .udtfs import register_all
+
+    register_all(spark)
+    tables.load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, CAST(t.pos AS BIGINT) AS pos, t.term, t.is_word
+        FROM documents d, LATERAL tokenize(lower(d.text)) t
+        WHERE d.doc_id < 50
+        """
+    )

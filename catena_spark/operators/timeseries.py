@@ -1400,3 +1400,45 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     are pytest-enforced (tests/test_timeseries.py)."""
     s = _series(spark, sf_dir).select("source", "metric", "ts_us", "value")
     return lttb(s, 64)
+
+
+# ---------------------------------------------------------------- C10 depth: activity heatmap grid
+
+@query(
+    "ts_heatmap_dow_hour",
+    "C10",
+    oracle=f"""
+    WITH s AS ({SERIES_SQL})
+    SELECT metric,
+           CAST(date_part('dow', ts) AS BIGINT) AS dow,
+           CAST(date_part('hour', ts) AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM s
+    GROUP BY 1, 2, 3
+    """,
+)
+def ts_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap per metric (SURVEY.md
+    §2-C10 depth): the weekly-seasonality grid every ops dashboard draws.
+    Calendar convention trap: Spark ``dayofweek`` is 1=Sunday, DuckDB
+    ``date_part('dow')`` is 0=Sunday — normalized to the DuckDB form.
+
+    Scale: single hash aggregate to |metrics| x 168 cells; partial
+    map-side combine makes the exchange carry only the tiny grid.
+    """
+    s = tables.series(spark, sf_dir)
+    return (
+        s.groupBy(
+            "metric",
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias(
+                "sum_cents"
+            ),
+        )
+    )
