@@ -2418,3 +2418,256 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
     b = c.where(F.col("c_acctbal") > 0).select("c_nationkey")
     return a.intersectAll(b)
+
+
+# ---------------------------------------------------------------- D8 depth: Q16 supplier count per part attrs
+
+@query(
+    "agg_q16_supplier_cnt",
+    "D8",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def agg_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (fixture-adapted: the part-supplier link is the
+    DISTINCT (l_partkey, l_suppkey) pairs of lineitem — the fixtures have
+    no partsupp table — and "complaint" suppliers are those with negative
+    account balance): how many distinct suppliers can deliver each
+    surviving (brand, type, size) bucket.
+
+    Scale: lineitem is projected to 2 columns at the scan, the distinct
+    and the count-distinct share one shuffle keyed on l_partkey-group
+    attrs; part and the tiny complaint list broadcast. The NOT IN is a
+    left_anti join (fixture keys are non-null, so semantics coincide).
+    """
+    ps = (
+        tables.load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = tables.load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25)
+    )
+    bad = tables.load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------- D14 depth: Q11 important stock value
+
+@query(
+    "agg_q11_important_parts",
+    "D14",
+    oracle="""
+    WITH nsup AS (
+      SELECT s_suppkey FROM supplier, nation
+      WHERE s_nationkey = n_nationkey
+        AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+    ),
+    v AS (
+      SELECT l_partkey AS partkey,
+             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS val_cents
+      FROM lineitem
+      WHERE l_suppkey IN (SELECT s_suppkey FROM nsup)
+      GROUP BY l_partkey
+    )
+    SELECT partkey, val_cents
+    FROM v
+    WHERE val_cents * 1000 > (SELECT sum(val_cents) FROM v)
+    """,
+)
+def agg_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (fixture-adapted: "stock value" is the summed
+    extended price of lineitems shipped by suppliers from a 3-nation
+    bloc; no partsupp/availqty in the fixtures): parts whose value
+    exceeds 0.1% of the bloc's total — the group-by + HAVING-against-
+    global-scalar-subquery composition.
+
+    Parity: exact integer cents on both engines (2-decimal price
+    domain), and the 0.1% threshold is integer arithmetic
+    (val*1000 > total), so no float tie can flip membership.
+
+    Scale: the nation-bloc supplier list broadcasts into a semi join at
+    the scan, one shuffle aggregates per-part value, and the grand total
+    is a 1-row broadcast joined back — no second pass over lineitem.
+    """
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    nsup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    v = (
+        li.join(F.broadcast(nsup), li.l_suppkey == nsup.s_suppkey, "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .alias("val_cents")
+        )
+    )
+    total = v.agg(F.sum("val_cents").alias("total_cents"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .where(F.col("val_cents") * 1000 > F.col("total_cents"))
+        .select("partkey", "val_cents")
+    )
+
+
+# ---------------------------------------------------------------- D14 depth: Q2 min-cost supplier
+
+@query(
+    "join_q2_min_cost_supplier",
+    "D14",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eur AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier, nation, region
+      WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_cost
+    FROM part, cost, eur
+    WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
+      AND p_size < 10 AND p_type IN ('LARGE', 'SMALL')
+      AND unit_cost = (SELECT min(c2.unit_cost)
+                       FROM cost c2, eur e2
+                       WHERE c2.l_partkey = p_partkey
+                         AND c2.l_suppkey = e2.s_suppkey)
+    """,
+)
+def join_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (fixture-adapted: "supply cost" of a (part,
+    supplier) pair is the minimum unit price ever shipped on that pair's
+    lineitems; no partsupp in the fixtures): for each small LARGE/SMALL
+    part, the European supplier(s) offering it cheapest — the classic
+    correlated-min subquery, decorrelated here into a per-part min +
+    self-join.
+
+    Parity: unit_cost is a single IEEE division selected by min() — both
+    engines pick the identical bit pattern, so the equality join against
+    the per-part min is exact (no rounding needed, per the parity rule:
+    never round, either integer units or bit-identical floats).
+
+    Scale: one shuffle aggregates the (part, supplier) cost table;
+    supplier-nation-region broadcasts. The per-part min is a second
+    aggregation over the already-reduced cost table, broadcast back —
+    lineitem is scanned once.
+    """
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ec = cost.join(F.broadcast(eur), cost.l_suppkey == eur.s_suppkey)
+    best = ec.groupBy(F.col("l_partkey").alias("bk")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    p = tables.load(spark, sf_dir, "part").where(
+        (F.col("p_size") < 10) & F.col("p_type").isin("LARGE", "SMALL")
+    )
+    return (
+        ec.join(
+            F.broadcast(best),
+            (ec.l_partkey == F.col("bk")) & (ec.unit_cost == F.col("best_cost")),
+        )
+        .join(F.broadcast(p), ec.l_partkey == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_cost")
+    )
+
+
+# ---------------------------------------------------------------- D5 depth: Q20 dominant suppliers
+
+@query(
+    "join_q20_dominant_suppliers",
+    "D5",
+    oracle="""
+    WITH w AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(round(l_quantity, 0) AS BIGINT)) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (SELECT l_partkey AS tk, sum(qty) AS tot_qty FROM w GROUP BY 1)
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM w, tot
+      WHERE l_partkey = tk AND qty * 2 > tot_qty)
+    """,
+)
+def join_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (fixture-adapted: with no availqty, "excess"
+    becomes dominance — suppliers who shipped more than half of a red
+    part's 1996-97 volume): name-prefix part filter -> per-(part,
+    supplier) quantity -> compare against the part total -> semi join
+    back to supplier.
+
+    Parity: quantities are integer-valued in the fixture domain, summed
+    as BIGINT, and the half test is qty*2 > tot — pure integer
+    arithmetic on both engines.
+
+    Scale: the red-part key list broadcasts as a semi join under the
+    date-pruned scan; one shuffle keys (partkey, suppkey); the per-part
+    total is a windowed sum over the already-aggregated (tiny) table, so
+    lineitem is read once and shuffled once.
+    """
+    red = (
+        tables.load(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = tables.load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    w = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round("l_quantity", 0).cast("long")).alias("qty"))
+    )
+    tot = Window.partitionBy("l_partkey")
+    dominant = (
+        w.withColumn("tot_qty", F.sum("qty").over(tot))
+        .where(F.col("qty") * 2 > F.col("tot_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = tables.load(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
