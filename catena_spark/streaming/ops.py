@@ -253,3 +253,111 @@ def stream_static_enrich(spark, sf_dir):
     tests/test_streaming.py::test_stream_static_enrich_matches_batch."""
     ev = tables.load(spark, sf_dir, "events")
     return static_enrich_counts(ev, user_tier_dim(ev))
+
+
+# ---------------------------------------------------------------- live streaming driver keys
+# Unlike the batch twins above, these run an ACTUAL StructuredStreaming
+# query inside the driver gate: readStream over the fixture parquet,
+# Trigger.AvailableNow, memory sink, then return the sink table as the
+# batch result. Single input file => single micro-batch => deterministic.
+
+import os  # noqa: E402
+import tempfile  # noqa: E402
+
+
+def _stream_events(spark, sf_dir):
+    """File-source streaming read of the events table with the same
+    ns->us ts normalization as tables.load (parity contract)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file source wants a DIRECTORY; pathGlobFilter selects the one
+    # table file out of the shared fixture dir.
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src
+
+
+def _run_to_table(agg: DataFrame, name: str, mode: str):
+    """Execute a streaming aggregate to completion into a memory sink."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix=f"catena_ckpt_{name}_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@query(
+    "stream_live_tumbling_agg",
+    "F2",
+    oracle="""
+    SELECT strftime(to_timestamp((epoch_us(ts) // 21600000000) * 21600),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_live_tumbling_agg(spark, sf_dir):
+    """LIVE Structured Streaming execution under the driver gate (F2/F7):
+    file-source readStream -> tumbling 6h window aggregate -> memory sink,
+    Trigger.AvailableNow, complete output mode — then the sink table is
+    the returned batch DataFrame, hash-checked against the same epoch-
+    floored aggregate in DuckDB.
+
+    Parity: complete mode with a single input file is exactly the batch
+    aggregate; value sums are exact integer cents so state-store
+    accumulation order cannot flip a rounding tie (parity rule).
+
+    Scale: AvailableNow is THE backfill pattern — the same pipeline that
+    tails a 100 TB events feed replays history in bounded micro-batches
+    with state in the checkpoint, instead of a giant one-shot batch job.
+    """
+    tables.load(spark, sf_dir, "events")  # ensure parity conf + pkg ship
+    agg = (
+        _stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )
+    name = f"live_tumbling_{os.getpid()}"
+    _run_to_table(agg, name, "complete")
+    return spark.table(name)
+
+
+@query("stream_live_ewma_state", "F5")
+def stream_live_ewma_state(spark, sf_dir):
+    """LIVE applyInPandasWithState under the driver gate (F5): the
+    per-series EWMA fold runs inside a real streaming query (memory sink,
+    AvailableNow, append mode) on the driver's own session — proving the
+    custom-stateful path works with executor-side package shipping, not
+    just under pytest. Rows-only check: one output row per input event
+    (exact EWMA values are float-order-sensitive; the batch-vs-stream
+    equality is pytest-asserted in tests/test_streaming.py).
+    """
+    tables.load(spark, sf_dir, "events")  # ensure parity conf + pkg ship
+    agg = streaming_ewma(_stream_events(spark, sf_dir))
+    name = f"live_ewma_{os.getpid()}"
+    _run_to_table(agg, name, "append")
+    return spark.table(name).select("user_id", "event_type", "ts_us", "ewma")
