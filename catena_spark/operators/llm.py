@@ -1611,3 +1611,198 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "component_id", "quality", (F.col("rn") == 1).alias("keep")
         )
     )
+
+
+# ------------------------------------------------ E4: Gopher-style quality rules
+
+@query(
+    "llm_gopher_quality_rules",
+    "E4",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_unique,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           ((n_chars - (n_words - 1)) * 1000000) // n_words AS mean_word_len_ppm,
+           (n_unique * 1000000) // n_words AS frac_unique_ppm,
+           (n_words BETWEEN 20 AND 100000) AS ok_n_words,
+           (((n_chars - (n_words - 1)) * 1000000) // n_words
+              BETWEEN 3000000 AND 10000000) AS ok_mean_len,
+           ((n_unique * 1000000) // n_words >= 200000) AS ok_unique,
+           ((n_words BETWEEN 20 AND 100000)
+             AND (((n_chars - (n_words - 1)) * 1000000) // n_words
+                    BETWEEN 3000000 AND 10000000)
+             AND ((n_unique * 1000000) // n_words >= 200000)) AS pass
+    FROM m
+    """,
+)
+def llm_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/shape quality rules (SURVEY E4; Rae et
+    al. 2021 "Scaling Language Models", public): word-count band, mean
+    word length band, unique-word fraction floor, plus the combined
+    pass flag a pre-training filter keys on.
+
+    Parity: the corpus is single-space separated, so mean word length
+    is exact integer arithmetic ((chars - spaces) / words) carried in
+    ppm with floor-div on both engines -- no float rounding anywhere.
+
+    Scale: one projected scan, all codegen'd array/length expressions,
+    no shuffle; at 100 TB this is the archetypal map-only filter stage.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks).cast("long")
+    n_unique = F.size(F.array_distinct(toks)).cast("long")
+    n_chars = F.length("text").cast("long")
+    mean_ppm = F.expr(
+        "((length(text) - (size(split(text, ' ')) - 1)) * 1000000L)"
+        " div size(split(text, ' '))"
+    )
+    uniq_ppm = F.expr(
+        "(size(array_distinct(split(text, ' '))) * 1000000L)"
+        " div size(split(text, ' '))"
+    )
+    ok_n = n_words.between(20, 100000)
+    ok_mean = mean_ppm.between(3000000, 10000000)
+    ok_uniq = uniq_ppm >= 200000
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_ppm.alias("mean_word_len_ppm"),
+        uniq_ppm.alias("frac_unique_ppm"),
+        ok_n.alias("ok_n_words"),
+        ok_mean.alias("ok_mean_len"),
+        ok_uniq.alias("ok_unique"),
+        (ok_n & ok_mean & ok_uniq).alias("pass"),
+    )
+
+
+# ----------------------------------------------- E4: character-entropy proxy
+
+@query(
+    "llm_char_entropy",
+    "E4",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, ch
+      FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+      WHERE ch <> ' '
+    ),
+    counts AS (
+      SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (
+      SELECT doc_id, ch, cnt, sum(cnt) OVER (PARTITION BY doc_id) AS n
+      FROM counts
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_chars_nonspace,
+           count(*) AS n_distinct_chars,
+           round(sum((cnt / CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE) / cnt)), 6)
+             AS entropy_nats
+    FROM tot
+    GROUP BY doc_id
+    """,
+)
+def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (SURVEY E4):
+    the classic cheap perplexity proxy -- gibberish and boilerplate both
+    sit far from natural-language entropy (CCNet-style head/tail
+    bucketing builds directly on this score).
+
+    Parity: per-char counts are exact; the entropy sum is <=27 float
+    terms whose ln() values match across engines (fn_math_suite
+    verified libm-identical log in r1); 6dp rounding.
+
+    Scale: chars explode is a pipelined Generate (no shuffle); the two
+    aggregations shuffle on doc_id once -- partial aggregation collapses
+    the per-char counts map-side, so the shuffle carries ~27 rows/doc.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text")),
+                    lambda i: F.col("text").substr(i, F.lit(1)),
+                ),
+                lambda ch: ch != " ",
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("doc_id")
+    tot = counts.withColumn("n", F.sum("cnt").over(w))
+    term = (F.col("cnt") / F.col("n").cast("double")) * F.log(
+        F.col("n").cast("double") / F.col("cnt")
+    )
+    return tot.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_chars_nonspace"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.round(F.sum(term), 6).alias("entropy_nats"),
+    )
+
+
+# ------------------------------------------------------- E5: domain mixing
+
+@query(
+    "llm_domain_mix",
+    "E5",
+    oracle="""
+    WITH g AS (
+      SELECT source, lang, count(*) AS docs,
+             sum(len(string_split(text, ' '))) AS tokens
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, docs, tokens,
+           (docs * 1000000) // (sum(docs) OVER ()) AS doc_share_ppm,
+           (tokens * 1000000) // (sum(tokens) OVER ()) AS tok_share_ppm,
+           (1000000 // (count(*) OVER ())) AS target_share_ppm,
+           ((1000000 // (count(*) OVER ())) * 1000000)
+             // ((docs * 1000000) // (sum(docs) OVER ())) AS upsample_ppm
+    FROM g
+    """,
+)
+def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture accounting per (source, lang) domain (SURVEY
+    E5): doc/token shares and the up/down-sample ratio needed to hit a
+    uniform target mix -- the bookkeeping behind data-mixture rebalancing
+    (DoReMi-style weights would substitute for the uniform target).
+
+    Parity: all shares carried as integer ppm with floor-div; no floats.
+
+    Scale: one groupBy shuffle on (source, lang); the window totals run
+    over the tiny aggregated table (domains, not documents), so the
+    single-partition window is safe at any corpus size.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens"),
+    )
+    w = Window.partitionBy()
+    doc_share = F.expr("(docs * 1000000) div total_docs")
+    tok_share = F.expr("(tokens * 1000000) div total_toks")
+    return (
+        g.withColumn("total_docs", F.sum("docs").over(w))
+        .withColumn("total_toks", F.sum("tokens").over(w))
+        .withColumn("n_domains", F.count(F.lit(1)).over(w))
+        .select(
+            "source",
+            "lang",
+            "docs",
+            "tokens",
+            doc_share.alias("doc_share_ppm"),
+            tok_share.alias("tok_share_ppm"),
+            F.expr("1000000 div n_domains").alias("target_share_ppm"),
+            F.expr(
+                "((1000000 div n_domains) * 1000000)"
+                " div ((docs * 1000000) div total_docs)"
+            ).alias("upsample_ppm"),
+        )
+    )

@@ -2671,3 +2671,156 @@ def join_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+# ---------------------------------------------------------------- D6: range theta
+
+_PRICE_BANDS = [
+    ("b900", 900.0, 920.0),
+    ("b920", 920.0, 940.0),
+    ("b940", 940.0, 960.0),
+    ("b960", 960.0, 980.0),
+    ("b980", 980.0, 1000.0),
+]
+
+
+@query(
+    "join_theta_range",
+    "D6",
+    oracle="""
+    SELECT b.band,
+           count(*) AS n_parts,
+           sum(CAST(round(p.p_retailprice * 100, 0) AS BIGINT)) AS sum_price_cents
+    FROM part p
+    JOIN (VALUES ('b900', 900.0, 920.0), ('b920', 920.0, 940.0),
+                 ('b940', 940.0, 960.0), ('b960', 960.0, 980.0),
+                 ('b980', 980.0, 1000.0)) AS b(band, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range theta join (SURVEY D6): bucket parts into price bands
+    held in a tiny dimension, joined on lo <= price < hi with no equi
+    component at all.
+
+    Scale: a no-equi-key join can only be a nested loop; the correct
+    plan is BroadcastNestedLoopJoin with the band table broadcast (5
+    rows) so the fact side streams without a shuffle. Parity: per-row
+    cents rounding then BIGINT sum keeps the money total exact on both
+    engines (float-sum ties are impossible on integers).
+    """
+    p = tables.load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+            "inner",
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.round(F.col("p_retailprice") * 100, 0).cast("long")).alias(
+                "sum_price_cents"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------- D10: distribution ranks
+
+@query(
+    "win_percent_rank_cume",
+    "D10",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per nation over account balance (SURVEY
+    D10 distribution ranks). Order key includes c_custkey so ranks are
+    total-order deterministic.
+
+    Parity: both are small-integer ratios (rank-1)/(n-1), rank_le/n;
+    6dp rounding only ties when the partition size has a 2^7 factor
+    (n-1 or n divisible by 128) -- nation partitions here are ~60 rows,
+    checked by the mirror test at both SFs.
+    """
+    c = tables.load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# ------------------------------------------------------- D15: regexp suite
+
+@query(
+    "fn_regexp_suite",
+    "D15",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]{5,})', 1) AS first_long_word,
+           regexp_extract(text, '\\b(sp[a-z]*)', 1) AS first_sp_word,
+           len(regexp_extract_all(text, '[aeiou]')) AS n_vowels,
+           regexp_matches(text, '[0-9]') AS has_digit,
+           regexp_replace(substring(text, 1, 40), '[aeiou]', '_', 'g')
+             AS head_devoweled
+    FROM documents
+    """,
+)
+def fn_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar-function suite (SURVEY D15): extract / count /
+    boolean-match / replace, patterns restricted to the regex subset
+    where Java (Spark) and RE2 (DuckDB) agree.
+
+    Scale: all JVM-codegen'd expressions over a projected 2-column
+    scan -- no shuffle, no UDF.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]{5,})", 1).alias("first_long_word"),
+        F.regexp_extract("text", r"\b(sp[a-z]*)", 1).alias("first_sp_word"),
+        F.regexp_count("text", F.lit(r"[aeiou]")).alias("n_vowels"),
+        F.col("text").rlike(r"[0-9]").alias("has_digit"),
+        F.regexp_replace(F.substring("text", 1, 40), r"[aeiou]", "_").alias(
+            "head_devoweled"
+        ),
+    )
+
+
+# ------------------------------------------- D18: lateral positional explode
+
+@query(
+    "fn_lateral_posexplode",
+    "D18",
+    oracle="""
+    SELECT doc_id,
+           unnest(range(0, len(toks))) AS pos,
+           unnest(toks) AS tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 20)
+    """,
+)
+def fn_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (SURVEY D18 / G4 lateral-view shape): token
+    stream with ordinal position, the row-per-token layout every
+    downstream NLP stage (n-gram, windowed context) builds on.
+
+    Scale: posexplode is a Generate node -- pipelined, no shuffle; the
+    doc_id predicate prunes before generation so the blow-up factor
+    applies only to selected rows.
+    """
+    d = tables.load(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
