@@ -21,9 +21,13 @@ Bench-profile conf (small-data latency mode, documented deviations from
 the scale defaults in catena_spark.session):
 - AQE off: its runtime re-planning round-trips cost more than they save
   on sub-second single-digit-MB inputs (it stays ON everywhere else).
-- maxPartitionBytes=1m: splits the largest sf0.1 file (~11 MB) across
-  cores; at real scale the 128 MB default is correct.
-- shuffle.partitions=8: result cardinalities here are tiny.
+- maxPartitionBytes=2m: splits the largest sf0.1 file (~11 MB) into ~6
+  scan tasks — grid-searched best at local[32] (1m's extra tasks cost
+  more in scheduling than they gain); at real scale the 128 MB default
+  is correct.
+- shuffle.partitions=16: result cardinalities here are tiny; 16 beat 8
+  and 32 in a 3x3 grid at local[32].
+- locality.wait=0s: single-host, no data locality to wait for.
 - 3 warmup executions per plan before timing: whole-stage-codegen'd
   classes JIT-compile on the first runs; the steady state is what a
   long-running cluster actually serves (fresh-process A/B showed ~25%
@@ -94,10 +98,13 @@ def main() -> None:
     spark = get_spark(
         app_name="catena-bench",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]",
-        shuffle_partitions=os.environ.get("SPARK_GRAFT_SHUFFLE", "8"),
+        shuffle_partitions=os.environ.get("SPARK_GRAFT_SHUFFLE", "16"),
         extra_conf={
             "spark.sql.adaptive.enabled": "false",
-            "spark.sql.files.maxPartitionBytes": "1m",
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SPARK_GRAFT_MPB", "2m"
+            ),
+            "spark.locality.wait": "0s",
         },
     )
     # session-level warmup

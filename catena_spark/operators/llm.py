@@ -1806,3 +1806,152 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("upsample_ppm"),
         )
     )
+
+
+# ==================================================== E2: winnowing fingerprints
+
+@query(
+    "llm_winnowing_fingerprint",
+    "E2",
+    oracle="""
+    WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
+               WHERE length(lower(trim(text))) >= 4),
+    g AS (SELECT doc_id,
+            unnest(range(0, length(t) - 3)) AS pos,
+            unnest(list_transform(range(1, length(t) - 2),
+                                  i -> substr(t, i, 4))) AS gram
+          FROM t),
+    h AS (SELECT doc_id, pos,
+            CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS h
+          FROM g),
+    s AS (SELECT doc_id, pos,
+            min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS winmin,
+            count(*) OVER (PARTITION BY doc_id) AS n_grams
+          FROM h),
+    fp AS (SELECT DISTINCT doc_id, winmin FROM s WHERE pos <= n_grams - 4)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(min(winmin) AS BIGINT) AS min_fp,
+           CAST(max(winmin) AS BIGINT) AS max_fp,
+           CAST(sum(winmin) AS BIGINT) AS sum_fp
+    FROM fp GROUP BY doc_id
+    """,
+)
+def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (SURVEY.md §2-E2 depth): hash
+    every positional 4-gram, slide a window of 4 consecutive hashes, and
+    select each window's minimum — the guarantee-bearing near-dup /
+    plagiarism fingerprint scheme (any shared substring >= 7 chars
+    shares a selected fingerprint), one step stronger than the single
+    min-hash of llm_doc_fingerprint.
+
+    Parity: gram hashes derive from md5 hex (engine-portable, see
+    functions/text.py note); window min / distinct / count / sum are
+    integer-exact. The window frame and the full-window restriction
+    (pos <= n_grams - 4) are spelled identically on both engines.
+
+    Scale: the positional explode is a pipelined Generate; the ONLY
+    shuffle is the per-doc window partition (doc_id), which also serves
+    the distinct and the final aggregate — one exchange end-to-end, and
+    per-doc state is bounded by doc length, never corpus size.
+    """
+    d = _docs_norm(spark, sf_dir).where(F.length("t") >= 4)
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 3),
+                lambda i: F.col("t").substr(i, F.lit(4)),
+            )
+        ).alias("pos", "gram"),
+    )
+    h = grams.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    wd = Window.partitionBy("doc_id")
+    sel = (
+        h.withColumn("winmin", F.min("h").over(w))
+        .withColumn("n_grams", F.count(F.lit(1)).over(wd))
+        .where(F.col("pos") <= F.col("n_grams") - 4)
+    )
+    fp = sel.select("doc_id", "winmin").distinct()
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.min("winmin").cast("long").alias("min_fp"),
+        F.max("winmin").cast("long").alias("max_fp"),
+        F.sum("winmin").cast("long").alias("sum_fp"),
+    )
+
+
+# ================================================= E4: corpus bigram LM scoring
+
+@query(
+    "llm_bigram_lm_score",
+    "E4",
+    oracle="""
+    WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
+               WHERE length(lower(trim(text))) >= 2),
+    b AS (SELECT doc_id,
+            unnest(list_transform(range(1, length(t)),
+                                  i -> substr(t, i, 2))) AS bg
+          FROM t),
+    c AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY bg),
+    ct AS (SELECT bg, c, CAST(sum(c) OVER () AS BIGINT) AS total FROM c),
+    j AS (SELECT doc_id,
+            CAST(round(ln(CAST(total AS DOUBLE) / CAST(c AS DOUBLE))
+                       * 1000000, 0) AS BIGINT) AS mn
+          FROM b JOIN ct USING (bg))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(mn) AS BIGINT) AS surprise_sum_micronats,
+           CAST(sum(mn) AS BIGINT) // count(*) AS avg_surprise_micronats
+    FROM j GROUP BY doc_id
+    """,
+)
+def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus character-bigram LM scoring (SURVEY.md §2-E4 depth): fit a
+    unigram-of-bigrams model on the whole corpus in one aggregation,
+    then score every document by its mean surprisal (pseudo-perplexity)
+    — the CCNet/KenLM quality-bucketing step reduced to its in-engine
+    essence: two passes, no external model artifact.
+
+    Parity: bigram counts and the corpus total are exact integers; each
+    surprisal term is ln() of a ratio of identical integers (libm log
+    verified bit-identical in r1), rounded to integer micro-nats BEFORE
+    summation — so the per-doc sum is integer-exact and immune to
+    float summation order, unlike a naive sum-of-doubles.
+
+    Scale: pass 1 aggregates to the bigram vocabulary (~|alphabet|^2
+    rows — tiny, map-side combined); the scored join is an explicit
+    broadcast of that model table against the exploded bigram stream
+    (no shuffle of the big side); pass 2 re-aggregates per doc_id. Two
+    exchanges total regardless of corpus size.
+    """
+    d = _docs_norm(spark, sf_dir).where(F.length("t") >= 2)
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 1),
+                lambda i: F.col("t").substr(i, F.lit(2)),
+            )
+        ).alias("bg"),
+    )
+    model = big.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    model = model.withColumn(
+        "total", F.sum("c").over(Window.partitionBy()).cast("long")
+    )
+    term = F.round(
+        F.log(F.col("total").cast("double") / F.col("c").cast("double")) * 1_000_000,
+        0,
+    ).cast("long")
+    scored = big.join(F.broadcast(model), "bg").select("doc_id", term.alias("mn"))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("mn").cast("long").alias("surprise_sum_micronats"),
+        F.expr("sum(mn) div count(*)").cast("long").alias("avg_surprise_micronats"),
+    )

@@ -1442,3 +1442,176 @@ def ts_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -------------------------------------- C10: cross-metric correlation matrix
+
+@query(
+    "ts_corr_metric_pairs",
+    "C10",
+    oracle=_cte("""
+    , b AS (
+      SELECT ts_us // 3600000000 AS hour_id, metric,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM s GROUP BY 1, 2
+    ), p AS (
+      SELECT a.metric AS metric_a, b.metric AS metric_b,
+             a.cents AS x, b.cents AS y
+      FROM b a JOIN b b ON a.hour_id = b.hour_id AND a.metric < b.metric
+    ), g AS (
+      SELECT metric_a, metric_b,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM p GROUP BY 1, 2
+    )
+    SELECT metric_a, metric_b, n_buckets,
+           CASE WHEN (n_buckets * sxx - sx * sx) = 0
+                  OR (n_buckets * syy - sy * sy) = 0 THEN NULL
+                ELSE round(
+                  CAST(n_buckets * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n_buckets * sxx - sx * sx AS DOUBLE)
+                         * CAST(n_buckets * syy - sy * sy AS DOUBLE)), 6)
+           END AS pearson_r
+    FROM g
+    """),
+)
+def ts_corr_metric_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-metric Pearson correlation matrix (SURVEY.md §2-C10 depth):
+    align every metric pair on tumbling hourly buckets (sum of values)
+    and correlate the aligned series — the "which signals move together"
+    primitive behind alert correlation and metric clustering in a
+    catena-class TSDB.
+
+    Parity: bucket sums are exact integer cents; all five co-moment
+    sums (sx, sy, sxy, sxx, syy) stay BIGINT-exact on both engines, so
+    the only float work is one identical cast/multiply/sqrt/divide
+    expression over identical integers — bit-identical, then 6dp round.
+    BIGINT headroom: at sf0.1 the co-moments peak ~1e17 of 9.2e18; for
+    petabyte-scale deployments bucket sums would be carried in larger
+    units (dollars, not cents) or Decimal(38).
+
+    Scale: one shuffle to (hour, metric) bucket sums (partial agg
+    collapses map-side), then the pair join runs on the tiny bucketed
+    table (|hours| x |metrics| rows, e.g. 3.5k at sf0.1) — the classic
+    pre-aggregate-before-self-join shape that keeps the O(m^2) pair
+    blow-up off the raw-point table no matter how many points there are.
+    """
+    s = _series(spark, sf_dir)
+    b = s.groupBy(
+        F.expr("ts_us div 3600000000").alias("hour_id"),
+        "metric",
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("cents")
+    )
+    a, bb = b.alias("a"), b.alias("b")
+    pairs = a.join(
+        bb,
+        (F.col("a.hour_id") == F.col("b.hour_id"))
+        & (F.col("a.metric") < F.col("b.metric")),
+    ).select(
+        F.col("a.metric").alias("metric_a"),
+        F.col("b.metric").alias("metric_b"),
+        F.col("a.cents").alias("x"),
+        F.col("b.cents").alias("y"),
+    )
+    g = pairs.groupBy("metric_a", "metric_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    var_x = F.col("n_buckets") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n_buckets") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n_buckets") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return g.select(
+        "metric_a",
+        "metric_b",
+        "n_buckets",
+        F.when((var_x == 0) | (var_y == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                cov.cast("double")
+                / F.sqrt(var_x.cast("double") * var_y.cast("double")),
+                6,
+            )
+        )
+        .alias("pearson_r"),
+    )
+
+
+# ------------------------------------------ C3: seasonal-naive forecast error
+
+@query(
+    "ts_seasonal_naive_error",
+    "C3",
+    oracle=_cte("""
+    , b AS (
+      SELECT ts_us // 3600000000 AS hour_id, metric,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM s GROUP BY 1, 2
+    ), f AS (
+      SELECT a.metric, a.cents AS actual, p.cents AS forecast
+      FROM b a JOIN b p ON a.metric = p.metric AND a.hour_id = p.hour_id + 24
+    )
+    SELECT metric,
+           CAST(count(*) AS BIGINT) AS n_forecasts,
+           CAST(sum(abs(actual - forecast)) AS BIGINT) AS sum_abs_err_cents,
+           CAST(sum(abs(actual - forecast)) AS BIGINT) // count(*) AS mae_cents,
+           CAST(sum((2000000 * abs(actual - forecast))
+                    // (actual + forecast)) AS BIGINT) // count(*) AS smape_ppm
+    FROM f GROUP BY 1
+    """),
+)
+def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest (SURVEY.md §2-C3 depth): predict
+    each hourly bucket with the value 24 h earlier and score MAE and
+    sMAPE per metric — the standard accuracy floor every real
+    forecasting model must beat, and the cheapest drift detector (error
+    spikes = regime change) a TSDB can serve.
+
+    Parity: bucket sums are integer cents; |err| sums, floor-div MAE,
+    and per-row ppm sMAPE (2e6*|a-f| // (a+f), positive-domain safe) are
+    all BIGINT-exact on both engines — no floats anywhere.
+
+    Scale: same pre-aggregate shape as the correlation matrix — one
+    shuffle to hourly bucket sums, then a self-join keyed (metric,
+    hour_id) over the small bucket table; the 24-row lag never touches
+    raw points. The join key includes metric, so co-partitioning makes
+    it shuffle-local when the bucket table is already hash-distributed.
+    """
+    s = _series(spark, sf_dir)
+    b = s.groupBy(
+        F.expr("ts_us div 3600000000").alias("hour_id"),
+        "metric",
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("cents")
+    )
+    a, p = b.alias("a"), b.alias("p")
+    f = a.join(
+        p,
+        (F.col("a.metric") == F.col("p.metric"))
+        & (F.col("a.hour_id") == F.col("p.hour_id") + 24),
+    ).select(
+        F.col("a.metric").alias("metric"),
+        F.col("a.cents").alias("actual"),
+        F.col("p.cents").alias("forecast"),
+    )
+    abs_err = F.abs(F.col("actual") - F.col("forecast"))
+    return f.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("long").alias("n_forecasts"),
+        F.sum(abs_err).cast("long").alias("sum_abs_err_cents"),
+        F.expr("sum(abs(actual - forecast)) div count(*)")
+        .cast("long")
+        .alias("mae_cents"),
+        F.expr(
+            "sum((2000000 * abs(actual - forecast)) div (actual + forecast))"
+            " div count(*)"
+        )
+        .cast("long")
+        .alias("smape_ppm"),
+    )

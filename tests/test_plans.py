@@ -119,3 +119,28 @@ def test_rollup_cascade_single_shuffle(spark):
 def test_simhash_near_pairs_no_cross_product(spark):
     df = llm.llm_simhash_near_pairs(spark, SF_SMALL)
     assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_corr_pairs_preaggregates_before_self_join(spark):
+    # the O(m^2) pair join must run on bucket sums, not raw points:
+    # both join inputs are aggregates (partial+final per side + final
+    # pair aggregate => at least 5 HashAggregate nodes), and the
+    # equality part of the join key keeps it a hash join, not a loop.
+    df = ts.ts_corr_metric_pairs(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 5, "pair join not pre-aggregated"
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_bigram_model_broadcast_no_shuffle_of_stream(spark):
+    # the bigram model table must broadcast; the exploded bigram stream
+    # must never hash-exchange on bg (only doc_id for the final agg).
+    df = llm.llm_bigram_lm_score(spark, SF_SMALL)
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_winnowing_single_partition_key(spark):
+    # window + distinct + aggregate all share the doc_id partitioning;
+    # no cartesian anywhere.
+    df = llm.llm_winnowing_fingerprint(spark, SF_SMALL)
+    assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
