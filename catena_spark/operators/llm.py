@@ -1955,3 +1955,210 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("mn").cast("long").alias("surprise_sum_micronats"),
         F.expr("sum(mn) div count(*)").cast("long").alias("avg_surprise_micronats"),
     )
+
+
+# ============================================= E4 depth: repetition-ratio rules
+
+@query(
+    "llm_repetition_ratio",
+    "E4",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+               FROM documents),
+    b AS (SELECT doc_id,
+            unnest(list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i + 1])) AS bg
+          FROM w WHERE len(ws) >= 2),
+    c AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY doc_id, bg),
+    r AS (SELECT doc_id, bg, c,
+            CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS total,
+            CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_distinct,
+            row_number() OVER (PARTITION BY doc_id
+                               ORDER BY c DESC, bg) AS rn
+          FROM c)
+    SELECT doc_id,
+           total AS n_bigrams,
+           n_distinct AS n_distinct_bigrams,
+           bg AS top_bigram,
+           c AS top_bigram_count,
+           (c * 1000000) // total AS top_mass_ppm,
+           ((total - n_distinct) * 1000000) // total AS dup_bigram_ppm
+    FROM r WHERE rn = 1
+    """,
+)
+def llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-ratio quality rules (SURVEY.md §2-E4 depth): per doc,
+    the mass of the single most frequent word bigram and the fraction
+    of duplicated bigrams — the Gopher/Dolma "repetitive document"
+    signals (fraction-of-chars-in-top-ngram, duplicate-ngram fraction)
+    that llm_gopher_quality_rules' length/symbol rules don't cover.
+
+    Parity: counts and floor-div ppm are integer-exact; the top bigram
+    tie-breaks (count desc, bigram asc) identically on both engines.
+
+    Scale: bigram counting shuffles once on (doc_id, bigram) with
+    map-side partial aggregation; the three windows and the final
+    argmax all share the doc_id partitioning — per-doc state is the
+    doc's distinct-bigram set, bounded by doc length, never corpus
+    size.
+    """
+    d = _docs_norm(spark, sf_dir).select(
+        "doc_id", F.split("t", " ").alias("ws")
+    ).where(F.size("ws") >= 2)
+    b = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    c = b.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wd = Window.partitionBy("doc_id")
+    wr = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "bg")
+    r = (
+        c.withColumn("total", F.sum("c").over(wd).cast("long"))
+        .withColumn("n_distinct", F.count(F.lit(1)).over(wd).cast("long"))
+        .withColumn("rn", F.row_number().over(wr))
+    )
+    return r.where(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("total").alias("n_bigrams"),
+        F.col("n_distinct").alias("n_distinct_bigrams"),
+        F.col("bg").alias("top_bigram"),
+        F.col("c").alias("top_bigram_count"),
+        F.expr("(c * 1000000) div total").alias("top_mass_ppm"),
+        F.expr("((total - n_distinct) * 1000000) div total").alias("dup_bigram_ppm"),
+    )
+
+
+# ================================================ E2 depth: corpus-order novelty
+
+@query(
+    "llm_ngram_novelty",
+    "E2",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+               FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+            unnest(list_transform(range(1, len(ws) - 3),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                        || ws[i+3] || ' ' || ws[i+4])) AS gram
+          FROM w WHERE len(ws) >= 5),
+    f AS (SELECT doc_id, gram,
+            min(doc_id) OVER (PARTITION BY gram) AS first_doc
+          FROM g)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_grams,
+           CAST(count(*) FILTER (WHERE first_doc = doc_id) AS BIGINT)
+               AS n_novel_grams,
+           (CAST(count(*) FILTER (WHERE first_doc = doc_id) AS BIGINT)
+            * 1000000) // count(*) AS novelty_ppm
+    FROM f GROUP BY doc_id
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order n-gram novelty (SURVEY.md §2-E2 depth): for each
+    doc, the fraction of its distinct word 5-grams whose FIRST corpus
+    occurrence (min doc_id) is this doc — the incremental-dedup /
+    memorization signal ("how much does this doc add that the corpus
+    before it didn't have?") used to order and prune training shards.
+
+    Parity: gram sets, the min-doc_id window, the filtered count, and
+    the floor-div ppm are all exact integer/string operations.
+
+    Scale: one shuffle on gram (the window partition), one on doc_id
+    (the final aggregate). The gram-keyed window carries 8-byte state
+    per row and is skew-safe: a gram shared by every doc still reduces
+    to a single min. This is the same exchange shape a suffix-array
+    dedup pipeline's gram-attribution step uses at 100 TB.
+    """
+    d = _docs_norm(spark, sf_dir).select(
+        "doc_id", F.split("t", " ").alias("ws")
+    ).where(F.size("ws") >= 5)
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 4),"
+                " i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),"
+                " element_at(ws, i + 2), element_at(ws, i + 3),"
+                " element_at(ws, i + 4)))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    novel = F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).cast("long")
+    return g.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("gram"))
+    ).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+        novel.alias("n_novel_grams"),
+        F.expr(
+            "(sum(cast(first_doc = doc_id as long)) * 1000000) div count(1)"
+        ).alias("novelty_ppm"),
+    )
+
+
+# ================================================ E3 depth: semantic dedup step
+
+@query(
+    "llm_semdedup_representatives",
+    "E3",
+    oracle="""
+    WITH cent AS (SELECT vec_id AS cid,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+                  FROM embeddings WHERE vec_id < 8),
+    v AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+          FROM embeddings),
+    d AS (SELECT v.vec_id, cent.cid,
+                 list_sum(list_transform(list_zip(v.x, cent.c),
+                                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+          FROM v, cent),
+    a AS (SELECT vec_id, cid, d2,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, cid) AS rn
+          FROM d),
+    asg AS (SELECT vec_id, cid AS cluster_id, d2 FROM a WHERE rn = 1),
+    r AS (SELECT vec_id, cluster_id, d2,
+                 CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                     AS cluster_size,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY d2, vec_id) AS krn
+          FROM asg)
+    SELECT vec_id, cluster_id, cluster_size, (krn = 1) AS keep
+    FROM r
+    """,
+)
+def llm_semdedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup decision (SURVEY.md §2-E3 depth):
+    after the k-means ASSIGN step, keep exactly one representative per
+    semantic cluster — the member closest to its centroid (d2 asc,
+    vec_id tiebreak) — and flag the rest as semantic duplicates; the
+    embedding-space analogue of llm_dedup_keep_best's lexical policy
+    (Abbas et al. 2023 prune entire tight clusters the same way).
+
+    Parity: d2 values reuse the proven IEEE-identical left-fold; the
+    keep flag compares identical doubles with an integer tiebreak, so
+    both engines rank identically even with equal distances.
+
+    Scale: reuses llm_kmeans_assign's broadcast-centroids shape (no
+    shuffle of the vector table for assignment); the representative
+    choice is one window over cluster_id — K partitions, each holding
+    scalar state. Pruning then filters on keep, streaming-friendly.
+    """
+    asg = llm_kmeans_assign(spark, sf_dir).select("vec_id", "cluster_id", "dist_sq")
+    wc = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy("dist_sq", "vec_id")
+    return (
+        asg.withColumn("cluster_size", F.count(F.lit(1)).over(wc).cast("long"))
+        .withColumn("krn", F.row_number().over(wr))
+        .select(
+            "vec_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("krn") == 1).alias("keep"),
+        )
+    )

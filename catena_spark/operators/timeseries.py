@@ -1615,3 +1615,163 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("smape_ppm"),
     )
+
+
+# ---------------------------------------------- C1 depth: M4 pixel downsample
+
+@query(
+    "ts_m4_downsample",
+    "C1",
+    oracle=_cte("""
+    , c AS (
+      SELECT metric, ts_us,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             min(ts_us) OVER (PARTITION BY metric) AS lo,
+             max(ts_us) OVER (PARTITION BY metric) AS hi
+      FROM s
+    ), px AS (
+      SELECT metric, ts_us, cents,
+             CAST(((ts_us - lo) * 64) // (hi - lo + 1) AS BIGINT) AS pixel
+      FROM c
+    )
+    SELECT metric, pixel,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           CAST(arg_min(cents, ts_us) AS BIGINT) AS first_cents,
+           CAST(arg_max(cents, ts_us) AS BIGINT) AS last_cents,
+           CAST(min(ts_us) AS BIGINT) AS first_ts_us,
+           CAST(max(ts_us) AS BIGINT) AS last_ts_us
+    FROM px GROUP BY metric, pixel
+    """),
+)
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsampling (SURVEY.md §2-C1 depth): split each
+    metric's own time span into 64 equal-width pixel buckets and emit
+    min/max/first/last per bucket — the error-free line-chart reduction
+    (Jugel et al., VLDB 2014) that complements the curvature-driven
+    ts_lttb_downsample with a fully oracle-checkable aggregate.
+
+    Parity: pixel ids derive from exact integer µs arithmetic (the span
+    normalization is integer-scaled BEFORE the floor-div, no float
+    rounding), values are integer cents, and first/last tie-break on the
+    unique-per-metric ts_us via min_by/arg_min — every output column is
+    BIGINT-exact.
+
+    Scale: one window + one aggregate, both partitioned by metric, so
+    the whole plan rides a single exchange; per-pixel state is four
+    scalars regardless of how many raw points collapse into the pixel —
+    exactly why M4 is the scan-side reduction you run BEFORE shipping
+    points to a renderer at 100 TB.
+    """
+    s = _series(spark, sf_dir)
+    wm = Window.partitionBy("metric")
+    c = s.select(
+        "metric",
+        "ts_us",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    ).withColumn("lo", F.min("ts_us").over(wm)).withColumn(
+        "hi", F.max("ts_us").over(wm)
+    )
+    px = c.withColumn(
+        "pixel",
+        F.expr("((ts_us - lo) * 64) div (hi - lo + 1)").cast("long"),
+    )
+    return px.groupBy("metric", "pixel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+        F.min_by("cents", "ts_us").cast("long").alias("first_cents"),
+        F.max_by("cents", "ts_us").cast("long").alias("last_cents"),
+        F.min("ts_us").cast("long").alias("first_ts_us"),
+        F.max("ts_us").cast("long").alias("last_ts_us"),
+    )
+
+
+# ------------------------------------------- C8 depth: CUSUM changepoint scan
+
+@query(
+    "ts_cusum_changepoint",
+    "C8",
+    oracle=_cte("""
+    , b AS (
+      SELECT metric, ts_us // 3600000000 AS hour_id,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM s GROUP BY 1, 2
+    ), t AS (
+      SELECT metric, hour_id, cents,
+             CAST(count(*) OVER (PARTITION BY metric) AS BIGINT) AS n,
+             CAST(sum(cents) OVER (PARTITION BY metric) AS BIGINT) AS total
+      FROM b
+    ), cs AS (
+      SELECT metric, hour_id, n,
+             sum(n * cents - total) OVER (
+               PARTITION BY metric ORDER BY hour_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_k
+      FROM t
+    ), r AS (
+      SELECT metric, hour_id, n, s_k,
+             row_number() OVER (PARTITION BY metric
+                                ORDER BY abs(s_k) DESC, hour_id) AS rn
+      FROM cs
+    )
+    SELECT metric,
+           CAST(n AS BIGINT) AS n_buckets,
+           CAST(hour_id AS BIGINT) AS changepoint_hour,
+           CAST(abs(s_k) AS BIGINT) AS max_abs_cusum_scaled,
+           CAST(CASE WHEN s_k > 0 THEN 1 WHEN s_k < 0 THEN -1 ELSE 0 END
+                AS BIGINT) AS direction
+    FROM r WHERE rn = 1
+    """),
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan (SURVEY.md §2-C8 depth): per metric,
+    cumulative sum of deviations from the series mean over hourly
+    buckets; the bucket where |CUSUM| peaks is the single best
+    level-shift changepoint (Page 1954 / binary-segmentation step 1) —
+    the regime-change primitive behind alert "this metric moved" logic.
+
+    Parity: deviations are scaled by n (S_k = Σ n·xᵢ − k·total) so the
+    running sum is BIGINT-exact — no mean division ever happens; the
+    argmax tie-breaks on (abs desc, hour_id asc) identically on both
+    engines. Headroom: |S_k| ≤ n·Σ|x| ~ 1e13 at sf0.1, far under 2^63.
+
+    Scale: bucket-sum shuffle collapses map-side; the three windows and
+    the argmax all share the metric partitioning, so after the bucket
+    aggregate the whole scan is a single per-metric pipeline over
+    |hours| rows — the raw-point volume never enters a window frame.
+    """
+    s = _series(spark, sf_dir)
+    b = s.groupBy(
+        "metric", F.expr("ts_us div 3600000000").alias("hour_id")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("cents")
+    )
+    wm = Window.partitionBy("metric")
+    t = b.withColumn("n", F.count(F.lit(1)).over(wm).cast("long")).withColumn(
+        "total", F.sum("cents").over(wm).cast("long")
+    )
+    wcs = (
+        Window.partitionBy("metric")
+        .orderBy("hour_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cs = t.withColumn(
+        "s_k", F.sum(F.col("n") * F.col("cents") - F.col("total")).over(wcs)
+    )
+    wr = Window.partitionBy("metric").orderBy(F.abs("s_k").desc(), "hour_id")
+    return (
+        cs.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "metric",
+            F.col("n").alias("n_buckets"),
+            F.col("hour_id").cast("long").alias("changepoint_hour"),
+            F.abs("s_k").cast("long").alias("max_abs_cusum_scaled"),
+            F.when(F.col("s_k") > 0, 1)
+            .when(F.col("s_k") < 0, -1)
+            .otherwise(0)
+            .cast("long")
+            .alias("direction"),
+        )
+    )

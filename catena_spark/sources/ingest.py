@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from .. import tables
 from ..registry import query
 
 #: canonical series schema for streamed ingest (events-shaped).
@@ -250,6 +251,59 @@ def src_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(json_dir)
     )
     out = json_df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias(
+            "sum_cents"
+        ),
+    )
+    out = out.localCheckpoint(eager=True)  # materialize before tmp cleanup
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
+    "src_orc_partitioned_pruning",
+    "A6",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS dt, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-03'
+      AND CAST(ts AS DATE) <  DATE '2024-01-05'
+    GROUP BY 1, 2
+    """,
+)
+def src_orc_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source + hive-style dt partition layout (SURVEY.md §2-A6
+    depth, A3's partition-rotation layout made queryable): events are
+    written as ORC partitioned by derived dt, then read back with a dt
+    range predicate — the partition-pruned scan path a catena-style
+    retention/rotation layout serves. The oracle aggregates the original
+    parquet under the same predicate, so pruning must be lossless.
+
+    Parity: dt derives from the UTC calendar date of ts on both sides
+    (ensure_runtime_conf pins session tz); cents sums are exact ints.
+
+    Scale: the read applies the dt filter at PLANNING time — the scan's
+    PartitionFilters (asserted in tests/test_plans.py) mean non-matching
+    dt directories are never listed or opened; at 100 TB with daily
+    partitions this is the difference between reading 2 days and 365.
+    ORC itself is columnar + predicate-pushdown capable like parquet, so
+    the connector keeps column pruning too.
+    """
+    import tempfile
+
+    ev = tables.load(spark, sf_dir, "events").withColumn("dt", F.to_date("ts"))
+    tmp = Path(tempfile.mkdtemp(prefix="catena_src_orc_"))
+    orc_dir = str(tmp / "orc")
+    ev.write.mode("overwrite").partitionBy("dt").orc(orc_dir)
+    back = spark.read.orc(orc_dir).where(
+        (F.col("dt") >= F.lit("2024-01-03").cast("date"))
+        & (F.col("dt") < F.lit("2024-01-05").cast("date"))
+    )
+    out = back.groupBy("dt", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias(
             "sum_cents"

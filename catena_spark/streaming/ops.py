@@ -361,3 +361,53 @@ def stream_live_ewma_state(spark, sf_dir):
     name = f"live_ewma_{os.getpid()}"
     _run_to_table(agg, name, "append")
     return spark.table(name).select("user_id", "event_type", "ts_us", "ewma")
+
+
+@query(
+    "stream_live_dedup_watermark",
+    "F4",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_live_dedup_watermark(spark, sf_dir):
+    """LIVE streaming dedup under the driver gate (F4): the events
+    stream UNIONed with itself (every event arrives twice, the at-least-
+    once delivery failure mode) flows through
+    dropDuplicatesWithinWatermark(event_id) into a memory sink; the
+    returned batch aggregate over the sink must equal the plain batch
+    aggregate of the ORIGINAL single-copy table — an exact, hash-checked
+    proof that the dedup state dropped every duplicate and nothing else.
+
+    Parity: the oracle never sees the duplication; counts and integer-
+    cent sums only match if streaming dedup is exactly-once. The final
+    aggregate runs as a BATCH query on the sink table, so no streaming
+    output-mode caveats touch the compared values.
+
+    Scale: dedup state is keyed by event_id and EVICTED once the
+    watermark passes an id's event time — bounded state on an unbounded
+    feed, unlike batch dropDuplicates which would hold the full key set;
+    this is the Spark-native form of catena's WAL idempotent replay
+    (SURVEY.md §2-F4/A2).
+    """
+    tables.load(spark, sf_dir, "events")  # ensure parity conf + pkg ship
+    doubled = _stream_events(spark, sf_dir).unionAll(_stream_events(spark, sf_dir))
+    deduped = doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"live_dedup_{os.getpid()}"
+    _run_to_table(deduped, name, "append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+    )

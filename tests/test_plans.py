@@ -144,3 +144,21 @@ def test_winnowing_single_partition_key(spark):
     # no cartesian anywhere.
     df = llm.llm_winnowing_fingerprint(spark, SF_SMALL)
     assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_orc_partitioned_read_prunes(spark, tmp_path):
+    # the dt range predicate must reach the ORC scan as a partition
+    # filter: only the 2 matching dt directories of the 30 written ever
+    # get listed/opened.
+    from catena_spark import tables
+    from pyspark.sql import functions as F
+
+    ev = tables.load(spark, SF_SMALL, "events").withColumn("dt", F.to_date("ts"))
+    path = str(tmp_path / "orc")
+    ev.write.mode("overwrite").partitionBy("dt").orc(path)
+    back = spark.read.orc(path).where(
+        (F.col("dt") >= F.lit("2024-01-03").cast("date"))
+        & (F.col("dt") < F.lit("2024-01-05").cast("date"))
+    )
+    plan = formatted_plan(back)
+    assert "PartitionFilters: [" in plan and "dt" in plan.split("PartitionFilters:")[1][:120], plan[:2000]
