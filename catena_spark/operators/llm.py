@@ -2162,3 +2162,56 @@ def llm_semdedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("krn") == 1).alias("keep"),
         )
     )
+
+
+# ================================================= E4 depth: inverted index stats
+
+@query(
+    "llm_inverted_index",
+    "E4",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      unnest(string_split(lower(trim(text)), ' ')) AS term
+               FROM documents),
+    tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+           FROM w GROUP BY 1, 2)
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS doc_freq,
+           CAST(sum(tf) AS BIGINT) AS corpus_freq,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(arg_max(doc_id, tf * 100000000 - doc_id) AS BIGINT) AS top_doc,
+           CAST(max(tf) AS BIGINT) AS top_tf
+    FROM tf GROUP BY term
+    """,
+)
+def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (SURVEY.md §2-E4 depth): the
+    term -> posting-list aggregate (document frequency, corpus
+    frequency, first posting, highest-tf posting) that underlies both
+    BM25 retrieval and the tf-idf weighting llm_tfidf_top_terms
+    consumes — here materialized as per-term index statistics.
+
+    Parity: tf/df/cf are integer counts; the top posting tie-breaks
+    max-tf-then-min-doc_id via the scalar composite key
+    tf*1e8 - doc_id (doc_id << 1e8 at every fixture SF) — identical
+    max_by/arg_max semantics on both engines.
+
+    Scale: the explode pipelines into a (term, doc) partial aggregate
+    (map-side combine absorbs within-doc repetition), then one shuffle
+    keyed by term builds every posting-list stat in a single pass —
+    the same one-exchange shape a real index build at 100 TB uses,
+    with per-term state a handful of scalars (skew-safe even for
+    stopword terms).
+    """
+    d = _docs_norm(spark, sf_dir)
+    w = d.select("doc_id", F.explode(F.split("t", " ")).alias("term"))
+    tf = w.groupBy("term", "doc_id").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("corpus_freq"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max_by("doc_id", F.col("tf") * 100000000 - F.col("doc_id"))
+        .cast("long")
+        .alias("top_doc"),
+        F.max("tf").cast("long").alias("top_tf"),
+    )

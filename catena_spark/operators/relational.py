@@ -2824,3 +2824,59 @@ def fn_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
+
+
+# --------------------------------------------- D14 depth: LATERAL subquery join
+
+@query(
+    "subq_lateral_top2_orders",
+    "D14",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice, t.rnk
+    FROM customer c,
+         LATERAL (
+           SELECT o_orderkey, o_totalprice,
+                  CAST(row_number() OVER (ORDER BY o_totalprice DESC,
+                                          o_orderkey) AS BIGINT) AS rnk
+           FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 2
+         ) t
+    WHERE c.c_acctbal > 9000
+    """,
+)
+def subq_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SURVEY.md §2-D14 depth): each
+    wealthy customer joined laterally to its own top-2 orders by price —
+    the SQL-standard per-row derived table (Spark >= 3.4 LATERAL
+    support), the one correlated-subquery shape the D14 scalar/IN/EXISTS
+    suite didn't cover.
+
+    Parity: o_totalprice is a fixture decimal-as-double compared, never
+    arithmetized; ordering ties break on o_orderkey on both engines.
+
+    Scale: Catalyst decorrelates the LATERAL into a ranked window over
+    the orders side joined back on custkey — no per-row re-execution of
+    the inner query (which is how a naive nested-loop engine runs
+    LATERAL); the filter on c_acctbal prunes the driving side before
+    the join.
+    """
+    for t in ("customer", "orders"):
+        tables.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice, t.rnk
+        FROM customer c,
+             LATERAL (
+               SELECT o_orderkey, o_totalprice,
+                      CAST(row_number() OVER (ORDER BY o_totalprice DESC,
+                                              o_orderkey) AS BIGINT) AS rnk
+               FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               LIMIT 2
+             ) t
+        WHERE c.c_acctbal > 9000
+        """
+    )

@@ -1775,3 +1775,217 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+# ------------------------------------- B1 depth: event-sequence Markov model
+
+@query(
+    "ts_markov_transitions",
+    "C9",
+    oracle=_cte("""
+    , o AS (
+      SELECT source, metric,
+             lag(metric) OVER (PARTITION BY source
+                               ORDER BY ts_us, metric) AS prev
+      FROM s
+    ), p AS (
+      SELECT prev, metric AS next, CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev, next, n,
+           (n * 1000000)
+             // CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT) AS prob_ppm
+    FROM p
+    """),
+)
+def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition model over event sequences
+    (SURVEY.md §2-C9 depth): per user, consecutive event-type pairs in
+    time order, aggregated into a corpus transition matrix with ppm
+    probabilities — the "what do users do next" primitive behind funnel
+    discovery and next-event prediction, built on the same per-source
+    ordering contract as sessionization.
+
+    Parity: the lag ordering tie-breaks on (ts_us, metric) so it is
+    deterministic even under timestamp collisions; counts and floor-div
+    ppm are integer-exact.
+
+    Scale: one shuffle to order per source (the lag window), then the
+    pair aggregate collapses map-side to |event_types|² rows; the prob
+    normalization is a window over that tiny matrix. Per-user state in
+    the window is a single previous row.
+    """
+    s = _series(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("ts_us", "metric")
+    o = s.select("source", "metric", F.lag("metric").over(w).alias("prev"))
+    p = (
+        o.where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("metric").alias("next"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wp = Window.partitionBy("prev")
+    return p.select(
+        "prev",
+        "next",
+        "n",
+        F.expr("n * 1000000").cast("long").alias("_num"),
+        F.sum("n").over(wp).cast("long").alias("_den"),
+    ).select(
+        "prev",
+        "next",
+        "n",
+        F.expr("_num div _den").alias("prob_ppm"),
+    )
+
+
+# --------------------------------------------- C2/C8 depth: OLS trend per metric
+
+@query(
+    "ts_trend_ols",
+    "C8",
+    oracle=_cte("""
+    , b AS (
+      SELECT metric, ts_us // 3600000000 AS x,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM s GROUP BY 1, 2
+    ), g AS (
+      SELECT metric,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM b GROUP BY 1
+    )
+    SELECT metric, n AS n_buckets,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+               AS slope_cents_per_hour,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 4) AS intercept_cents
+    FROM g
+    """),
+)
+def ts_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric OLS trend line (SURVEY.md §2-C8 depth): least-squares
+    slope and intercept of hourly bucket sums against the hour index —
+    the capacity-planning / drift primitive ("how fast is this metric
+    growing per hour") that pairs with ts_cusum_changepoint's level-
+    shift detector.
+
+    Parity: all five co-moments are BIGINT-exact; slope and intercept
+    are each ONE identical float expression over identical integers
+    (cast, multiply, divide, round) — bit-identical on both engines,
+    same proof as ts_corr_metric_pairs. Fixture x,y magnitudes keep
+    n*sxy well inside 2^63.
+
+    Scale: the classic sufficient-statistics shape — one shuffle to
+    hourly buckets (map-side partial), one tiny aggregate to 5 numbers
+    per metric; the regression itself never sees raw points, so the
+    cost is the bucket aggregate no matter the history length.
+    """
+    s = _series(spark, sf_dir)
+    b = s.groupBy(
+        "metric", F.expr("ts_us div 3600000000").alias("x")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("y")
+    )
+    g = b.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return g.select(
+        "metric",
+        F.col("n").alias("n_buckets"),
+        F.round(slope, 6).alias("slope_cents_per_hour"),
+        F.round(intercept, 4).alias("intercept_cents"),
+    )
+
+
+# ----------------------------------- A5 depth: Gorilla-style compressibility
+
+@query(
+    "ts_compression_stats",
+    "A5",
+    oracle=_cte("""
+    , o AS (
+      SELECT source, metric, ts_us,
+             ts_us - lag(ts_us) OVER (PARTITION BY source, metric
+                                      ORDER BY ts_us) AS delta
+      FROM s
+    ), dd AS (
+      SELECT source, metric,
+             delta - lag(delta) OVER (PARTITION BY source, metric
+                                      ORDER BY ts_us) AS dod
+      FROM o WHERE delta IS NOT NULL
+    ), buck AS (
+      SELECT metric,
+             CASE WHEN dod = 0 THEN 0
+                  WHEN abs(dod) < 64 THEN 7
+                  WHEN abs(dod) < 256 THEN 9
+                  WHEN abs(dod) < 2048 THEN 12
+                  ELSE 32 END AS bits
+      FROM dd WHERE dod IS NOT NULL
+    )
+    SELECT metric, CAST(bits AS BIGINT) AS bits,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(bits) AS BIGINT) AS total_bits
+    FROM buck GROUP BY 1, 2
+    """),
+)
+def ts_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla/catena-extent compressibility audit (SURVEY.md §2-A5
+    depth): per series, delta-of-delta of the microsecond timestamps
+    bucketed into the Gorilla paper's variable-width encoding classes
+    (0 bits for regular cadence, 7/9/12-bit windows, 32-bit escape) —
+    the storage-engine diagnostic that predicts how well a TSDB's
+    timestamp compression will do on this workload, i.e. the Spark-side
+    view of the compressed-extent design catena implements natively.
+
+    Parity: deltas, delta-of-deltas, CASE bucketing, counts and bit
+    sums are all integer-exact; the lag ordering is the unique-per-
+    series ts_us.
+
+    Scale: one shuffle to (source, metric) for the two stacked lags
+    (same partition, pipelined), then the bucket aggregate collapses
+    map-side to |metrics|x4 rows. This is a full-scan diagnostic you
+    run per-partition at compaction time, not per-query.
+    """
+    s = _series(spark, sf_dir)
+    w = Window.partitionBy("source", "metric").orderBy("ts_us")
+    o = s.select(
+        "source",
+        "metric",
+        "ts_us",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("delta"),
+    )
+    dd = o.where(F.col("delta").isNotNull()).select(
+        "metric",
+        (F.col("delta") - F.lag("delta").over(w)).alias("dod"),
+    )
+    bits = (
+        F.when(F.col("dod") == 0, 0)
+        .when(F.abs("dod") < 64, 7)
+        .when(F.abs("dod") < 256, 9)
+        .when(F.abs("dod") < 2048, 12)
+        .otherwise(32)
+    )
+    return (
+        dd.where(F.col("dod").isNotNull())
+        .select("metric", bits.cast("long").alias("bits"))
+        .groupBy("metric", "bits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum("bits").cast("long").alias("total_bits"),
+        )
+    )

@@ -44,7 +44,7 @@ def query(name: str, section: str, oracle: str | None = None):
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .functions import udtfs  # noqa: F401
-    from .operators import llm, multimodal, relational, timeseries  # noqa: F401
+    from .operators import graph, llm, multimodal, relational, timeseries  # noqa: F401
     from .sources import ingest  # noqa: F401
     from .streaming import ops  # noqa: F401
 
