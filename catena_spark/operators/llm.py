@@ -2215,3 +2215,103 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("top_doc"),
         F.max("tf").cast("long").alias("top_tf"),
     )
+
+
+# ==================================================== E4 depth: BM25 retrieval
+
+@query(
+    "llm_bm25_topk",
+    "E4",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      string_split(lower(trim(text)), ' ') AS ws
+               FROM documents),
+    dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+                 CAST(sum(dl) AS BIGINT) AS td FROM dl),
+    w AS (SELECT doc_id, unnest(ws) AS term FROM d),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM w WHERE term IN ('hash', 'scan', 'window')
+           GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    sc AS (SELECT tf.doc_id,
+             CAST(round(
+               ln(1.0 + (CAST(c.nn AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                        / (CAST(df.df AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * ((CAST(dl.dl AS DOUBLE)
+                                              * CAST(c.nn AS DOUBLE))
+                                             / CAST(c.td AS DOUBLE)))))
+               * 1000000, 0) AS BIGINT) AS s_micro
+           FROM tf JOIN df USING (term) JOIN dl USING (doc_id), c)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms_hit,
+           CAST(sum(s_micro) AS BIGINT) AS bm25_micro
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id LIMIT 20
+    """,
+)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (SURVEY.md §2-E4 depth): Okapi BM25
+    (k1=1.2, b=0.75, Lucene idf) for the fixed query {hash, scan,
+    window}, top 20 docs — the lexical-retrieval scorer that pairs with
+    llm_cosine_topk's dense scorer to make the engine's hybrid-search
+    story complete, consuming exactly the statistics llm_inverted_index
+    materializes.
+
+    Parity: tf/df/dl/N/total are exact integers; each per-term score is
+    ONE float expression with identical operation order on both engines
+    (ln is libm-bit-identical, r1-verified), rounded to integer
+    micro-units BEFORE the per-doc sum — so the sum is order-free and
+    the ranking ties break on doc_id.
+
+    Scale: the posting scan touches only query-term postings (the IN
+    filter pushes into the explode); df and the corpus stats broadcast;
+    top-k is TakeOrdered (no global sort). At 100 TB the same plan
+    serves: per-term posting lists shuffle-join on doc_id, K scalars of
+    corpus state ride the broadcast.
+    """
+    d = _docs_norm(spark, sf_dir).select(
+        "doc_id", F.split("t", " ").alias("ws")
+    )
+    dl = d.select("doc_id", F.size("ws").cast("long").alias("dl"))
+    c = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("dl").cast("long").alias("td"),
+    )
+    w = d.select("doc_id", F.explode("ws").alias("term"))
+    tf = (
+        w.where(F.col("term").isin("hash", "scan", "window"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nn_d, df_d, tf_d = (
+        F.col("nn").cast("double"),
+        F.col("df").cast("double"),
+        F.col("tf").cast("double"),
+    )
+    dl_d, td_d = F.col("dl").cast("double"), F.col("td").cast("double")
+    idf = F.log(F.lit(1.0) + (nn_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5)))
+    norm = (tf_d * F.lit(2.2)) / (
+        tf_d + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * ((dl_d * nn_d) / td_d))
+    )
+    sc = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(c))
+        .select(
+            "doc_id",
+            F.round(idf * norm * 1_000_000, 0).cast("long").alias("s_micro"),
+        )
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.sum("s_micro").cast("long").alias("bm25_micro"),
+        )
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(20)
+    )

@@ -2880,3 +2880,61 @@ def subq_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_acctbal > 9000
         """
     )
+
+
+# ------------------------------------------------ D9 depth: multi-measure pivot
+
+@query(
+    "pivot_multi_measures",
+    "D9",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F_n,
+           CAST(coalesce(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                         FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT)
+               AS F_cents,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O_n,
+           CAST(coalesce(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                         FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT)
+               AS O_cents,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P_n,
+           CAST(coalesce(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                         FILTER (WHERE o_orderstatus = 'P'), 0) AS BIGINT)
+               AS P_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_multi_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure pivot (SURVEY.md §2-D9 depth): orders pivoted on
+    status with TWO aggregates per pivot value (count + cent sum) —
+    the wide-report shape pivot_flag_by_status's single measure didn't
+    cover; Spark names the generated columns {value}_{alias}, mirrored
+    as FILTER-ed conditional aggregates in the oracle.
+
+    Parity: counts and integer-cent sums; empty cells coalesce to 0 on
+    both engines (Spark count never nulls; sums are coalesced).
+
+    Scale: pivot with an EXPLICIT value list compiles to one pass of
+    conditional aggregation (no extra distinct-values job, no second
+    shuffle) — always enumerate pivot values in production; the
+    implicit-list form scans the data twice.
+    """
+    o = tables.load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(f"{v}_{m}"), F.lit(0)).cast("long").alias(f"{v}_{m}")
+            for v in ("F", "O", "P")
+            for m in ("n", "cents")
+        ],
+    )

@@ -1989,3 +1989,122 @@ def ts_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bits").cast("long").alias("total_bits"),
         )
     )
+
+
+# ------------------------------------------------- C4 depth: gap detection
+
+@query(
+    "ts_gap_report",
+    "C4",
+    oracle=_cte("""
+    , b AS (
+      SELECT DISTINCT metric, ts_us // 3600000000 AS hour_id FROM s
+    ), g AS (
+      SELECT metric, hour_id,
+             hour_id - lag(hour_id) OVER (PARTITION BY metric
+                                          ORDER BY hour_id) AS step
+      FROM b
+    )
+    SELECT metric,
+           CAST(count(*) AS BIGINT) AS n_present_hours,
+           CAST(count(*) FILTER (WHERE step > 1) AS BIGINT) AS n_gaps,
+           CAST(coalesce(max(step) FILTER (WHERE step > 1), 0) - 1 AS BIGINT)
+               AS max_gap_hours,
+           CAST(coalesce(sum(step - 1) FILTER (WHERE step > 1), 0) AS BIGINT)
+               AS total_missing_hours
+    FROM g GROUP BY metric
+    """),
+)
+def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap DETECTION report (SURVEY.md §2-C4 depth): per metric, how
+    many hourly buckets are missing, the longest outage, and the total
+    missing hours — the monitoring-side complement of the gap-FILLING
+    operators (ts_gapfill_ffill/linear): before you interpolate, you
+    alert on the hole.
+
+    Parity: hour ids, lag steps, filtered counts/sums are all integer-
+    exact; FILTER (WHERE ...) is spelled as conditional aggregation in
+    Spark with identical semantics.
+
+    Scale: the distinct collapses map-side to |metric|x|hours| rows
+    before the single metric-keyed shuffle that serves both the lag
+    window and the final aggregate — raw points never enter a window.
+    """
+    s = _series(spark, sf_dir)
+    b = s.select(
+        "metric", F.expr("ts_us div 3600000000").alias("hour_id")
+    ).distinct()
+    w = Window.partitionBy("metric").orderBy("hour_id")
+    g = b.withColumn("step", F.col("hour_id") - F.lag("hour_id").over(w))
+    is_gap = F.col("step") > 1
+    return g.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present_hours"),
+        F.sum(is_gap.cast("long")).cast("long").alias("n_gaps"),
+        (
+            F.coalesce(F.max(F.when(is_gap, F.col("step"))), F.lit(1)) - 1
+        ).cast("long").alias("max_gap_hours"),
+        F.coalesce(F.sum(F.when(is_gap, F.col("step") - 1)), F.lit(0))
+        .cast("long")
+        .alias("total_missing_hours"),
+    )
+
+
+# ---------------------------------------------- C1 depth: SAX symbolization
+
+@query(
+    "ts_sax_symbolize",
+    "C1",
+    oracle=_cte("""
+    , b AS (
+      SELECT metric, ts_us // 3600000000 AS hour_id,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM s GROUP BY 1, 2
+    ), q AS (
+      SELECT metric, hour_id,
+             ntile(4) OVER (PARTITION BY metric
+                            ORDER BY cents, hour_id) AS quartile
+      FROM b
+    )
+    SELECT metric,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           string_agg(chr(CAST(96 + quartile AS INTEGER)), '' ORDER BY hour_id) AS sax_word
+    FROM q GROUP BY metric
+    """),
+)
+def ts_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (SURVEY.md §2-C1 depth): each metric's hourly
+    sums discretized into per-metric quartile letters a-d and
+    concatenated in time order into one symbolic word — the
+    dimensionality reduction behind symbolic motif/anomaly mining
+    (Lin et al. 2003), with rank-based (empirical-quantile) breakpoints
+    instead of the Gaussian ones so the discretization stays exact.
+
+    Parity: ntile over (cents, hour_id) is deterministic-integer on
+    both engines; the word is assembled in explicit hour order on both
+    (string_agg ORDER BY / array_sort on (hour_id, letter) structs).
+    The output is a flat STRING — driver-hash-safe.
+
+    Scale: bucket shuffle collapses map-side; the ntile window and the
+    word assembly share the metric partitioning. Word length = bucket
+    count (720 here) — bounded by the downsample grain, not raw data.
+    """
+    s = _series(spark, sf_dir)
+    b = s.groupBy(
+        "metric", F.expr("ts_us div 3600000000").alias("hour_id")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("cents")
+    )
+    w = Window.partitionBy("metric").orderBy("cents", "hour_id")
+    q = b.withColumn("quartile", F.ntile(4).over(w))
+    return q.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("hour_id", F.chr(F.lit(96) + F.col("quartile")).alias("ch")))
+                ),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("sax_word"),
+    )
