@@ -100,19 +100,70 @@ def llm_token_set_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
 
 
-# ================================================================ E2: MinHash-LSH (rows-only)
+# ================================================================ E2: MinHash-LSH (exploded-shuffle shape)
 
-@query("llm_minhash_pairs", "E2", oracle=None)
+def _minhash_pairs_oracle() -> str:
+    """DuckDB mirror of llm_minhash_pairs: 30 md5-string minhashes
+    (prefix ``m<seed>:``), 5 bands x 6 rows, banded candidates, exact
+    Jaccard verify at J >= 0.9. Built programmatically — 30 repeated
+    list_min(list_transform(...)) terms are mechanical."""
+    R, B = 6, 5
+    bands = []
+    for b in range(B):
+        mins = " || ',' || ".join(
+            f"list_min(list_transform(tk, t -> md5('m{s}:' || t)))"
+            for s in range(b * R, (b + 1) * R)
+        )
+        bands.append(f"md5({mins}) AS band{b}")
+    band_cols = ",\n        ".join(bands)
+    band_or = " OR ".join(f"a.band{b} = b.band{b}" for b in range(B))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS tk
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, tk,
+        {band_cols}
+      FROM toks
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tk AS ta, b.tk AS tb
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id AND ({band_or})
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_filter(ta, x -> list_contains(tb, x))) AS DOUBLE)
+                 / CAST(len(ta) + len(tb)
+                        - len(list_filter(ta, x -> list_contains(tb, x)))
+                   AS DOUBLE), 6) AS jaccard
+    FROM cand
+    WHERE round(CAST(len(list_filter(ta, x -> list_contains(tb, x))) AS DOUBLE)
+                / CAST(len(ta) + len(tb)
+                       - len(list_filter(ta, x -> list_contains(tb, x)))
+                  AS DOUBLE), 6) >= 0.9
+    """
+
+
+@query("llm_minhash_pairs", "E2", oracle=_minhash_pairs_oracle())
 def llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-Jaccard-verified at
-    J >= 0.9 (SURVEY.md §2-E2). Pipeline: distinct tokens -> 30 seeded
-    xxhash64 minhashes -> 5 bands x 6 rows -> band-bucket equi-join for
-    candidates -> exact verify on token arrays.
+    J >= 0.9 (SURVEY.md §2-E2). Pipeline: distinct tokens exploded ->
+    30 seeded md5-string minhashes via a (doc, seed) shuffle aggregate
+    -> 5 bands x 6 rows -> band-bucket equi-join for candidates ->
+    exact verify on token arrays.
 
-    Not SQL-oracle-expressible at sf0.01 cost (exact all-pairs Jaccard
-    is O(n^2) with no usable blocking on a 40-word vocabulary) ->
-    rows-only driver check; tests/test_llm.py asserts precision == 1.0
-    and recall >= 0.95 against in-Spark brute force at sf0.001.
+    Distinct from llm_minhash_pairs_portable in BOTH config (30 hashes
+    in 5x6 bands, P[candidate|J=.9] ~ .98, vs 12 in 3x4) and physical
+    shape: this one computes signatures through an exploded
+    (doc, seed, token) -> groupBy(doc, seed) min() SHUFFLE aggregate —
+    the plan you want at 100 TB when token arrays are too wide for
+    per-row HOF evaluation and map-side partial min() collapses the
+    explosion before the exchange. The portable twin evaluates the
+    whole signature row-local with array HOFs. Hash family upgraded
+    from Spark-only xxhash64 to md5 hex strings (r2 VERDICT item 3) so
+    the full pipeline mirrors in DuckDB SQL — the seed prefix ``m<s>:``
+    keeps this family independent of the portable key's ``<s>:``.
 
     Scale: the whole point of LSH banding — candidate pairs, never the
     cross product, hit the shuffle. Hash family is seed-fixed so
@@ -127,7 +178,11 @@ def llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "tok",
         F.explode(F.sequence(F.lit(0), F.lit(R * B - 1))).alias("seed"),
-    ).select("doc_id", "seed", F.xxhash64("seed", "tok").alias("h"))
+    ).select(
+        "doc_id",
+        "seed",
+        F.md5(F.concat(F.lit("m"), F.col("seed").cast("string"), F.lit(":"), F.col("tok"))).alias("h"),
+    )
     sig = th.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
     band = sig.withColumn("band", F.expr(f"seed div {R}"))
     bsig = band.groupBy("doc_id", "band").agg(
@@ -135,7 +190,7 @@ def llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda s: s["mh"].cast("string"),
+                    lambda s: s["mh"],
                 ),
                 ",",
             )
@@ -381,20 +436,70 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ================================================================ E3: ANN via hyperplane LSH (rows-only)
 
-def _hyperplanes(n_planes: int = 16, dim: int = 64, seed: int = 7):
-    """Deterministic random hyperplanes (fixed seed — SURVEY.md §7 risk
-    #4: no per-run randomness may leak into results)."""
-    import numpy as np
+def _hyperplanes(n_planes: int = 16, dim: int = 64):
+    """Deterministic INTEGER hyperplanes in [-1000, 1000], each weight
+    derived from md5("hp:<plane>:<dim>") — the same bytes DuckDB's md5()
+    produces, so the oracle recomputes the identical plane table in pure
+    SQL (SURVEY.md §7 risk #4: no per-run randomness; r2 VERDICT item 3:
+    portable hash families). Integer weights x micro-unit components
+    make the sign test EXACT bigint arithmetic — no float-summation
+    order can flip a bucket between engines."""
+    import hashlib
 
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
+    return [
+        [
+            int(hashlib.md5(f"hp:{p}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
 
 
-@query("llm_ann_lsh", "E3", oracle=None)
+def _ann_lsh_oracle() -> str:
+    """DuckDB mirror of llm_ann_lsh: identical md5-derived integer
+    hyperplanes, exact integer sign bits, 8 bands x 2 bits, exact-cosine
+    verify at 0.4 (list_cosine_similarity — an independent kernel)."""
+    return """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ix AS (SELECT vec_id, t.i AS d,
+                  CAST(round(v[t.i + 1] * 1000000) AS BIGINT) AS xi
+           FROM e, range(64) t(i)),
+    pl AS (SELECT p, d,
+                  CAST(('0x' || substr(md5('hp:' || p || ':' || d), 1, 8))
+                       AS BIGINT) % 2001 - 1000 AS w
+           FROM range(16) tp(p), range(64) td(d)),
+    bits AS (SELECT vec_id, p,
+                    CASE WHEN sum(w * xi) > 0 THEN 1 ELSE 0 END AS bit
+             FROM ix JOIN pl USING (d)
+             GROUP BY vec_id, p),
+    bk AS (SELECT vec_id, p // 2 AS band,
+                  CAST(sum(CASE WHEN p % 2 = 0 THEN bit ELSE 2 * bit END)
+                       AS BIGINT) AS bucket
+           FROM bits GROUP BY vec_id, p // 2),
+    pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM bk a JOIN bk b USING (band, bucket)
+              WHERE a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+    FROM pairs
+    JOIN e ea ON ea.vec_id = vec_a
+    JOIN e eb ON eb.vec_id = vec_b
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
+    """
+
+
+@query("llm_ann_lsh", "E3", oracle=_ann_lsh_oracle())
 def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate near-neighbor pairs via random-hyperplane LSH
     (SURVEY.md §2-E3 scale path): 16 sign-bits -> 8 bands x 2 bits;
     candidates collide in >=1 band; exact-cosine verify at 0.4.
+
+    Hyperplanes are md5-derived integers and components are scaled to
+    exact micro-units, so each sign bit is a pure BIGINT comparison —
+    reproducible to the bit in the DuckDB oracle (upgraded from
+    rows-only numpy hyperplanes, r2 VERDICT item 3).
 
     2-bit bands because the fixture similarity regime is low (max ~0.5;
     collision prob per plane = 1 - theta/pi ~ 0.63): recall ~0.98 at
@@ -407,11 +512,28 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = tables.load(spark, sf_dir, "embeddings")
     planes = _hyperplanes()
+    ixcol = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("long"),
+    )
+    ie = e.withColumn("ix", ixcol)
     bits = [
-        F.when(dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in p])) > 0, 1)
-        .otherwise(0)
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col("ix"),
+                    F.array(*[F.lit(int(w)) for w in p]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            1,
+        ).otherwise(0)
         for p in planes
     ]
+    e = ie
     n_bands, band_bits = 8, 2
     bands = e.select(
         "vec_id",
@@ -725,7 +847,56 @@ def llm_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ================================================================ E3: ANN via IVF coarse quantizer (rows-only)
 
-@query("llm_ann_ivf", "E3", oracle=None)
+_ANN_IVF_ORACLE = """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 10),
+    a0 AS (SELECT e.vec_id, e.v, s.cid,
+                  row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.v, s.cv), 6) DESC,
+                             s.cid
+                  ) AS rn
+           FROM e CROSS JOIN seeds s),
+    assign0 AS (SELECT vec_id, v, cid FROM a0 WHERE rn = 1),
+    comp AS (SELECT cid, t.i AS pos,
+                    CAST(round(v[t.i + 1] * 1000000) AS BIGINT) AS xi
+             FROM assign0, range(64) t(i)),
+    cm AS (SELECT cid, pos,
+                  CAST(sum(xi) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                      / 1000000.0 AS m
+           FROM comp GROUP BY cid, pos),
+    cent AS (SELECT cid, list(m ORDER BY pos) AS cv FROM cm GROUP BY cid),
+    a1 AS (SELECT e.vec_id, e.v, c.cid,
+                  row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                             c.cid
+                  ) AS rn
+           FROM e CROSS JOIN cent c),
+    assigned AS (SELECT vec_id AS nid, v AS nv, cid FROM a1 WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+    pr AS (SELECT q.qid, q.qv, c.cid,
+                  row_number() OVER (
+                    PARTITION BY q.qid
+                    ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                             c.cid
+                  ) AS rn
+           FROM q CROSS JOIN cent c),
+    probes AS (SELECT qid, qv, cid FROM pr WHERE rn <= 3),
+    scored AS (SELECT p.qid, a.nid,
+                      round(list_cosine_similarity(p.qv, a.nv), 6) AS cos_sim
+               FROM probes p JOIN assigned a USING (cid)
+               WHERE a.nid != p.qid),
+    r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, nid) AS rn
+          FROM scored)
+    SELECT qid, nid, cos_sim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
+    """
+
+
+@query("llm_ann_ivf", "E3", oracle=_ANN_IVF_ORACLE)
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via an IVF coarse quantizer
     (SURVEY.md §2-E3, the second scale path beside llm_ann_lsh):

@@ -72,9 +72,20 @@ def _settled_counts() -> dict[str, int]:
         except Exception:
             continue
         for key, res in report.items():
+            # A hash-green row always settles. A rows-only `no_oracle` row
+            # settles ONLY while the spec still has no oracle: once an
+            # oracle is added (round-3 conversions: minhash/ann/lttb), the
+            # old rows-only record is no longer the strongest available
+            # check, so the key re-enters the unverified pool and rotates
+            # back into the driver's window for a real hash comparison.
+            spec = _REGISTRY.get(key)
             ok = isinstance(res, dict) and (
                 res.get("hash_match") is True
-                or (res.get("err") == "no_oracle" and res.get("spark_rows") is not None)
+                or (
+                    res.get("err") == "no_oracle"
+                    and res.get("spark_rows") is not None
+                    and (spec is None or spec.oracle is None)
+                )
             )
             if ok:
                 counts[key] = counts.get(key, 0) + 1
