@@ -312,3 +312,83 @@ def src_orc_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)  # materialize before tmp cleanup
     shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# ------------------------------------------------- A6 depth: bucketed co-located join
+
+def bucketed_join(spark: SparkSession, sf_dir: str, warehouse: str) -> DataFrame:
+    """Write orders+lineitem bucketed-and-sorted by the join key into
+    ``warehouse``, then join-and-aggregate reading the bucketed tables.
+    With matching bucket counts the SortMergeJoin needs NO Exchange, and
+    because the aggregate groups by the bucket key the WHOLE plan runs
+    shuffle-free (asserted in tests/test_bucketing.py) — the queryable
+    form of SCALE.md's extent-index claim.
+    """
+    specs = (
+        ("catena_b_orders", tables.load(spark, sf_dir, "orders"), "o_orderkey"),
+        ("catena_b_lineitem", tables.load(spark, sf_dir, "lineitem"), "l_orderkey"),
+    )
+    for name, df, key in specs:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{warehouse}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    bo = spark.table("catena_b_orders")
+    bl = spark.table("catena_b_lineitem")
+    # merge hint: fixture-size tables would broadcast, which discards the
+    # bucket partitioning the downstream aggregate reuses; at real scale
+    # two facts this size pick SortMergeJoin unhinted anyway
+    return (
+        bo.join(bl.hint("merge"), bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "src_bucketed_join_no_shuffle",
+    "A6",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def src_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table source + shuffle-free co-located join (SURVEY.md
+    §2-A6 depth; r2 VERDICT item 7): orders and lineitem are written
+    ``bucketBy(8, <orderkey>)`` + ``sortBy``, read back through the
+    catalog, joined on the bucket key, and aggregated BY the bucket key
+    — zero Exchange operators anywhere in the plan, because bucketing
+    satisfies both the join's and the aggregate's required distribution.
+
+    Parity: the oracle runs the plain join+aggregate on the raw parquet;
+    bucketing must be a pure physical-layout change, so any row lost or
+    duplicated by the bucketed write/read path hash-mismatches.
+
+    Scale: THE pattern for repeated fact-fact joins at 100 TB — pay the
+    layout shuffle once at ingest, then every subsequent join/agg on the
+    bucket key is exchange-free; at 1000 executors that removes the
+    all-to-all network step entirely.
+    """
+    import tempfile
+
+    tmp = Path(tempfile.mkdtemp(prefix="catena_bucketed_"))
+    out = bucketed_join(spark, sf_dir, str(tmp)).localCheckpoint(eager=True)
+    for name in ("catena_b_orders", "catena_b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out

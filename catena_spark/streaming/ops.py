@@ -278,6 +278,9 @@ def _stream_events(spark, sf_dir):
     )
     if dict(src.dtypes).get("ts") == "bigint":
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(src.dtypes).get("ts") == "timestamp_ntz":
+        # same NTZ->UTC-instant normalization as tables.load (parity)
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     return src
 
 
@@ -411,3 +414,69 @@ def stream_live_dedup_watermark(spark, sf_dir):
             .alias("sum_cents"),
         )
     )
+
+
+@query(
+    "stream_live_interval_join",
+    "F1",
+    oracle="""
+    SELECT s.user_id,
+           CAST(epoch_us(s.ts) AS BIGINT) AS signup_us,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+           CAST(round(p.value * 100, 0) AS BIGINT) AS purchase_cents
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'purchase'
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_live_interval_join(spark, sf_dir):
+    """LIVE watermarked stream-stream interval join under the driver
+    gate (F1, the last untouched F-surface primitive — r2 VERDICT item
+    7): each signup event inner-joins every purchase by the same user
+    within the following hour. Both sides are real file-source streams
+    with watermarks and a time-range join condition — the exact shape
+    Spark requires to bound join state on unbounded feeds.
+
+    Parity: inner stream-stream joins emit precisely the matched pairs
+    (watermarks only bound state, never filter inner-join output), so
+    one AvailableNow pass over a single input file equals the batch
+    interval join the oracle runs; all output columns are exact integer
+    µs / cents.
+
+    Scale: state per side is evicted once the watermark passes the
+    interval bound — at 100 TB/day the join holds ~1 hour of purchases
+    and ~1 hour of signups per key, not history; the same query tails a
+    live feed and backfills with AvailableNow from the checkpoint.
+    """
+    tables.load(spark, sf_dir, "events")  # ensure parity conf + pkg ship
+    s = (
+        _stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", "2 hours")
+    )
+    p = (
+        _stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    j = s.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "user_id",
+        F.unix_micros("s_ts").alias("signup_us"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.round(F.col("p_value") * 100, 0).cast("long").alias("purchase_cents"),
+    )
+    name = f"live_ssjoin_{os.getpid()}"
+    _run_to_table(j, name, "append")
+    return spark.table(name)

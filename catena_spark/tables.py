@@ -48,6 +48,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Naive parquet timestamps (isAdjustedToUTC=false, read as
+    # TIMESTAMP_NTZ since the round-3 testdata regen) are interpreted as
+    # UTC instants — ensure_runtime_conf pins the session tz to UTC
+    # before this cast, so the wall-clock digits are preserved exactly,
+    # matching DuckDB reading the same column as TIMESTAMP.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

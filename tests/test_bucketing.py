@@ -63,3 +63,25 @@ def test_bucketed_join_results_match_plain(spark, bucketed):
     o2 = tables.load(spark, SF_SMALL, "orders")
     li2 = tables.load(spark, SF_SMALL, "lineitem")
     assert n_bucketed == li2.join(o2, li2.l_orderkey == o2.o_orderkey).count()
+
+
+def test_bucketed_join_agg_pipeline_shuffle_free(spark):
+    """The src_bucketed_join_no_shuffle driver key's whole plan — join
+    AND aggregate-by-bucket-key — must contain zero Exchange operators:
+    bucketing satisfies the join's distribution, and the SortMergeJoin's
+    PartitioningCollection carries it through to the groupBy."""
+    from catena_spark.sources.ingest import bucketed_join
+
+    wh = tempfile.mkdtemp(prefix="catena-bucketed-key-")
+    try:
+        out = bucketed_join(spark, SF_SMALL, wh)
+        plan = formatted_plan(out)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join+agg must be shuffle-free"
+        # and it returns one row per order present in lineitem
+        li = tables.load(spark, SF_SMALL, "lineitem")
+        assert out.count() == li.select("l_orderkey").distinct().count()
+    finally:
+        for name in ("catena_b_orders", "catena_b_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(wh, ignore_errors=True)

@@ -336,3 +336,40 @@ def test_stream_static_enrich_matches_batch(spark, chunks):
     dim.unpersist()
     q.stop()
     assert got == expected
+
+
+def test_stream_interval_join_matches_batch(spark):
+    """The live stream-stream interval join key must equal the batch
+    interval join of the same fixture (inner joins emit exactly the
+    matched pairs; watermarks only bound state)."""
+    from catena_spark.streaming.ops import stream_live_interval_join
+
+    live = sorted(
+        tuple(r) for r in stream_live_interval_join(spark, SF_SMALL).collect()
+    )
+    ev = tables.load(spark, SF_SMALL, "events")
+    s = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    batch = (
+        s.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("s_ts").alias("signup_us"),
+            F.unix_micros("p_ts").alias("purchase_us"),
+            F.round(F.col("p_value") * 100, 0).cast("long").alias("purchase_cents"),
+        )
+        .collect()
+    )
+    assert live == sorted(tuple(r) for r in batch)
+    assert len(live) > 0

@@ -98,17 +98,17 @@ def test_asof_join_never_future(spark):
 
 
 def test_lttb_shape_invariants(spark):
-    """LTTB contract: ≤64 points per series, first/last retained, every
-    output point is an input point of the same series."""
+    """LTTB contract: ≤64 points per metric, first/last retained, every
+    output point is an input point of the same metric."""
     from catena_spark.operators.timeseries import ts_lttb_downsample
 
-    s = ts._series(spark, SF_SMALL).select("source", "metric", "ts_us", "value")
-    inp = {
-        (r["source"], r["metric"], r["ts_us"], r["value"]) for r in s.collect()
-    }
+    s = ts._series(spark, SF_SMALL).select(
+        "metric", "ts_us", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    inp = {(r["metric"], r["ts_us"], r["cents"]) for r in s.collect()}
     bounds = {
-        (r["source"], r["metric"]): (r["lo"], r["hi"], r["n"])
-        for r in s.groupBy("source", "metric")
+        r["metric"]: (r["lo"], r["hi"], r["n"])
+        for r in s.groupBy("metric")
         .agg(
             F.min("ts_us").alias("lo"),
             F.max("ts_us").alias("hi"),
@@ -117,14 +117,14 @@ def test_lttb_shape_invariants(spark):
         .collect()
     }
     out = ts_lttb_downsample(spark, SF_SMALL).collect()
-    per_series: dict = {}
+    per_metric: dict = {}
     for r in out:
-        key = (r["source"], r["metric"], r["ts_us"], r["value"])
+        key = (r["metric"], r["ts_us"], r["cents"])
         assert key in inp, "LTTB fabricated a point"
-        per_series.setdefault(key[:2], []).append((r["ts_us"], r["value"]))
-    for sk, pts in per_series.items():
-        lo, hi, n = bounds[sk]
-        assert len(pts) <= 64
+        per_metric.setdefault(r["metric"], []).append((r["ts_us"], r["cents"]))
+    assert set(per_metric) == set(bounds)
+    for mk, pts in per_metric.items():
+        lo, hi, n = bounds[mk]
         assert len(pts) == min(64, n)
         tss = sorted(t for t, _ in pts)
         assert tss[0] == lo and tss[-1] == hi, "first/last not retained"
