@@ -82,6 +82,18 @@ QUERIES = {
     "doc_exact_dedup": doc_exact_dedup,
 }
 
+#: per-query shuffle partitions, grid-searched over {1,2,4,8,16} at sf0.1
+#: on local[16] (r2 VERDICT item 5: the resample/dedup result
+#: cardinalities are floor-bound — fewer reduce tasks shave fixed
+#: scheduling overhead; the joins/agg keep 16 for parallelism).
+SHUFFLE_BY_QUERY = {
+    "q1_pricing_summary": 16,
+    "q3_join_topk": 16,
+    "events_resample_1h": 4,
+    "events_window_rank": 8,
+    "doc_exact_dedup": 8,
+}
+
 
 def _median_ms(fn, repeats: int = REPEATS) -> float:
     for _ in range(3):  # warmup (codegen/broadcast/JIT steady state)
@@ -113,8 +125,12 @@ def main() -> None:
     prepared: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, fn in QUERIES.items():
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(SHUFFLE_BY_QUERY.get(name, 16)),
+        )
         df = fn(spark, SF_DIR)  # plan once
-        prepared[name] = round(_median_ms(lambda: df.collect()), 4)
+        prepared[name] = round(_median_ms(lambda: df.collect(), repeats=9), 4)
         cold[name] = round(_median_ms(lambda: fn(spark, SF_DIR).collect()), 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
