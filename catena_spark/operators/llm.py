@@ -1264,7 +1264,7 @@ def llm_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    for _ in range(20):  # label propagation: converges in O(diameter)
+    for i in range(20):  # label propagation: converges in O(diameter)
         neigh = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
@@ -1280,16 +1280,22 @@ def llm_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # convergence probe only every 2nd round: each probe is a full
+        # driver job launch, and propagating past the fixpoint is a
+        # no-op, so probing half as often halves scheduler round-trips
+        # without changing the result (r2 VERDICT nit).
+        if i % 2 == 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                break
         labels = new_labels
-        if changed == 0:
-            break
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("component_size"))
     return (
         labels.join(sizes, "label")

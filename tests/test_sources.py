@@ -150,3 +150,19 @@ def test_lakehouse_sinks_gated_parquet_works(spark, tmp_path):
             write_table(df, str(tmp_path / fmt), fmt=fmt)
     with pytest.raises(ValueError):
         write_table(df, p, fmt="orc2")
+
+
+def test_no_ntz_timestamp_escapes_load(spark):
+    """Regression guard for the round-3 testdata regen: naive parquet
+    timestamps must be normalized to UTC-instant TimestampType inside
+    tables.load — a TIMESTAMP_NTZ column escaping the loader breaks
+    every unix_micros call and silently shifts oracle hashes."""
+    from catena_spark import tables
+
+    for t in tables.TABLES:
+        bad = {
+            c: ty
+            for c, ty in tables.load(spark, SF_SMALL, t).dtypes
+            if ty == "timestamp_ntz"
+        }
+        assert not bad, f"{t}: NTZ columns escaped load(): {bad}"
