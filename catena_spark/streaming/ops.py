@@ -349,15 +349,44 @@ def stream_live_tumbling_agg(spark, sf_dir):
     return spark.table(name)
 
 
-@query("stream_live_ewma_state", "F5")
+@query(
+    "stream_live_ewma_state",
+    "F5",
+    oracle="""
+    WITH RECURSIVE
+    o AS (SELECT user_id, event_type,
+                 CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+                 value,
+                 row_number() OVER (
+                     PARTITION BY user_id, event_type
+                     ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), value) AS rn
+          FROM events),
+    rec AS (
+        SELECT user_id, event_type, ts_us, value, rn, value AS ewma
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_type, o.ts_us, o.value, o.rn,
+               CAST(0.3 AS DOUBLE) * o.value + CAST(0.7 AS DOUBLE) * rec.ewma
+        FROM o JOIN rec ON o.user_id = rec.user_id
+                       AND o.event_type = rec.event_type
+                       AND o.rn = rec.rn + 1)
+    SELECT user_id, event_type, ts_us, ewma FROM rec
+    """,
+)
 def stream_live_ewma_state(spark, sf_dir):
     """LIVE applyInPandasWithState under the driver gate (F5): the
     per-series EWMA fold runs inside a real streaming query (memory sink,
     AvailableNow, append mode) on the driver's own session — proving the
     custom-stateful path works with executor-side package shipping, not
-    just under pytest. Rows-only check: one output row per input event
-    (exact EWMA values are float-order-sensitive; the batch-vs-stream
-    equality is pytest-asserted in tests/test_streaming.py).
+    just under pytest.
+
+    Upgraded from rows-only to a full hash-check (r3): one parquet file
+    => one AvailableNow micro-batch, and the per-key fold sorts by
+    (ts_us, value), so the streamed state trajectory is the exact float
+    sequence the DuckDB recursive CTE computes — ``1 - 0.3`` rounds to
+    the same double as the literal ``0.7`` (round-to-even lands the tie
+    on 0.7's representation), making alpha/one-minus-alpha agreement
+    exact, the same bit-parity argument as ts_ewma (C7).
     """
     tables.load(spark, sf_dir, "events")  # ensure parity conf + pkg ship
     agg = streaming_ewma(_stream_events(spark, sf_dir))
