@@ -1933,15 +1933,18 @@ def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
       SELECT source, lang, count(*) AS docs,
-             sum(len(string_split(text, ' '))) AS tokens
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
       FROM documents GROUP BY source, lang
     )
     SELECT source, lang, docs, tokens,
-           (docs * 1000000) // (sum(docs) OVER ()) AS doc_share_ppm,
-           (tokens * 1000000) // (sum(tokens) OVER ()) AS tok_share_ppm,
+           CAST((docs * 1000000) // (sum(docs) OVER ()) AS BIGINT)
+               AS doc_share_ppm,
+           CAST((tokens * 1000000) // (sum(tokens) OVER ()) AS BIGINT)
+               AS tok_share_ppm,
            (1000000 // (count(*) OVER ())) AS target_share_ppm,
-           ((1000000 // (count(*) OVER ())) * 1000000)
-             // ((docs * 1000000) // (sum(docs) OVER ())) AS upsample_ppm
+           CAST(((1000000 // (count(*) OVER ())) * 1000000)
+             // ((docs * 1000000) // (sum(docs) OVER ())) AS BIGINT)
+               AS upsample_ppm
     FROM g
     """,
 )

@@ -2483,7 +2483,8 @@ def agg_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     v AS (
       SELECT l_partkey AS partkey,
-             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS val_cents
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS val_cents
       FROM lineitem
       WHERE l_suppkey IN (SELECT s_suppkey FROM nsup)
       GROUP BY l_partkey
@@ -2690,7 +2691,8 @@ _PRICE_BANDS = [
     oracle="""
     SELECT b.band,
            count(*) AS n_parts,
-           sum(CAST(round(p.p_retailprice * 100, 0) AS BIGINT)) AS sum_price_cents
+           CAST(sum(CAST(round(p.p_retailprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS sum_price_cents
     FROM part p
     JOIN (VALUES ('b900', 900.0, 920.0), ('b920', 920.0, 940.0),
                  ('b940', 940.0, 960.0), ('b960', 960.0, 980.0),

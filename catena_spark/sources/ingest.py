@@ -265,7 +265,7 @@ def src_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "src_orc_partitioned_pruning",
     "A6",
     oracle="""
-    SELECT CAST(ts AS DATE) AS dt, event_type,
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt, event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
                AS sum_cents
@@ -303,7 +303,9 @@ def src_orc_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dt") >= F.lit("2024-01-03").cast("date"))
         & (F.col("dt") < F.lit("2024-01-05").cast("date"))
     )
-    out = back.groupBy("dt", "event_type").agg(
+    out = back.groupBy(
+        F.date_format("dt", "yyyy-MM-dd").alias("dt"), "event_type"
+    ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias(
             "sum_cents"

@@ -242,7 +242,8 @@ def user_tier_dim(events_batch: DataFrame) -> DataFrame:
                     '%Y-%m-%d %H:%M:%S') AS win_start,
            dim.tier,
            count(*) AS n,
-           sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS sum_cents
+           CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
     FROM events e JOIN dim USING (user_id)
     GROUP BY 1, 2
     """,

@@ -229,3 +229,77 @@ def test_sketch_error_bounds(spark):
         for c in ("p50_price", "p95_price", "p99_price"):
             assert e["lo"] <= r[c] <= e["hi"]
         assert r["p50_price"] <= r["p95_price"] <= r["p99_price"]
+
+
+#: >64 points on one metric so the LTTB recurrence genuinely executes;
+#: unique minute offsets keep the (ts_us, cents) sort total.
+lttb_points = st.lists(
+    st.tuples(
+        st.integers(0, 500000),
+        st.floats(0.0, 1000.0, allow_nan=False, allow_infinity=False, width=32),
+    ),
+    min_size=70,
+    max_size=200,
+    unique_by=lambda t: t[0],
+)
+
+
+def _lttb_ref(xs: list, ys: list, n_out: int = 64) -> list:
+    """Pure-Python reference of the exact-integer LTTB spec (same
+    bucket-edge and triangle-area definitions as the operator and its
+    DuckDB oracle)."""
+    n = len(xs)
+    if n <= n_out:
+        return list(zip(xs, ys))
+    m = n - 2
+    edges = [1 + (i * m) // 62 for i in range(63)]
+    chosen, prev = [0], 0
+    for b in range(62):
+        lo, hi = edges[b], edges[b + 1]
+        nlo = edges[b + 1]
+        nhi = edges[b + 2] if b + 2 < 63 else n
+        cnt = nhi - nlo
+        sx, sy = sum(xs[nlo:nhi]), sum(ys[nlo:nhi])
+        ax, ay = xs[prev], ys[prev]
+        best, best_area = lo, -1
+        for i in range(lo, hi):
+            area = abs((ax * cnt - sx) * (ys[i] - ay) - (ax - xs[i]) * (sy - cnt * ay))
+            if area > best_area:
+                best_area, best = area, i
+        chosen.append(best)
+        prev = best
+    chosen.append(n - 1)
+    return [(xs[i], ys[i]) for i in chosen]
+
+
+@PROP_SETTINGS
+@given(rows=lttb_points)
+def test_lttb_matches_reference_and_invariants(spark, rows):
+    from pyspark.sql import functions as F
+
+    tmp = _write_events(spark, [(0, "click", m, v) for m, v in rows])
+    try:
+        got = sorted(
+            (r["ts_us"], r["cents"])
+            for r in ts.ts_lttb_downsample(spark, tmp).collect()
+        )
+        # reference consumes the engine's own (ts_us, cents) projection so
+        # the property isolates the SELECTION algorithm, not rounding
+        src = sorted(
+            (r["ts_us"], r["cents"])
+            for r in ts._series(spark, tmp)
+            .select(
+                "ts_us",
+                F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            )
+            .collect()
+        )
+        xs = [t for t, _ in src]
+        ys = [c for _, c in src]
+        exp = sorted(_lttb_ref(xs, ys))
+        assert got == exp
+        assert len(got) == min(64, len(rows))
+        assert got[0] == src[0] and got[-1] == src[-1], "endpoints kept"
+        assert set(got) <= set(src), "no fabricated points"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
