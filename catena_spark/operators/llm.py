@@ -1524,21 +1524,43 @@ def llm_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing (SURVEY.md §2-E4 depth): assign each doc a
     training-sequence id by running token offset / 512 — the step that
     turns a filtered corpus into fixed-length pretraining sequences.
-    Integer window arithmetic end-to-end => exact cross-engine parity.
+    Integer arithmetic end-to-end => exact cross-engine parity.
 
-    Scale note: a single global ORDER BY doc_id window is a 1-partition
-    bottleneck at 100 TB; the production variant packs per shard
-    (partitionBy(shard) windows, shard = doc_id range) and offsets by
-    per-shard totals — same math, embarrassingly parallel. The global
-    form here is what the oracle can express; the sharded form is
-    tested in tests/test_llm.py.
+    The running total is TWO-PHASE (upgraded r3 — the earlier global
+    ORDER BY doc_id window was an honestly-flagged 1-partition
+    bottleneck): range-partition by doc_id, per-shard local cumsum
+    window, then add per-shard offsets — one row fetched per SHARD, not
+    per doc, and every shard cumsums in parallel. Output is identical
+    to the global window (range partitions tile doc_id in order), which
+    the unchanged global-window oracle hash-proves.
     """
     d = _docs_norm(spark, sf_dir)
     toks = d.select(
         "doc_id", F.size(doc_tokens(F.col("t"))).cast("long").alias("n_tok")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    c = toks.withColumn("cum", F.sum("n_tok").over(w))
+    parts = toks.repartitionByRange(8, "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = parts.withColumn("lcum", F.sum("n_tok").over(lw)).localCheckpoint(
+        eager=True
+    )
+    totals = {
+        r["_pid"]: r["t"]
+        for r in local.groupBy("_pid").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    offs, acc = [], 0
+    for p in sorted(totals):
+        offs.append((p, acc))
+        acc += totals[p]
+    om = local.sparkSession.createDataFrame(offs, "_pid int, _off long")
+    c = local.join(F.broadcast(om), "_pid").withColumn(
+        "cum", F.col("lcum") + F.col("_off")
+    )
     start = F.col("cum") - F.col("n_tok")
     return c.select(
         "doc_id",
