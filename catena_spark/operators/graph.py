@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..twophase import global_running_sum
 from .timeseries import _series
 
 #: total PageRank mass in integer micro-micro units (1e12): keeps every
@@ -121,31 +122,14 @@ def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("pr"),
         )
     # Two-phase global rank (r2 VERDICT nit — no single-partition
-    # window at any scale): range-partition on the sort key, rank
-    # locally within each range, then add per-range offsets. The only
-    # driver fetch is one row per PARTITION (not per vertex), and rank
-    # correctness doesn't depend on where the sampled range boundaries
-    # land — offsets come from the actual per-range counts.
-    parts = pr.repartitionByRange(8, F.col("pr").desc(), F.col("v")).withColumn(
-        "_pid", F.spark_partition_id()
+    # window at any scale): running sum of 1 over the total order
+    # (pr desc, v) == global row_number; the only driver fetch is one
+    # row per partition (twophase.global_running_sum).
+    ranked = global_running_sum(
+        pr, [F.col("pr").desc(), F.col("v")], F.lit(1), "rank"
     )
-    local = parts.withColumn(
-        "_lrank",
-        F.row_number().over(
-            Window.partitionBy("_pid").orderBy(F.col("pr").desc(), "v")
-        ),
-    ).localCheckpoint(eager=True)
-    counts = {
-        r["_pid"]: r["n"]
-        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets, acc = [], 0
-    for p in sorted(counts):
-        offsets.append((p, acc))
-        acc += counts[p]
-    om = local.sparkSession.createDataFrame(offsets, "_pid int, _off long")
-    return local.join(F.broadcast(om), "_pid").select(
+    return ranked.select(
         F.col("v").alias("metric"),
         F.col("pr").alias("pagerank_micro"),
-        (F.col("_lrank") + F.col("_off")).cast("long").alias("rank"),
+        "rank",
     )

@@ -31,6 +31,7 @@ from ..functions.text import (
 )
 from ..functions.vectors import cosine, dot, l2_norm
 from ..registry import query
+from ..twophase import global_running_sum
 
 
 def _docs_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,11 +513,13 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = tables.load(spark, sf_dir, "embeddings")
     planes = _hyperplanes()
-    ixcol = F.transform(
-        "embedding",
-        lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("long"),
+    e = e.withColumn(
+        "ix",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("long"),
+        ),
     )
-    ie = e.withColumn("ix", ixcol)
     bits = [
         F.when(
             F.aggregate(
@@ -533,7 +536,6 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0)
         for p in planes
     ]
-    e = ie
     n_bands, band_bits = 8, 2
     bands = e.select(
         "vec_id",
@@ -941,10 +943,22 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign0 = nearest(
         e.select("vec_id", "embedding"), seeds, "embedding", "r", 1
     ).select("vec_id", "embedding", "cid")
+    # centroid mean via exact integer micro-unit sum, not F.avg over raw
+    # floats: the long sum is reduction-order-independent (F.avg over
+    # doubles is not) and mirrors the oracle's sum(xi)/count/1e6 float
+    # path bit-for-bit, so a near-tie at the round(.,6) boundary cannot
+    # flip an assignment differently per engine or per run
     cent = (
         assign0.select("cid", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("cid", "pos")
-        .agg(F.avg("x").alias("m"))
+        .agg(
+            (
+                F.sum(F.round(F.col("x").cast("double") * 1000000.0, 0).cast("long"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("m")
+        )
         .groupBy("cid")
         .agg(
             F.transform(
@@ -1538,29 +1552,7 @@ def llm_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.size(doc_tokens(F.col("t"))).cast("long").alias("n_tok")
     )
-    parts = toks.repartitionByRange(8, "doc_id").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    lw = (
-        Window.partitionBy("_pid")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = parts.withColumn("lcum", F.sum("n_tok").over(lw)).localCheckpoint(
-        eager=True
-    )
-    totals = {
-        r["_pid"]: r["t"]
-        for r in local.groupBy("_pid").agg(F.sum("n_tok").alias("t")).collect()
-    }
-    offs, acc = [], 0
-    for p in sorted(totals):
-        offs.append((p, acc))
-        acc += totals[p]
-    om = local.sparkSession.createDataFrame(offs, "_pid int, _off long")
-    c = local.join(F.broadcast(om), "_pid").withColumn(
-        "cum", F.col("lcum") + F.col("_off")
-    )
+    c = global_running_sum(toks, [F.col("doc_id")], F.col("n_tok"), "cum")
     start = F.col("cum") - F.col("n_tok")
     return c.select(
         "doc_id",

@@ -1406,18 +1406,20 @@ _LTTB_ORACLE = """
           FROM s),
     ed AS (SELECT mn.metric, mn.n, t.i,
                   1 + (t.i * (mn.n - 2)) // 62 AS e
-           FROM (SELECT DISTINCT metric, n FROM p) mn, range(63) t(i)),
+           FROM (SELECT DISTINCT metric, n FROM p WHERE n > 64) mn,
+                range(63) t(i)),
     pb AS (SELECT p.metric, p.idx, p.ts_us, p.cents,
                   (SELECT max(e2.i) FROM ed e2
                    WHERE e2.metric = p.metric AND e2.e <= p.idx
                      AND e2.i <= 61) AS b
-           FROM p WHERE p.idx >= 1 AND p.idx <= p.n - 2),
+           FROM p WHERE p.idx >= 1 AND p.idx <= p.n - 2 AND p.n > 64),
     bs AS (SELECT metric, b,
                   CAST(sum(ts_us) AS HUGEINT) AS sx,
                   CAST(sum(cents) AS HUGEINT) AS sy,
                   CAST(count(*) AS HUGEINT) AS cnt
            FROM pb GROUP BY 1, 2),
-    lastp AS (SELECT metric, ts_us, cents FROM p WHERE idx = n - 1),
+    lastp AS (SELECT metric, ts_us, cents FROM p
+              WHERE idx = n - 1 AND n > 64),
     nb AS (SELECT metric, b - 1 AS b, sx, sy, cnt FROM bs WHERE b >= 1
            UNION ALL
            SELECT metric, 61, CAST(ts_us AS HUGEINT),
@@ -1427,7 +1429,8 @@ _LTTB_ORACLE = """
                     cents AS ay
              FROM pb WHERE b <= 60
              UNION ALL
-             SELECT metric, 0, idx, ts_us, cents FROM p WHERE idx = 0),
+             SELECT metric, 0, idx, ts_us, cents FROM p
+             WHERE idx = 0 AND n > 64),
     trans AS (
       SELECT metric, b, a_idx, idx, ts_us, cents
       FROM (SELECT sc.*,
@@ -1452,7 +1455,9 @@ _LTTB_ORACLE = """
       JOIN trans t ON t.metric = c.metric AND t.b = c.b + 1
                   AND t.a_idx = c.idx)
     SELECT metric, ts_us, cents FROM (
-      SELECT metric, ts_us, cents FROM p WHERE idx = 0
+      SELECT metric, ts_us, cents FROM p WHERE n <= 64
+      UNION ALL
+      SELECT metric, ts_us, cents FROM p WHERE idx = 0 AND n > 64
       UNION ALL
       SELECT metric, ts_us, cents FROM chain
       UNION ALL

@@ -91,15 +91,18 @@ def streaming_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
 
     def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (ewma, n) = state.get if state.exists else (None, 0)
+        # concat BEFORE sorting: a group larger than the Arrow batch size
+        # arrives as multiple chunks, and per-chunk sorts would fold
+        # later-chunk earlier-timestamps out of order — the whole batch's
+        # group must be ordered as one sequence (memory is O(group),
+        # same bound as the batch applyInPandas twin)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts_us", "value"])
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_us", "value"])
-            for r in pdf.itertuples(index=False):
-                ewma = (
-                    r.value if ewma is None else alpha * r.value + (1 - alpha) * ewma
-                )
-                n += 1
-                out.append((key[0], key[1], r.ts_us, r.value, ewma))
+        for r in pdf.itertuples(index=False):
+            ewma = r.value if ewma is None else alpha * r.value + (1 - alpha) * ewma
+            n += 1
+            out.append((key[0], key[1], r.ts_us, r.value, ewma))
         state.update((ewma, n))
         yield pd.DataFrame(
             out, columns=["user_id", "event_type", "ts_us", "value", "ewma"]
@@ -469,22 +472,27 @@ def stream_live_interval_join(spark, sf_dir):
     Spark requires to bound join state on unbounded feeds.
 
     Parity: inner stream-stream joins emit precisely the matched pairs
-    (watermarks only bound state, never filter inner-join output), so
-    one AvailableNow pass over a single input file equals the batch
-    interval join the oracle runs; all output columns are exact integer
-    µs / cents.
+    (watermarks only bound state, never filter inner-join output), so an
+    AvailableNow pass over the fixture equals the batch interval join
+    the oracle runs; all output columns are exact integer µs / cents.
+    The watermark delay (45 days) deliberately exceeds the fixture's
+    30-day span so completeness does NOT depend on the whole table
+    landing in one micro-batch — if the source were split across files
+    in arbitrary time order, no still-needed join state could be
+    evicted between batches.
 
-    Scale: state per side is evicted once the watermark passes the
-    interval bound — at 100 TB/day the join holds ~1 hour of purchases
-    and ~1 hour of signups per key, not history; the same query tails a
-    live feed and backfills with AvailableNow from the checkpoint.
+    Scale: in production the delay is the real lateness bound (minutes/
+    hours), and state per side is evicted once the watermark passes the
+    interval bound — at 100 TB/day the join holds ~the interval of
+    purchases/signups per key, not history; the same query tails a live
+    feed and backfills with AvailableNow from the checkpoint.
     """
     tables.load(spark, sf_dir, "events")  # ensure parity conf + pkg ship
     s = (
         _stream_events(spark, sf_dir)
         .where(F.col("event_type") == "signup")
         .select("user_id", F.col("ts").alias("s_ts"))
-        .withWatermark("s_ts", "2 hours")
+        .withWatermark("s_ts", "45 days")
     )
     p = (
         _stream_events(spark, sf_dir)
@@ -494,7 +502,7 @@ def stream_live_interval_join(spark, sf_dir):
             F.col("ts").alias("p_ts"),
             F.col("value").alias("p_value"),
         )
-        .withWatermark("p_ts", "2 hours")
+        .withWatermark("p_ts", "45 days")
     )
     j = s.join(
         p,

@@ -1,0 +1,60 @@
+"""Two-phase global running aggregate — the scale-safe replacement for
+a single-partition global window (``Window.orderBy`` with no
+``partitionBy``).
+
+Phase 1 range-partitions on the sort key and computes the running
+aggregate locally per partition; phase 2 adds per-partition base
+offsets computed from the ACTUAL per-partition totals (one driver-
+fetched row per PARTITION, never per data row), so correctness never
+depends on where the sampled range boundaries land. Used by
+graph_pagerank_transitions (global rank) and llm_token_packing (global
+cumulative token offset); both keys' unchanged global-window DuckDB
+oracles hash-prove the equivalence every driver round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_running_sum(
+    df: DataFrame,
+    sort_exprs: list,
+    value: Column,
+    out_col: str,
+    partitions: int = 8,
+) -> DataFrame:
+    """Append ``out_col`` = the global running (inclusive) sum of
+    ``value`` over the total order given by ``sort_exprs``.
+
+    ``sort_exprs`` must define a total order for deterministic output.
+    With ``value = F.lit(1)`` this is a global ``row_number``. The
+    intermediate is ``localCheckpoint``-ed so the totals fetch and the
+    final join see the same partitioning (range sampling never re-runs).
+    """
+    parts = df.repartitionByRange(partitions, *sort_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(*sort_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = parts.withColumn("_lrun", F.sum(value).over(lw)).localCheckpoint(
+        eager=True
+    )
+    totals = {
+        r["_pid"]: r["t"]
+        for r in local.groupBy("_pid").agg(F.sum(value).alias("t")).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(totals):
+        offs.append((pid, acc))
+        acc += int(totals[pid])
+    om = local.sparkSession.createDataFrame(offs, "_pid int, _off long")
+    return (
+        local.join(F.broadcast(om), "_pid")
+        .withColumn(out_col, (F.col("_lrun") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrun", "_off")
+    )
