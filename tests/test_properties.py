@@ -303,3 +303,53 @@ def test_lttb_matches_reference_and_invariants(spark, rows):
         assert set(got) <= set(src), "no fabricated points"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+#: click/purchase mix for the as-of join property; dedupe on the series
+#: key + ts so the at-or-before match is uniquely defined.
+asof_points = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.sampled_from(["click", "purchase"]),
+        st.integers(0, 5000),
+        st.floats(0.0, 1000.0, allow_nan=False, allow_infinity=False, width=32),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: (t[0], t[1], t[2]),
+)
+
+
+@PROP_SETTINGS
+@given(rows=asof_points)
+def test_asof_join_matches_bruteforce(spark, rows):
+    """Every click row carries the value of the same user's latest
+    purchase at-or-before it (inclusive), NULL when none exists — checked
+    against a brute-force scan of the generated rows."""
+    tmp = _write_events(spark, rows)
+    try:
+        out = {
+            (r["source"], r["ts_us"]): r["last_purchase_value"]
+            for r in ts.ts_asof_join(spark, tmp).collect()
+        }
+        purchases = [
+            (str(u), m * 60_000_000 + int(T0.timestamp()) * 1_000_000, v)
+            for u, met, m, v in rows
+            if met == "purchase"
+        ]
+        clicks = [
+            (str(u), m * 60_000_000 + int(T0.timestamp()) * 1_000_000, v)
+            for u, met, m, v in rows
+            if met == "click"
+        ]
+        assert len(out) == len(clicks)
+        for u, t, _ in clicks:
+            cands = [(tt, pv) for uu, tt, pv in purchases if uu == u and tt <= t]
+            exp = max(cands)[1] if cands else None
+            got = out[(u, t)]
+            if exp is None:
+                assert got is None, (u, t)
+            else:
+                assert got == exp, (u, t, got, exp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
