@@ -353,3 +353,35 @@ def test_asof_join_matches_bruteforce(spark, rows):
                 assert got == exp, (u, t, got, exp)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@PROP_SETTINGS
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 100000), st.integers(0, 1000)),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_two_phase_running_sum_equals_global_window(spark, vals):
+    """twophase.global_running_sum must equal the single-partition
+    global window it replaces, for any data and any range-boundary
+    placement (guards the shared helper under PageRank rank and token
+    packing)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from catena_spark.twophase import global_running_sum
+
+    df = spark.createDataFrame(vals, "k long, v long")
+    got = {
+        r["k"]: r["run"]
+        for r in global_running_sum(df, [F.col("k")], F.col("v"), "run").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    exp = {
+        r["k"]: r["run"]
+        for r in df.withColumn("run", F.sum("v").over(w).cast("long")).collect()
+    }
+    assert got == exp
