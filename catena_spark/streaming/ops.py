@@ -266,6 +266,7 @@ def stream_static_enrich(spark, sf_dir):
 # batch result. Single input file => single micro-batch => deterministic.
 
 import os  # noqa: E402
+import shutil  # noqa: E402
 import tempfile  # noqa: E402
 
 
@@ -289,18 +290,25 @@ def _stream_events(spark, sf_dir):
 
 
 def _run_to_table(agg: DataFrame, name: str, mode: str):
-    """Execute a streaming aggregate to completion into a memory sink."""
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix=f"catena_ckpt_{name}_")
+    """Execute a streaming aggregate to completion into a memory sink.
+
+    The checkpoint directory is only needed while the query runs (memory
+    sinks are not restartable), so it is removed after awaitTermination —
+    repeated driver runs must not accumulate tmpdirs.
+    """
+    ckpt = tempfile.mkdtemp(prefix=f"catena_ckpt_{name}_")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 @query(
