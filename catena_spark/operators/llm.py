@@ -587,6 +587,15 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(
             "vec_a",
             "vec_b",
+            # Parity note (ADVICE r3): this pairs Spark's
+            # dot/(sqrt(a)*sqrt(b)) against DuckDB's
+            # list_cosine_similarity; a last-ulp difference landing
+            # exactly on the round(.,6) tie or the 0.4 threshold could
+            # flip one row. Three driver rounds clean so far. Contingency
+            # if a mismatch ever appears: switch the verify stage to
+            # exact integer micro-unit dot products with an
+            # integer-squared threshold comparison, as the sign-bit
+            # stage already does.
             F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= 0.4)

@@ -21,6 +21,7 @@ at 100 TB see large, sorted row groups, not micro-batch confetti.
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 
@@ -318,6 +319,15 @@ def src_orc_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- A6 depth: bucketed co-located join
 
+def bucket_table_names() -> tuple[str, str]:
+    """Catalog names for the bucketed fact tables, pid-suffixed so two
+    concurrent sessions sharing a metastore/warehouse cannot clobber
+    each other's tables mid-query (same rule as the memory-sink names in
+    streaming/ops.py)."""
+    pid = os.getpid()
+    return (f"catena_b_orders_{pid}", f"catena_b_lineitem_{pid}")
+
+
 def bucketed_join(spark: SparkSession, sf_dir: str, warehouse: str) -> DataFrame:
     """Write orders+lineitem bucketed-and-sorted by the join key into
     ``warehouse``, then join-and-aggregate reading the bucketed tables.
@@ -326,9 +336,10 @@ def bucketed_join(spark: SparkSession, sf_dir: str, warehouse: str) -> DataFrame
     shuffle-free (asserted in tests/test_bucketing.py) — the queryable
     form of SCALE.md's extent-index claim.
     """
+    n_orders, n_lineitem = bucket_table_names()
     specs = (
-        ("catena_b_orders", tables.load(spark, sf_dir, "orders"), "o_orderkey"),
-        ("catena_b_lineitem", tables.load(spark, sf_dir, "lineitem"), "l_orderkey"),
+        (n_orders, tables.load(spark, sf_dir, "orders"), "o_orderkey"),
+        (n_lineitem, tables.load(spark, sf_dir, "lineitem"), "l_orderkey"),
     )
     for name, df, key in specs:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -340,8 +351,8 @@ def bucketed_join(spark: SparkSession, sf_dir: str, warehouse: str) -> DataFrame
             .format("parquet")
             .saveAsTable(name)
         )
-    bo = spark.table("catena_b_orders")
-    bl = spark.table("catena_b_lineitem")
+    bo = spark.table(n_orders)
+    bl = spark.table(n_lineitem)
     # merge hint: fixture-size tables would broadcast, which discards the
     # bucket partitioning the downstream aggregate reuses; at real scale
     # two facts this size pick SortMergeJoin unhinted anyway
@@ -390,7 +401,7 @@ def src_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = Path(tempfile.mkdtemp(prefix="catena_bucketed_"))
     out = bucketed_join(spark, sf_dir, str(tmp)).localCheckpoint(eager=True)
-    for name in ("catena_b_orders", "catena_b_lineitem"):
+    for name in bucket_table_names():
         spark.sql(f"DROP TABLE IF EXISTS {name}")
     shutil.rmtree(tmp, ignore_errors=True)
     return out

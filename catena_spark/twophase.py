@@ -24,15 +24,36 @@ def global_running_sum(
     value: Column,
     out_col: str,
     partitions: int = 8,
+    assert_total_order: bool = False,
 ) -> DataFrame:
     """Append ``out_col`` = the global running (inclusive) sum of
     ``value`` over the total order given by ``sort_exprs``.
 
-    ``sort_exprs`` must define a total order for deterministic output.
+    ``sort_exprs`` MUST define a total order for deterministic output:
+    tied keys straddling a range-partition boundary would otherwise get
+    an arbitrary (partition-order) tie order relative to the global
+    window this replaces. ``assert_total_order=True`` verifies that (one
+    extra aggregate job — use in tests / first deployment of a new
+    caller, not in steady-state production paths; current callers sort
+    by keys proven unique in their fixtures).
+
     With ``value = F.lit(1)`` this is a global ``row_number``. The
     intermediate is ``localCheckpoint``-ed so the totals fetch and the
     final join see the same partitioning (range sampling never re-runs).
     """
+    if assert_total_order:
+        dup = (
+            df.groupBy(*sort_exprs)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"global_running_sum: sort_exprs are not a total order "
+                f"(duplicate key: {dup[0]})"
+            )
     parts = df.repartitionByRange(partitions, *sort_exprs).withColumn(
         "_pid", F.spark_partition_id()
     )

@@ -70,7 +70,7 @@ def test_bucketed_join_agg_pipeline_shuffle_free(spark):
     AND aggregate-by-bucket-key — must contain zero Exchange operators:
     bucketing satisfies the join's distribution, and the SortMergeJoin's
     PartitioningCollection carries it through to the groupBy."""
-    from catena_spark.sources.ingest import bucketed_join
+    from catena_spark.sources.ingest import bucket_table_names, bucketed_join
 
     wh = tempfile.mkdtemp(prefix="catena-bucketed-key-")
     try:
@@ -82,6 +82,6 @@ def test_bucketed_join_agg_pipeline_shuffle_free(spark):
         li = tables.load(spark, SF_SMALL, "lineitem")
         assert out.count() == li.select("l_orderkey").distinct().count()
     finally:
-        for name in ("catena_b_orders", "catena_b_lineitem"):
+        for name in bucket_table_names():
             spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(wh, ignore_errors=True)

@@ -385,3 +385,27 @@ def test_two_phase_running_sum_equals_global_window(spark, vals):
         for r in df.withColumn("run", F.sum("v").over(w).cast("long")).collect()
     }
     assert got == exp
+
+
+def test_two_phase_rejects_tied_sort_keys(spark):
+    """assert_total_order must catch sort keys that are not a total
+    order (ties straddling a range boundary would make the output
+    nondeterministic relative to the global window it replaces)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from catena_spark.twophase import global_running_sum
+
+    tied = spark.createDataFrame([(1, 10), (1, 20), (2, 30)], "k long, v long")
+    with pytest.raises(ValueError, match="not a total order"):
+        global_running_sum(
+            tied, [F.col("k")], F.col("v"), "run", assert_total_order=True
+        )
+    unique = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    got = {
+        r["k"]: r["run"]
+        for r in global_running_sum(
+            unique, [F.col("k")], F.col("v"), "run", assert_total_order=True
+        ).collect()
+    }
+    assert got == {1: 10, 2: 30}

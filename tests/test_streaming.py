@@ -446,3 +446,21 @@ def test_stream_interval_join_multi_batch_complete(spark):
     got = sorted(tuple(r) for r in spark.table(name).collect())
     exp = sorted(tuple(r) for r in joined(side(ev, "signup"), side(ev, "purchase")).collect())
     assert got == exp and len(got) > 0
+
+
+def test_events_fixture_is_single_file():
+    """stream_live_ewma_state's hash parity rests on the whole events
+    table arriving as ONE AvailableNow micro-batch, which holds because
+    the fixture is a single parquet file (ADVICE r3): if the fixture
+    were regenerated as a multi-file directory with interleaved
+    timestamps, cross-batch fold order could diverge from the oracle's
+    global (ts_us, value) order. Fail loudly here instead of flaking in
+    the driver gate."""
+    from tests.conftest import SF_DRIVER
+
+    for sf_dir in {SF_SMALL, SF_DRIVER}:
+        p = os.path.join(sf_dir, "events.parquet")
+        assert os.path.isfile(p), (
+            f"{p} is no longer a single parquet file; stream_live_ewma_state's "
+            "single-micro-batch parity assumption needs re-verification"
+        )
