@@ -176,39 +176,192 @@ def sample_frames(df: DataFrame, n_frames: int = 4, *, allow_fake: bool = True) 
 
 from ..registry import query  # noqa: E402
 
+# Oracle-checkable fake sample stream (r3 VERDICT item 4). The codec
+# decode stays gated (decode_payload raises without allow_fake); what the
+# driver keys exercise is the REAL Spark plumbing — mapInPandas schema,
+# Arrow batching, 1->n fan-out — over a stand-in sample stream that BOTH
+# engines can derive exactly:
+#
+#   seed(doc)     = (doc_id*40503 + n_bytes*9973) % 65536
+#   seed(frame f) = (seed(doc) + (f+1)*31337)     % 65536
+#   sample k_i    = (seed + i*104729) % 65536,  i in [0, w*h)
+#
+# n_bytes is the UTF-8 payload length, so the stream still depends on the
+# payload the UDF receives. All stats are exact int64 (k <= 2^16,
+# sum(k^2) over <= 5k samples <= 2^44 < 2^53), and the derived doubles go
+# through division-by-exact-integers + IEEE sqrt + division by 2^16 only
+# — every step correctly rounded identically in numpy/Python and DuckDB,
+# so the driver's value hash compares bit-identical floats (same
+# integer-micro-unit parity rule as ts_gapfill_linear).
 
-@query("mm_feature_extract", "E-mm", oracle=None)
+_SEED_A, _SEED_B, _FRAME_STEP, _SAMPLE_STEP = 40503, 9973, 31337, 104729
+
+
+def fake_sample_stream(
+    doc_id: int, n_bytes: int, n: int, frame_idx: int | None = None
+) -> np.ndarray:
+    """int64 sample stream in [0, 65536) — the deterministic stand-in
+    for a decoded payload, mirrorable in ANSI SQL (see block comment)."""
+    seed = (doc_id * _SEED_A + n_bytes * _SEED_B) % 65536
+    if frame_idx is not None:
+        seed = (seed + (frame_idx + 1) * _FRAME_STEP) % 65536
+    i = np.arange(n, dtype=np.int64)
+    return (seed + i * _SAMPLE_STEP) % 65536
+
+
+@query(
+    "mm_feature_extract",
+    "E-mm",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1]
+                   AS modality,
+               octet_length(encode(text)) AS n_bytes,
+               CAST(doc_id % 64 + 16 AS BIGINT) AS w,
+               CAST(doc_id % 48 + 16 AS BIGINT) AS h
+        FROM documents),
+    e AS (
+        SELECT doc_id, modality, w, h, n_bytes,
+               unnest(generate_series(0, w * h - 1)) AS i
+        FROM p),
+    s AS (
+        SELECT doc_id, modality, w, h,
+               ((doc_id * 40503 + n_bytes * 9973) % 65536
+                + i * 104729) % 65536 AS k
+        FROM e)
+    SELECT doc_id, modality,
+           CAST(w AS INTEGER) AS decoded_w, CAST(h AS INTEGER) AS decoded_h,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(sum(k * k) AS BIGINT) AS sumsq_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           sqrt(CAST(sum(k * k) AS DOUBLE)) / 65536 AS feat_norm
+    FROM s GROUP BY doc_id, modality, w, h
+    """,
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only driver entry for the mapInPandas feature pipeline:
-    payload table -> decode stub -> FEATURE_DIM floats per row. The
-    deterministic fake decoder makes the output stable across runs, so
-    the driver's rows+schema check is meaningful.
-
-    The feature vector is serialized to a fixed-precision string (and
-    summarized by dim/norm): the driver's pandas-based canonicalization
-    can't factorize ndarray cells (ADVICE r1), so no driver-facing query
-    may emit a raw array column.
+    """mapInPandas feature extraction over the payload table, hash-
+    checked (upgraded from rows-only, r3 VERDICT item 4): one output row
+    per payload with exact integer sample stats plus the L2 norm of the
+    sample stream. The decode step uses the SQL-mirrorable fake stream
+    (codec decode itself stays gated in decode_payload); the Spark-side
+    shape — binary payload column into an Arrow-batched mapInPandas
+    stage, scalar columns out — is the production pipeline's.
     """
-    feats = extract_features(payload_table(spark, sf_dir), allow_fake=True)
-    return feats.select(
-        "doc_id",
-        F.size("feat").alias("feat_dim"),
-        F.round(
-            F.sqrt(F.aggregate("feat", F.lit(0.0), lambda a, x: a + x * x)), 4
-        ).alias("feat_norm"),
-        F.array_join(
-            F.transform("feat", lambda x: F.format_string("%.4f", x)), ","
-        ).alias("feat_csv"),
+
+    out_schema = (
+        "doc_id bigint, modality string, decoded_w int, decoded_h int, "
+        "n_samples bigint, sum_k bigint, sumsq_k bigint, "
+        "min_k bigint, max_k bigint, feat_norm double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.declared_w), int(r.declared_h)
+                k = fake_sample_stream(int(r.doc_id), len(bytes(r.payload)), w * h)
+                sumsq = int((k * k).sum())
+                rows.append(
+                    (
+                        int(r.doc_id), r.modality, w, h, w * h,
+                        int(k.sum()), sumsq, int(k.min()), int(k.max()),
+                        math.sqrt(sumsq) / 65536.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "modality", "decoded_w", "decoded_h",
+                    "n_samples", "sum_k", "sumsq_k", "min_k", "max_k",
+                    "feat_norm",
+                ],
+            )
+
+    return (
+        payload_table(spark, sf_dir)
+        .select("doc_id", "modality", "payload", "declared_w", "declared_h")
+        .mapInPandas(run, schema=out_schema)
     )
 
 
-@query("mm_frame_sample", "E-mm", oracle=None)
+@query(
+    "mm_frame_sample",
+    "E-mm",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               CAST(doc_id % 64 + 16 AS BIGINT) AS w,
+               CAST(doc_id % 48 + 16 AS BIGINT) AS h
+        FROM documents WHERE doc_id % 3 = 2),
+    pf AS (
+        SELECT doc_id, n_bytes, w, h, unnest([0, 1, 2]) AS frame_idx
+        FROM p),
+    e AS (
+        SELECT doc_id, n_bytes, frame_idx,
+               unnest(generate_series(0, w * h - 1)) AS i
+        FROM pf),
+    s AS (
+        SELECT doc_id, frame_idx,
+               (((doc_id * 40503 + n_bytes * 9973) % 65536
+                 + (frame_idx + 1) * 31337) % 65536 + i * 104729) % 65536 AS k
+        FROM e)
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(k) AS BIGINT) AS frame_sum_k,
+           sqrt(CAST(sum(k * k) AS DOUBLE) / count(*)) / 65536 AS frame_rms
+    FROM s GROUP BY doc_id, frame_idx
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only driver entry for the video frame sampler: 1->n row
-    fan-out inside mapInPandas batches (3 'frames' per video payload),
-    per-frame decoded mean from the deterministic stub decoder. Scalar
-    output columns only (driver canonicalizer contract, ADVICE r1)."""
-    return sample_frames(payload_table(spark, sf_dir), n_frames=3, allow_fake=True)
+    """Video frame sampler, hash-checked (upgraded from rows-only): 1->3
+    row fan-out per video payload inside mapInPandas batches (the
+    expansion never materializes driver-side), each 'frame' a distinct
+    SQL-mirrorable sample stream seeded by (doc, frame_idx). Exact
+    integer stats + bit-identical RMS double per frame.
+    """
+
+    out_schema = (
+        "doc_id bigint, frame_idx int, n_samples bigint, "
+        "frame_sum_k bigint, frame_rms double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.declared_w), int(r.declared_h)
+                for f in range(3):
+                    k = fake_sample_stream(
+                        int(r.doc_id), len(bytes(r.payload)), w * h, frame_idx=f
+                    )
+                    n = w * h
+                    sumsq = int((k * k).sum())
+                    rows.append(
+                        (
+                            int(r.doc_id), f, n, int(k.sum()),
+                            math.sqrt(sumsq / n) / 65536.0,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_samples", "frame_sum_k", "frame_rms",
+                ],
+            )
+
+    return (
+        payload_table(spark, sf_dir)
+        .where(F.col("modality") == "video")
+        .select("doc_id", "payload", "declared_w", "declared_h")
+        .mapInPandas(run, schema=out_schema)
+    )
 
 
 def audio_window_rms(
@@ -253,10 +406,72 @@ def audio_window_rms(
     ).mapInPandas(run, out_schema)
 
 
-@query("mm_audio_window_rms", "E-mm", oracle=None)
+@query(
+    "mm_audio_window_rms",
+    "E-mm",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               CAST(doc_id % 64 + 16 AS BIGINT) AS w,
+               CAST(doc_id % 48 + 16 AS BIGINT) AS h
+        FROM documents WHERE doc_id % 3 = 1),
+    e AS (
+        SELECT doc_id, n_bytes,
+               unnest(generate_series(0, w * h - 1)) AS i
+        FROM p),
+    s AS (
+        SELECT doc_id, i // 256 AS win_idx,
+               ((doc_id * 40503 + n_bytes * 9973) % 65536
+                + i * 104729) % 65536 AS k
+        FROM e)
+    SELECT doc_id, CAST(win_idx AS INTEGER) AS win_idx,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           sqrt(CAST(sum(k * k) AS DOUBLE) / count(*)) / 65536 AS rms,
+           CAST(max(k) AS DOUBLE) / 65536 AS peak
+    FROM s GROUP BY doc_id, win_idx
+    """,
+)
 def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only driver entry for the audio windowing stage: per audio
-    payload, 256-sample window RMS/peak rows from the deterministic stub
-    decoder. Scalar output columns only (driver canonicalizer
-    contract)."""
-    return audio_window_rms(payload_table(spark, sf_dir), win=256, allow_fake=True)
+    """Audio windowing stage, hash-checked (upgraded from rows-only):
+    per audio payload, the SQL-mirrorable sample stream split into
+    256-sample windows inside mapInPandas — one output row per window
+    with exact count, bit-identical RMS (integer sumsq -> one IEEE
+    division -> IEEE sqrt -> exact /2^16) and exact peak (max sample /
+    2^16, a dyadic rational). The window fan-out happens executor-side
+    in Arrow batches, the production audio-feature shape with the codec
+    decode gated (decode_payload).
+    """
+
+    out_schema = (
+        "doc_id bigint, win_idx int, n_samples bigint, rms double, peak double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.declared_w), int(r.declared_h)
+                k = fake_sample_stream(int(r.doc_id), len(bytes(r.payload)), w * h)
+                for wi in range(0, len(k), 256):
+                    chunk = k[wi : wi + 256]
+                    n = len(chunk)
+                    sumsq = int((chunk * chunk).sum())
+                    rows.append(
+                        (
+                            int(r.doc_id), wi // 256, n,
+                            math.sqrt(sumsq / n) / 65536.0,
+                            int(chunk.max()) / 65536.0,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "win_idx", "n_samples", "rms", "peak"]
+            )
+
+    return (
+        payload_table(spark, sf_dir)
+        .where(F.col("modality") == "audio")
+        .select("doc_id", "payload", "declared_w", "declared_h")
+        .mapInPandas(run, schema=out_schema)
+    )
