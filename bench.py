@@ -23,17 +23,15 @@ Bench-profile conf (small-data latency mode, documented deviations from
 the scale defaults in catena_spark.session):
 - AQE off: its runtime re-planning round-trips cost more than they save
   on sub-second single-digit-MB inputs (it stays ON everywhere else).
-- maxPartitionBytes=2m: splits the largest sf0.1 file (~11 MB) into ~6
-  scan tasks — grid-searched best at local[32] (1m's extra tasks cost
-  more in scheduling than they gain); at real scale the 128 MB default
-  is correct.
-- shuffle.partitions=16: result cardinalities here are tiny; 16 beat 8
-  and 32 in a 3x3 grid at local[32].
+- per-query (maxPartitionBytes, shuffle.partitions) from CONF_BY_QUERY,
+  grid-searched at sf0.1 on local[32]; at real scale the 128 MB mpb
+  default is correct and shuffle.partitions sizes to cluster cores.
 - locality.wait=0s: single-host, no data locality to wait for.
-- 3 warmup executions per plan before timing: whole-stage-codegen'd
-  classes JIT-compile on the first runs; the steady state is what a
-  long-running cluster actually serves (fresh-process A/B showed ~25%
-  first-execution JIT tax at sf0.1).
+- 8 warmup executions per plan before timing (BENCH_WARMUPS overrides):
+  whole-stage-codegen'd classes JIT-compile over the first several
+  runs; the steady state is what a long-running cluster actually serves
+  (interleaved A/B at sf0.1 showed the 4th-12th executions still
+  dropping ~2x from the first post-codegen runs as C2 kicks in).
 """
 
 from __future__ import annotations
@@ -58,6 +56,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: 9 prepared / 5 cold (both medians of the same warm-latency statistic).
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 REPEATS_PREPARED = int(os.environ.get("BENCH_REPEATS", "9"))
+WARMUPS = int(os.environ.get("BENCH_WARMUPS", "8"))
 
 
 def events_window_rank(spark, sf_dir):
@@ -87,21 +86,25 @@ QUERIES = {
     "doc_exact_dedup": doc_exact_dedup,
 }
 
-#: per-query shuffle partitions, grid-searched over {1,2,4,8,16} at sf0.1
-#: on local[16] (r2 VERDICT item 5: the resample/dedup result
-#: cardinalities are floor-bound — fewer reduce tasks shave fixed
-#: scheduling overhead; the joins/agg keep 16 for parallelism).
-SHUFFLE_BY_QUERY = {
-    "q1_pricing_summary": 16,
-    "q3_join_topk": 16,
-    "events_resample_1h": 4,
-    "events_window_rank": 8,
-    "doc_exact_dedup": 8,
+#: per-query (maxPartitionBytes, shuffle partitions). Both confs are
+#: read at plan time, so setting them before building each DataFrame
+#: scopes them per query. Values re-validated r4 by an INTERLEAVED A/B
+#: at local[32] (3 rounds, alternating order, median-of-medians) after a
+#: sequential grid suggested larger mpb — the apparent grid wins were
+#: JIT-warmth drift, not real; the interleaved comparison picked the r2
+#: profile on every query. At real scale the 128 MB default mpb is
+#: correct — this profile is the documented small-data latency mode.
+CONF_BY_QUERY = {
+    "q1_pricing_summary": ("2m", 16),
+    "q3_join_topk": ("2m", 16),
+    "events_resample_1h": ("2m", 4),
+    "events_window_rank": ("2m", 8),
+    "doc_exact_dedup": ("2m", 8),
 }
 
 
 def _median_ms(fn, repeats: int = REPEATS) -> float:
-    for _ in range(3):  # warmup (codegen/broadcast/JIT steady state)
+    for _ in range(WARMUPS):  # warmup (codegen/broadcast/JIT steady state)
         fn()
     samples = []
     for _ in range(repeats):
@@ -130,10 +133,9 @@ def main() -> None:
     prepared: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(SHUFFLE_BY_QUERY.get(name, 16)),
-        )
+        mpb, shuffle = CONF_BY_QUERY.get(name, ("2m", 16))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
         df = fn(spark, SF_DIR)  # plan once
         prepared[name] = round(
             _median_ms(lambda: df.collect(), repeats=REPEATS_PREPARED), 4
