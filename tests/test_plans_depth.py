@@ -1,0 +1,111 @@
+"""Plan-quality gates for the round-3 relational-depth keys (SURVEY.md
+§4 posture): the properties that matter at 100 TB — dims broadcast, tiny
+theta sides broadcast instead of going cartesian, per-group top-k pushed
+into WindowGroupLimit, lateral explodes staying shuffle-free, windows
+never collapsing to a single partition — asserted against the physical
+plan, not prose."""
+
+from __future__ import annotations
+
+import re
+
+from catena_spark import registry
+from catena_spark.plans import formatted_plan
+from tests.conftest import SF_SMALL
+
+_Q = registry.queries()
+
+
+def _plan(spark, key: str) -> str:
+    return formatted_plan(_Q[key](spark, SF_SMALL))
+
+
+def _n_ops(plan: str, op: str) -> int:
+    """Count physical operators via the formatted detail list ("(3)
+    Exchange"), which names each node exactly once (the tree section
+    repeats them)."""
+    return len(re.findall(rf"\(\d+\) {op}\b", plan))
+
+
+def test_theta_range_join_broadcasts_tiny_side(spark):
+    """The range-bucket theta join must broadcast its few-row bounds
+    side (BroadcastNestedLoopJoin is the right physical op for a pure
+    range predicate against a tiny side) — never a CartesianProduct of
+    two big inputs."""
+    plan = _plan(spark, "join_theta_range")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q2_min_cost_supplier_dims_broadcast(spark):
+    """TPC-H Q2's 4-table dimension chain must broadcast every dim and
+    keep aggregation partial-before-exchange; a cartesian anywhere means
+    the correlated-min rewrite regressed."""
+    plan = _plan(spark, "join_q2_min_cost_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q20_dominant_suppliers_no_cartesian(spark):
+    plan = _plan(spark, "join_q20_dominant_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lateral_top2_uses_window_group_limit(spark):
+    """The LATERAL top-2-orders-per-customer subquery must compile to
+    WindowGroupLimit (rank pushed below the window sort, so each group
+    keeps <= k rows before the full window evaluates) — the difference
+    between shuffling k rows/group and shuffling every order at scale."""
+    plan = _plan(spark, "subq_lateral_top2_orders")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lateral_posexplode_is_shuffle_free(spark):
+    """posexplode over an inline array is a narrow Generate: any
+    Exchange here would mean the fan-out is being shuffled for no
+    reason."""
+    plan = _plan(spark, "fn_lateral_posexplode")
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+
+
+def test_regexp_suite_is_shuffle_free(spark):
+    """Pure per-row string functions must stay a narrow scan+project
+    pipeline."""
+    plan = _plan(spark, "fn_regexp_suite")
+    assert "Exchange" not in plan
+
+
+def test_percent_rank_window_is_partitioned(spark):
+    """percent_rank/cume_dist run per-key: the plan must hash-partition
+    on the window key, never collapse to a single partition (the global
+    window anti-pattern twophase.py exists to avoid)."""
+    plan = _plan(spark, "win_percent_rank_cume")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pivot_multi_measures_partial_aggregates(spark):
+    """The two-level pivot aggregate must stay partial-before-exchange
+    on both levels and never shuffle more than twice."""
+    plan = _plan(spark, "pivot_multi_measures")
+    assert _n_ops(plan, "HashAggregate") >= 4
+    assert _n_ops(plan, "Exchange") <= 2
+
+
+def test_intersect_all_single_shuffle(spark):
+    """INTERSECT ALL compiles to union -> count-min replicate: one
+    aggregation shuffle total, no join of the two inputs."""
+    plan = _plan(spark, "setop_intersect_all")
+    assert "CartesianProduct" not in plan
+    assert _n_ops(plan, "Exchange") <= 1
+
+
+def test_q16_supplier_cnt_broadcasts_part_dim(spark):
+    plan = _plan(spark, "agg_q16_supplier_cnt")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
