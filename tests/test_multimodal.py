@@ -56,3 +56,40 @@ def test_frame_sampling_fanout(spark):
     n_videos = t.where(F.col("modality") == "video").count()
     assert fr.count() == n_videos * 3
     assert fr.select("frame_idx").distinct().count() == 3
+
+
+def test_fake_sample_stream_matches_sql_formula():
+    """The SQL-mirrorable sample stream is defined in FOUR places (the
+    Python generator + three oracle SQL strings); this cross-checks the
+    Python implementation against an independent DuckDB evaluation of
+    the documented formula, and that every oracle embeds the same
+    constants — so an edit to one copy can't silently desync parity."""
+    import re
+
+    import duckdb
+
+    from catena_spark import registry
+
+    for doc_id, n_bytes, n, frame in (
+        (0, 1, 7, None), (7, 123, 300, None), (41, 999, 64, 0),
+        (500, 54321, 257, 2), (4999, 31, 1, 1),
+    ):
+        got = mm.fake_sample_stream(doc_id, n_bytes, n, frame_idx=frame).tolist()
+        seed = f"({doc_id} * 40503 + {n_bytes} * 9973) % 65536"
+        if frame is not None:
+            seed = f"({seed} + ({frame} + 1) * 31337) % 65536"
+        exp = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT ({seed} + i * 104729) % 65536 AS k "
+                f"FROM generate_series(0, {n - 1}) t(i) ORDER BY i"
+            ).fetchall()
+        ]
+        assert got == exp, (doc_id, n_bytes, n, frame)
+
+    specs = registry.specs()
+    for key in ("mm_feature_extract", "mm_frame_sample", "mm_audio_window_rms"):
+        sql = specs[key].oracle
+        for const in ("40503", "9973", "104729", "65536"):
+            assert const in sql, f"{key} oracle lost constant {const}"
+    assert "31337" in specs["mm_frame_sample"].oracle
