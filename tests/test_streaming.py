@@ -170,6 +170,46 @@ def test_streaming_ewma_matches_batch(spark, chunks):
         assert abs(stream_final[k] - v) < 1e-9, k
 
 
+def test_streaming_ewma_rocksdb_state_store(spark, chunks):
+    """The SCALE.md streaming claim made executable: the custom stateful
+    operator (applyInPandasWithState EWMA) runs UNCHANGED on the RocksDB
+    state store provider — the provider production deployments use so
+    state spills to local disk instead of executor heap — with state
+    still carried correctly across 4 micro-batches (same final-EWMA
+    parity as the default-provider test above)."""
+    src, _ = chunks
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(EVENTS_DDL).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        _run_stream(streaming_ewma(stream), "append", "ewma_rocks_out")
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = spark.sql("select * from ewma_rocks_out")
+    w_final = got.groupBy("user_id", "event_type").agg(
+        F.max(F.struct("ts_us", "ewma")).alias("last")
+    )
+    stream_final = {
+        (str(r.user_id), r.event_type): r.last.ewma for r in w_final.collect()
+    }
+    batch = ts.ts_ewma(spark, SF_SMALL)
+    b_final = batch.groupBy("source", "metric").agg(
+        F.max(F.struct("ts_us", "ewma")).alias("last")
+    )
+    batch_final = {(r.source, r.metric): r.last.ewma for r in b_final.collect()}
+    assert stream_final.keys() == batch_final.keys()
+    for k, v in batch_final.items():
+        assert abs(stream_final[k] - v) < 1e-9, k
+
+
 def test_rate_source_pipeline(spark):
     """F7: the rate source drives the same transformation stack — proves
     the ops are source-agnostic (file, rate, or Kafka at deployment)."""
