@@ -50,3 +50,61 @@ def test_salted_join_on_hot_key(spark, tmp_path):
     assert p == s
     # the hot key really is hot (test is meaningless otherwise)
     assert p["S7"][0] >= n // 2
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """The SCALE.md AQE claim made executable: with a Zipf-hot join key
+    and broadcast disabled (forcing the shuffle join AQE can re-plan),
+    the executed plan's AQEShuffleRead must report the skewed partition
+    was SPLIT — and the re-planned join must still produce exactly the
+    plain join's aggregate. This is the runtime half of skew handling;
+    the salted-join test above is the manual half."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        n = 400_000
+        hot = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, 7)
+            .otherwise(F.col("id") % 1000)
+            .alias("supp_key"),
+            (F.col("id") % 97).cast("double").alias("amount"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("s_key"),
+            F.concat(F.lit("S"), F.col("id")).alias("s_name"),
+        )
+        hot.write.parquet(str(tmp_path / "fact"))
+        dim.write.parquet(str(tmp_path / "dim"))
+        fact = spark.read.parquet(str(tmp_path / "fact"))
+        d = spark.read.parquet(str(tmp_path / "dim"))
+        j = (
+            fact.join(d, fact.supp_key == d.s_key)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        got = {r["s_name"]: r["n"] for r in j.collect()}
+        # the executed (adaptive) plan must record the skew split
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skewed" in plan, "AQE did not split the skewed partition"
+        # equivalence with the undisturbed aggregate
+        exp = {r["s_name"]: r["n"] for r in
+               fact.groupBy("supp_key").count()
+               .join(d, F.col("supp_key") == d.s_key)
+               .select("s_name", F.col("count").alias("n")).collect()}
+        assert got == exp
+        assert got["S7"] >= n // 2
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
