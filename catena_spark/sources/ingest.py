@@ -231,35 +231,36 @@ def src_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
     tmp = Path(tempfile.mkdtemp(prefix="catena_src_rt_"))
-    csv_dir, json_dir = str(tmp / "csv"), str(tmp / "json")
-    tsfmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    (
-        ev.write.mode("overwrite")
-        .option("header", "true")
-        .option("timestampFormat", tsfmt)
-        .csv(csv_dir)
-    )
-    csv_df = (
-        spark.read.schema(EVENTS_DDL)
-        .option("header", "true")
-        .option("timestampFormat", tsfmt)
-        .csv(csv_dir)
-    )
-    csv_df.write.mode("overwrite").option("timestampFormat", tsfmt).json(json_dir)
-    json_df = (
-        spark.read.schema(EVENTS_DDL)
-        .option("timestampFormat", tsfmt)
-        .json(json_dir)
-    )
-    out = json_df.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias(
-            "sum_cents"
-        ),
-    )
-    out = out.localCheckpoint(eager=True)  # materialize before tmp cleanup
-    shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    try:
+        csv_dir, json_dir = str(tmp / "csv"), str(tmp / "json")
+        tsfmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        (
+            ev.write.mode("overwrite")
+            .option("header", "true")
+            .option("timestampFormat", tsfmt)
+            .csv(csv_dir)
+        )
+        csv_df = (
+            spark.read.schema(EVENTS_DDL)
+            .option("header", "true")
+            .option("timestampFormat", tsfmt)
+            .csv(csv_dir)
+        )
+        csv_df.write.mode("overwrite").option("timestampFormat", tsfmt).json(json_dir)
+        json_df = (
+            spark.read.schema(EVENTS_DDL)
+            .option("timestampFormat", tsfmt)
+            .json(json_dir)
+        )
+        out = json_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias(
+                "sum_cents"
+            ),
+        )
+        return out.localCheckpoint(eager=True)  # materialize before tmp cleanup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(
@@ -298,23 +299,24 @@ def src_orc_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tables.load(spark, sf_dir, "events").withColumn("dt", F.to_date("ts"))
     tmp = Path(tempfile.mkdtemp(prefix="catena_src_orc_"))
-    orc_dir = str(tmp / "orc")
-    ev.write.mode("overwrite").partitionBy("dt").orc(orc_dir)
-    back = spark.read.orc(orc_dir).where(
-        (F.col("dt") >= F.lit("2024-01-03").cast("date"))
-        & (F.col("dt") < F.lit("2024-01-05").cast("date"))
-    )
-    out = back.groupBy(
-        F.date_format("dt", "yyyy-MM-dd").alias("dt"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias(
-            "sum_cents"
-        ),
-    )
-    out = out.localCheckpoint(eager=True)  # materialize before tmp cleanup
-    shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    try:
+        orc_dir = str(tmp / "orc")
+        ev.write.mode("overwrite").partitionBy("dt").orc(orc_dir)
+        back = spark.read.orc(orc_dir).where(
+            (F.col("dt") >= F.lit("2024-01-03").cast("date"))
+            & (F.col("dt") < F.lit("2024-01-05").cast("date"))
+        )
+        out = back.groupBy(
+            F.date_format("dt", "yyyy-MM-dd").alias("dt"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias(
+                "sum_cents"
+            ),
+        )
+        return out.localCheckpoint(eager=True)  # materialize before tmp cleanup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ------------------------------------------------- A6 depth: bucketed co-located join
@@ -400,8 +402,9 @@ def src_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     tmp = Path(tempfile.mkdtemp(prefix="catena_bucketed_"))
-    out = bucketed_join(spark, sf_dir, str(tmp)).localCheckpoint(eager=True)
-    for name in bucket_table_names():
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-    shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    try:
+        return bucketed_join(spark, sf_dir, str(tmp)).localCheckpoint(eager=True)
+    finally:
+        for name in bucket_table_names():
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(tmp, ignore_errors=True)
