@@ -49,9 +49,9 @@ def _load_all() -> None:
     from .streaming import ops  # noqa: F401
 
 
-def _settled_counts() -> dict[str, int]:
+def _settled_counts(root: str | None = None) -> dict[str, int]:
     """Per-key count of successful driver verifications across past
-    rounds' CORRECTNESS_r*.json.
+    rounds' CORRECTNESS_r*.json (under ``root``, default the repo root).
 
     Round 1 showed the driver checks a 50-key PREFIX of queries() in
     dict order (CORRECTNESS_r01.json == first 50 registry keys exactly),
@@ -64,7 +64,8 @@ def _settled_counts() -> dict[str, int]:
     import os
 
     counts: dict[str, int] = {}
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:

@@ -1,0 +1,74 @@
+"""The driver-window rotation contract (registry._settled_counts /
+specs ordering) is load-bearing: the driver checks a 50-key PREFIX of
+queries() order, so a bug here silently stops unverified keys from ever
+reaching the gate. Locked in against synthetic CORRECTNESS files."""
+
+from __future__ import annotations
+
+import json
+
+from catena_spark import registry
+
+
+def _write_round(tmp_path, n, report):
+    (tmp_path / f"CORRECTNESS_r{n:02d}.json").write_text(json.dumps(report))
+
+
+def test_hash_green_settles_and_errors_do_not(tmp_path):
+    registry._load_all()
+    keys = list(registry._REGISTRY)
+    green, err, missing = keys[0], keys[1], keys[2]
+    _write_round(
+        tmp_path,
+        1,
+        {
+            green: {"hash_match": True, "spark_rows": 5, "err": None},
+            err: {"hash_match": None, "spark_rows": None, "err": "boom"},
+        },
+    )
+    counts = registry._settled_counts(str(tmp_path))
+    assert counts.get(green) == 1
+    assert counts.get(err, 0) == 0
+    assert counts.get(missing, 0) == 0
+
+
+def test_rows_only_record_unsettles_once_oracle_added(tmp_path):
+    """A `no_oracle` row only settles a key while the spec STILL has no
+    oracle: after an oracle upgrade (r3 minhash/ann/lttb, r4 multimodal)
+    the key must re-enter the unverified pool for a real hash check."""
+    registry._load_all()
+    oracled = next(k for k, s in registry._REGISTRY.items() if s.oracle)
+    rows_only = [k for k, s in registry._REGISTRY.items() if s.oracle is None]
+    record = {"hash_match": None, "spark_rows": 7, "err": "no_oracle"}
+    report = {oracled: dict(record)}
+    if rows_only:
+        report[rows_only[0]] = dict(record)
+    _write_round(tmp_path, 1, report)
+    counts = registry._settled_counts(str(tmp_path))
+    # the upgraded key's old rows-only record no longer counts...
+    assert counts.get(oracled, 0) == 0
+    # ...while a genuinely oracle-less key stays settled by it
+    if rows_only:
+        assert counts.get(rows_only[0]) == 1
+
+
+def test_multiple_rounds_accumulate(tmp_path):
+    registry._load_all()
+    k = list(registry._REGISTRY)[0]
+    row = {k: {"hash_match": True, "spark_rows": 1, "err": None}}
+    _write_round(tmp_path, 1, row)
+    _write_round(tmp_path, 2, row)
+    assert registry._settled_counts(str(tmp_path))[k] == 2
+
+
+def test_specs_orders_least_verified_first():
+    """With the real repo CORRECTNESS history, every zero-record key
+    must precede every settled key in queries() order (the driver's
+    50-key window is a prefix)."""
+    specs = registry.specs()
+    counts = registry._settled_counts()
+    order = [counts.get(k, 0) > 0 for k in specs]
+    first_settled = order.index(True) if True in order else len(order)
+    assert all(order[first_settled:]), (
+        "a zero-record key is ordered after a settled key"
+    )
