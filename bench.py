@@ -134,6 +134,10 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name, fn in QUERIES.items():
         mpb, shuffle = CONF_BY_QUERY.get(name, ("2m", 16))
+        # the env knob is an A/B override and must beat the per-query
+        # profile, or experiments with it would silently measure nothing
+        mpb = os.environ.get("SPARK_GRAFT_MPB", mpb)
+        shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", shuffle)
         spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
         df = fn(spark, SF_DIR)  # plan once

@@ -43,3 +43,41 @@ def rsum(col: Column, scale: int = 2) -> Column:
 def ravg(col: Column, scale: int = 6) -> Column:
     """round(avg(x), 6) — parity rule #3."""
     return F.round(F.avg(col), scale)
+
+
+def norm_cell(v):
+    """Canonicalize one result cell for exact cross-engine comparison —
+    the single definition shared by the local mirror
+    (tests/test_driver_parity.py) and the driver-gate rehearsal
+    (scripts/preflight_driver.py), so a parity-rule change can never
+    land in one and not the other.
+
+    Floats use ``repr`` (exact bits — the parity rules above must make
+    them identical, not merely close); -0.0 folds into 0.0; NaN is its
+    own token; temporals use ISO format; lists/bytes get stable
+    serializations.
+    """
+    import datetime
+    import math
+
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        if v == 0.0:
+            return repr(0.0)  # -0.0 == 0.0
+        return repr(v)
+    if isinstance(v, bool):
+        return repr(v)
+    if isinstance(v, int):
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)

@@ -2,30 +2,37 @@
 it, not our session.get_spark), __spark_entry__ import, run given keys at
 sf0.01 and exact-compare against the DuckDB oracles.
 
+Canonicalization comes from catena_spark.parity.norm_cell — the SAME
+definition the local mirror (tests/test_driver_parity.py) uses, so a
+parity-rule change can never make this rehearsal diverge from the gate
+it rehearses.
+
 Usage: python scripts/preflight_driver.py [key ...]   (default: all keys
 with zero prior driver CORRECTNESS records)
 """
-import datetime, glob, json, math, os, sys, time
+import os
+import sys
+import time
+from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF = "/root/testdata/sf0.01"
 
 
-def norm(v):
-    if v is None: return "<null>"
-    if isinstance(v, float):
-        if math.isnan(v): return "<nan>"
-        if v == 0.0: return repr(0.0)
-        return repr(v)
-    if isinstance(v, (bool, int)): return repr(v)
-    if isinstance(v, (datetime.datetime, datetime.date)): return v.isoformat()
-    if isinstance(v, (list, tuple)): return "[" + ",".join(norm(x) for x in v) + "]"
-    if isinstance(v, bytes): return v.hex()
-    return str(v)
+def first_diff(rows, orows):
+    """First row present on only one side (multiset difference — a
+    zip() would pair unrelated rows as soon as one side has an extra)."""
+    spark_only = Counter(rows) - Counter(orows)
+    oracle_only = Counter(orows) - Counter(rows)
+    return (
+        next(iter(spark_only), None),
+        next(iter(oracle_only), None),
+    )
 
 
 def main():
     from pyspark.sql import SparkSession
+
     spark = (
         SparkSession.builder.appName("preflight-driver")
         .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
@@ -33,8 +40,10 @@ def main():
         .getOrCreate()
     )
     import duckdb
+
     import __spark_entry__ as e
     from catena_spark import registry, tables
+    from catena_spark.parity import norm_cell
 
     qs = e.queries()
     os_ = e.oracle_sql()
@@ -44,32 +53,46 @@ def main():
         want = [k for k in qs if counts.get(k, 0) == 0]
     con = duckdb.connect()
     for t in tables.TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
     fails = []
     for k in want:
         t0 = time.time()
         try:
             df = qs[k](spark, SF)
             cols = sorted(df.columns)
-            rows = sorted(tuple(norm(r[c]) for c in cols) for r in df.collect())
+            rows = sorted(tuple(norm_cell(r[c]) for c in cols) for r in df.collect())
+            detail = None
             if k in os_:
                 cur = con.execute(os_[k])
                 names = [d[0] for d in cur.description]
                 order = sorted(range(len(names)), key=lambda i: names[i])
-                orows = sorted(tuple(norm(r[i]) for i in order) for r in cur.fetchall())
+                orows = sorted(
+                    tuple(norm_cell(r[i]) for i in order) for r in cur.fetchall()
+                )
                 ok = cols == sorted(names) and rows == orows
                 status = "HASH-OK" if ok else "MISMATCH"
                 if not ok:
                     fails.append(k)
-                    diff = [(a, b) for a, b in zip(rows, orows) if a != b][:1]
-                    print(f"  cols {cols} vs {sorted(names)}; rows {len(rows)} vs {len(orows)}; first diff {diff}")
+                    s_only, o_only = first_diff(rows, orows)
+                    detail = (
+                        f"  cols {cols} vs {sorted(names)}; "
+                        f"rows {len(rows)} vs {len(orows)}; "
+                        f"spark-only {s_only}; oracle-only {o_only}"
+                    )
             else:
                 status = f"ROWS-ONLY ({len(rows)})"
             print(f"{k}: {status} [{time.time()-t0:.1f}s]")
+            if detail:
+                print(detail)
         except Exception as ex:
             fails.append(k)
             print(f"{k}: ERR {type(ex).__name__}: {ex}")
-    print(f"\n{len(want)-len(fails)}/{len(want)} green" + (f"; FAILED: {fails}" if fails else ""))
+    print(
+        f"\n{len(want)-len(fails)}/{len(want)} green"
+        + (f"; FAILED: {fails}" if fails else "")
+    )
     sys.exit(1 if fails else 0)
 
 

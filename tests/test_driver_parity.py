@@ -11,38 +11,11 @@ to rehearse at the driver's exact scale before committing a milestone.
 
 from __future__ import annotations
 
-import datetime
-import math
-
 import pytest
 
 from catena_spark import registry
+from catena_spark.parity import norm_cell as _norm
 from tests.conftest import SF_SMALL
-
-
-def _norm(v):
-    """Normalize one cell for exact cross-engine comparison."""
-    if v is None:
-        return "<null>"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "<nan>"
-        if v == 0.0:
-            return repr(0.0)  # -0.0 == 0.0
-        return repr(v)  # exact: parity rules must make bits identical
-    if isinstance(v, bool):
-        return repr(v)
-    if isinstance(v, int):
-        return repr(v)
-    if isinstance(v, datetime.datetime):
-        return v.isoformat()
-    if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm(x) for x in v) + "]"
-    if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
 
 
 def _spark_result(spark, spec, sf_dir):
