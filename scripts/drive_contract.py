@@ -1,0 +1,93 @@
+"""Driver simulation: foreign cwd, hostile session conf, entry smoke +
+per-key Spark-vs-DuckDB parity at sf0.01 (row count, sorted column names,
+order-insensitive value hash) — mirrors the real driver's gate.
+
+Usage: cd /tmp && python drive_contract.py [key1 key2 ...]
+No args => all oracle-backed keys.
+"""
+import hashlib
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(val):
+    if val is None:
+        return "NULL"
+    if isinstance(val, float):
+        return repr(val)
+    if isinstance(val, bool):
+        return "1" if val else "0"
+    return str(val)
+
+
+def value_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    focus = set(sys.argv[1:])
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    import __spark_entry__ as E
+
+    # entry smoke
+    res = E.entry(spark)
+    n = res.count()
+    assert n >= 0 and res.schema is not None
+    print(f"entry smoke OK rows={n}")
+
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    keys = [k for k in qs if k in oracles and (not focus or k in focus)]
+    bad = []
+    for k in keys:
+        try:
+            sdf = qs[k](spark, SF).toPandas()
+            scols = list(sdf.columns)
+            srows = [tuple(r) for r in sdf.itertuples(index=False)]
+            odf = duck.execute(oracles[k]).fetchdf()
+            ocols = list(odf.columns)
+            orows = [tuple(r) for r in odf.itertuples(index=False)]
+            rm = len(srows) == len(orows)
+            cm = sorted(scols) == sorted(ocols)
+            hm = value_hash(srows, scols) == value_hash(orows, ocols)
+            ok = rm and cm and hm
+            print(f"{k}: rows={rm}({len(srows)}/{len(orows)}) cols={cm} hash={hm}")
+            if not ok:
+                bad.append(k)
+        except Exception as ex:
+            print(f"{k}: ERR {type(ex).__name__}: {ex}")
+            bad.append(k)
+    if bad:
+        print(f"RESULT: MISMATCH {bad}")
+        sys.exit(1)
+    print("RESULT: ALL-MATCH")
+
+
+if __name__ == "__main__":
+    main()
