@@ -1,0 +1,25 @@
+#!/bin/bash
+# Full pre-snapshot validation: everything the driver/judge will run.
+#   scripts/check_all.sh          # ~15 min total
+# Individual stages:
+#   pytest tests/ -x -q                                   (unit+property+plan gates)
+#   CATENA_TEST_SF=/root/testdata/sf0.01 pytest tests/test_driver_parity.py
+#                                                         (exact-equality mirror at driver SF)
+#   cd /tmp && python /root/repo/scripts/drive_contract.py (hostile-session driver sim)
+#   python bench.py                                       (headline perf JSON)
+set -e
+cd "$(dirname "$0")/.."
+
+echo "== 1/4 full test suite"
+python -m pytest tests/ -x -q
+
+echo "== 2/4 sf0.01 exact-parity mirror"
+CATENA_TEST_SF=/root/testdata/sf0.01 python -m pytest tests/test_driver_parity.py -q
+
+echo "== 3/4 driver-contract simulation (hostile session, foreign cwd)"
+(cd /tmp && python /root/repo/scripts/drive_contract.py)
+
+echo "== 4/4 bench"
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" python bench.py
+
+echo "== ALL GREEN"
