@@ -30,3 +30,44 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL-safe on zero vectors is the caller's job
     (fixture embeddings are non-zero by construction)."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def micro_ints(a: Column | str) -> Column:
+    """ARRAY<FLOAT> -> ARRAY<BIGINT> of exact micro-unit components
+    (round(x * 1e6), half-away-from-zero — the same integers DuckDB's
+    round() produces, proven bit-portable by the LSH sign bits since r2).
+
+    Integer components make every downstream sum reduction-order-free,
+    which is what makes a cosine computed from them bit-identical across
+    engines (r4 VERDICT item 2: the ANN verify hardening)."""
+    return F.transform(
+        a, lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("long")
+    )
+
+
+def dot_long(ia: Column | str, ib: Column | str) -> Column:
+    """Exact BIGINT dot product of two micro-unit arrays. For 64-dim
+    fixture vectors (|x| <= 0.58 -> |xi| <= 5.8e5) the sum is <= ~2.2e13,
+    far inside int64; centroid sums stay <= ~4.3e16 (see llm_ann_ivf)."""
+    return F.aggregate(
+        F.zip_with(ia, ib, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_micro(dot_i: Column, n2a: Column, n2b: Column) -> Column:
+    """Cosine from exact integer sums: round(D / (sqrt(A)*sqrt(B)), 6).
+
+    Every input is an order-independent integer, each cast and IEEE op
+    is deterministic and correctly rounded in both Spark and DuckDB, so
+    the resulting double — and therefore any rank/threshold decision on
+    it — is bit-identical across engines. This replaces pairing Spark's
+    fold-order dot/(sqrt*sqrt) against DuckDB's list_cosine_similarity
+    (two independent float kernels, the one flake mechanism VERDICT r4
+    identified)."""
+    return F.round(
+        dot_i.cast("double")
+        / (F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))),
+        6,
+    )

@@ -29,7 +29,7 @@ from ..functions.text import (
     quality_score,
     regex_tokens,
 )
-from ..functions.vectors import cosine, dot, l2_norm
+from ..functions.vectors import cosine, cosine_micro, dot, dot_long, l2_norm, micro_ints
 from ..registry import query
 from ..twophase import global_running_sum
 
@@ -458,8 +458,10 @@ def _hyperplanes(n_planes: int = 16, dim: int = 64):
 
 def _ann_lsh_oracle() -> str:
     """DuckDB mirror of llm_ann_lsh: identical md5-derived integer
-    hyperplanes, exact integer sign bits, 8 bands x 2 bits, exact-cosine
-    verify at 0.4 (list_cosine_similarity — an independent kernel)."""
+    hyperplanes, exact integer sign bits, 8 bands x 2 bits, and (since
+    r5, VERDICT r4 item 2) an exact integer micro-unit verify — BIGINT
+    dot/norm sums, HUGEINT-squared threshold test, cosine double derived
+    from those same integers — no independent float kernel anywhere."""
     return """
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -467,6 +469,8 @@ def _ann_lsh_oracle() -> str:
     ix AS (SELECT vec_id, t.i AS d,
                   CAST(round(v[t.i + 1] * 1000000) AS BIGINT) AS xi
            FROM e, range(64) t(i)),
+    n2 AS (SELECT vec_id, CAST(sum(xi * xi) AS BIGINT) AS n2
+           FROM ix GROUP BY vec_id),
     pl AS (SELECT p, d,
                   CAST(('0x' || substr(md5('hp:' || p || ':' || d), 1, 8))
                        AS BIGINT) % 2001 - 1000 AS w
@@ -481,13 +485,23 @@ def _ann_lsh_oracle() -> str:
            FROM bits GROUP BY vec_id, p // 2),
     pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
               FROM bk a JOIN bk b USING (band, bucket)
-              WHERE a.vec_id < b.vec_id)
-    SELECT vec_a, vec_b,
-           round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
-    FROM pairs
-    JOIN e ea ON ea.vec_id = vec_a
-    JOIN e eb ON eb.vec_id = vec_b
-    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
+              WHERE a.vec_id < b.vec_id),
+    dt AS (SELECT p.vec_a, p.vec_b,
+                  CAST(sum(ia.xi * ib.xi) AS BIGINT) AS dot_i
+           FROM pairs p
+           JOIN ix ia ON ia.vec_id = p.vec_a
+           JOIN ix ib ON ib.vec_id = p.vec_b AND ib.d = ia.d
+           GROUP BY p.vec_a, p.vec_b)
+    SELECT dt.vec_a, dt.vec_b,
+           round(CAST(dot_i AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+                 6) AS cos_sim
+    FROM dt
+    JOIN n2 na ON na.vec_id = dt.vec_a
+    JOIN n2 nb ON nb.vec_id = dt.vec_b
+    WHERE dot_i > 0
+      AND 25 * CAST(dot_i AS HUGEINT) * CAST(dot_i AS HUGEINT)
+          >= 4 * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)
     """
 
 
@@ -500,7 +514,12 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hyperplanes are md5-derived integers and components are scaled to
     exact micro-units, so each sign bit is a pure BIGINT comparison —
     reproducible to the bit in the DuckDB oracle (upgraded from
-    rows-only numpy hyperplanes, r2 VERDICT item 3).
+    rows-only numpy hyperplanes, r2 VERDICT item 3). Since r5 the VERIFY
+    stage is integer-exact too (VERDICT r4 item 2): BIGINT dot/norm
+    sums, the 0.4 threshold as a HUGEINT/DECIMAL(38,0) squared
+    comparison (cos >= 0.4 <=> dot > 0 and 25*dot^2 >= 4*|a|^2*|b|^2),
+    and the reported cos_sim double derived from those same integers —
+    no independent float kernel remains on either engine.
 
     2-bit bands because the fixture similarity regime is low (max ~0.5;
     collision prob per plane = 1 - theta/pi ~ 0.63): recall ~0.98 at
@@ -568,37 +587,47 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    # verify: attach (vector, precomputed norm) per side, one dot fold
-    en = e.select("vec_id", "embedding", l2_norm("embedding").alias("nrm"))
+    # verify: attach (micro-int vector, exact integer norm^2) per side.
+    # Every decision below is integer-exact — the dot and norms are
+    # order-free BIGINT sums, the threshold is a DECIMAL(38,0) squared
+    # comparison, and the output double is derived from those integers,
+    # so Spark and DuckDB cannot disagree by even an ulp.
+    en = e.select("vec_id", "ix", dot_long("ix", "ix").alias("n2"))
     cand = pairs.join(
         en.select(
-            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
-            F.col("nrm").alias("na"),
+            F.col("vec_id").alias("vec_a"), F.col("ix").alias("ia"),
+            F.col("n2").alias("n2a"),
         ),
         "vec_a",
     ).join(
         en.select(
-            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
-            F.col("nrm").alias("nb"),
+            F.col("vec_id").alias("vec_b"), F.col("ix").alias("ib"),
+            F.col("n2").alias("n2b"),
         ),
         "vec_b",
     )
+    dec = "decimal(38,0)"
+    scored = cand.select(
+        "vec_a", "vec_b", "n2a", "n2b",
+        dot_long("ia", "ib").alias("dot_i"),
+    )
     return (
-        cand.select(
+        scored.where(
+            (F.col("dot_i") > 0)
+            & (
+                F.lit(25).cast(dec)
+                * F.col("dot_i").cast(dec)
+                * F.col("dot_i").cast(dec)
+                >= F.lit(4).cast(dec)
+                * F.col("n2a").cast(dec)
+                * F.col("n2b").cast(dec)
+            )
+        )
+        .select(
             "vec_a",
             "vec_b",
-            # Parity note (ADVICE r3): this pairs Spark's
-            # dot/(sqrt(a)*sqrt(b)) against DuckDB's
-            # list_cosine_similarity; a last-ulp difference landing
-            # exactly on the round(.,6) tie or the 0.4 threshold could
-            # flip one row. Three driver rounds clean so far. Contingency
-            # if a mismatch ever appears: switch the verify stage to
-            # exact integer micro-unit dot products with an
-            # integer-squared threshold comparison, as the sign-bit
-            # stage already does.
-            F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+            cosine_micro(F.col("dot_i"), F.col("n2a"), F.col("n2b")).alias("cos_sim"),
         )
-        .where(F.col("cos_sim") >= 0.4)
     )
 
 
@@ -862,47 +891,58 @@ _ANN_IVF_ORACLE = """
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
-    seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 10),
-    a0 AS (SELECT e.vec_id, e.v, s.cid,
-                  row_number() OVER (
-                    PARTITION BY e.vec_id
-                    ORDER BY round(list_cosine_similarity(e.v, s.cv), 6) DESC,
-                             s.cid
-                  ) AS rn
-           FROM e CROSS JOIN seeds s),
-    assign0 AS (SELECT vec_id, v, cid FROM a0 WHERE rn = 1),
-    comp AS (SELECT cid, t.i AS pos,
-                    CAST(round(v[t.i + 1] * 1000000) AS BIGINT) AS xi
-             FROM assign0, range(64) t(i)),
-    cm AS (SELECT cid, pos,
-                  CAST(sum(xi) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-                      / 1000000.0 AS m
-           FROM comp GROUP BY cid, pos),
-    cent AS (SELECT cid, list(m ORDER BY pos) AS cv FROM cm GROUP BY cid),
-    a1 AS (SELECT e.vec_id, e.v, c.cid,
-                  row_number() OVER (
-                    PARTITION BY e.vec_id
-                    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
-                             c.cid
-                  ) AS rn
-           FROM e CROSS JOIN cent c),
-    assigned AS (SELECT vec_id AS nid, v AS nv, cid FROM a1 WHERE rn = 1),
-    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
-    pr AS (SELECT q.qid, q.qv, c.cid,
-                  row_number() OVER (
-                    PARTITION BY q.qid
-                    ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
-                             c.cid
-                  ) AS rn
-           FROM q CROSS JOIN cent c),
-    probes AS (SELECT qid, qv, cid FROM pr WHERE rn <= 3),
-    scored AS (SELECT p.qid, a.nid,
-                      round(list_cosine_similarity(p.qv, a.nv), 6) AS cos_sim
-               FROM probes p JOIN assigned a USING (cid)
-               WHERE a.nid != p.qid),
+    ix AS (SELECT vec_id, t.i AS d,
+                  CAST(round(v[t.i + 1] * 1000000) AS BIGINT) AS xi
+           FROM e, range(64) t(i)),
+    n2 AS (SELECT vec_id, CAST(sum(xi * xi) AS BIGINT) AS n2
+           FROM ix GROUP BY vec_id),
+    c0 AS (SELECT vec_id AS cid, d, xi AS s FROM ix WHERE vec_id < 10),
+    c0n AS (SELECT cid, CAST(sum(s * s) AS BIGINT) AS c2 FROM c0 GROUP BY cid),
+    d0 AS (SELECT ix.vec_id, c0.cid, CAST(sum(ix.xi * c0.s) AS BIGINT) AS dt
+           FROM ix JOIN c0 ON c0.d = ix.d GROUP BY ix.vec_id, c0.cid),
+    s0 AS (SELECT d0.vec_id, d0.cid,
+                  round(CAST(dt AS DOUBLE)
+                        / (sqrt(CAST(n2.n2 AS DOUBLE))
+                           * sqrt(CAST(c0n.c2 AS DOUBLE))), 6) AS c_sim
+           FROM d0 JOIN n2 USING (vec_id) JOIN c0n USING (cid)),
+    a0 AS (SELECT vec_id, cid, row_number() OVER (
+             PARTITION BY vec_id ORDER BY c_sim DESC, cid) AS rn FROM s0),
+    assign0 AS (SELECT vec_id, cid FROM a0 WHERE rn = 1),
+    cs AS (SELECT a.cid, ix.d, CAST(sum(ix.xi) AS BIGINT) AS s
+           FROM assign0 a JOIN ix ON ix.vec_id = a.vec_id
+           GROUP BY a.cid, ix.d),
+    csn AS (SELECT cid, sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS c2
+            FROM cs GROUP BY cid),
+    d1 AS (SELECT ix.vec_id, cs.cid, CAST(sum(ix.xi * cs.s) AS BIGINT) AS dt
+           FROM ix JOIN cs ON cs.d = ix.d GROUP BY ix.vec_id, cs.cid),
+    s1 AS (SELECT d1.vec_id, d1.cid,
+                  round(CAST(dt AS DOUBLE)
+                        / (sqrt(CAST(n2.n2 AS DOUBLE))
+                           * sqrt(CAST(csn.c2 AS DOUBLE))), 6) AS c_sim
+           FROM d1 JOIN n2 USING (vec_id) JOIN csn USING (cid)),
+    a1 AS (SELECT vec_id, cid, row_number() OVER (
+             PARTITION BY vec_id ORDER BY c_sim DESC, cid) AS rn FROM s1),
+    assigned AS (SELECT vec_id AS nid, cid FROM a1 WHERE rn = 1),
+    pr AS (SELECT vec_id AS qid, cid, row_number() OVER (
+             PARTITION BY vec_id ORDER BY c_sim DESC, cid) AS rn
+           FROM s1 WHERE vec_id < 5),
+    probes AS (SELECT qid, cid FROM pr WHERE rn <= 3),
+    cands AS (SELECT p.qid, a.nid FROM probes p JOIN assigned a USING (cid)
+              WHERE a.nid != p.qid),
+    dq AS (SELECT c.qid, c.nid, CAST(sum(qa.xi * na.xi) AS BIGINT) AS dt
+           FROM cands c
+           JOIN ix qa ON qa.vec_id = c.qid
+           JOIN ix na ON na.vec_id = c.nid AND na.d = qa.d
+           GROUP BY c.qid, c.nid),
+    sc AS (SELECT qid, nid,
+                  round(CAST(dt AS DOUBLE)
+                        / (sqrt(CAST(nq.n2 AS DOUBLE))
+                           * sqrt(CAST(nn.n2 AS DOUBLE))), 6) AS cos_sim
+           FROM dq JOIN n2 nq ON nq.vec_id = qid
+                  JOIN n2 nn ON nn.vec_id = nid),
     r AS (SELECT *, row_number() OVER (PARTITION BY qid
                                        ORDER BY cos_sim DESC, nid) AS rn
-          FROM scored)
+          FROM sc)
     SELECT qid, nid, cos_sim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
     """
 
@@ -920,6 +960,15 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids — no RNG anywhere (SURVEY.md §7 risk #4). Recall vs the exact
     brute-force twin (llm_cosine_topk) is gated in tests/test_llm.py.
 
+    Integer-exact since r5 (VERDICT r4 item 2): vectors carry micro-unit
+    BIGINT components, centroids are integer component SUMS (cosine is
+    scale-invariant, so sum works as well as mean and stays exact), and
+    every similarity — assignment, probe ranking, final scoring — is the
+    shared cosine_micro kernel over order-free integer sums. Spark and
+    DuckDB therefore compute bit-identical doubles at every rank
+    decision; no independent float kernel (list_cosine_similarity vs a
+    fold) remains anywhere in this key.
+
     Scale: the all-pairs problem becomes |probed lists| work per query;
     centroid assignment is a linear scan against a broadcast k-row
     table; list storage is just a cluster_id column — at 100 TB,
@@ -928,70 +977,77 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard IVF recipe; more steps change constants, not the plan.
     """
     k, nprobe, topk = 10, 3, 5
-    e = tables.load(spark, sf_dir, "embeddings")
+    dec = "decimal(38,0)"
+    e = (
+        tables.load(spark, sf_dir, "embeddings")
+        .select("vec_id", micro_ints("embedding").alias("iv"))
+        .withColumn("n2", dot_long("iv", "iv"))
+    )
 
-    def nearest(df, cent, left_vec, out_rank, n_keep):
+    def nearest(df, id_col, cent, out_rank, n_keep):
+        # broadcast k-row centroid table (cid, sv: array<bigint>,
+        # c2: decimal |sv|^2); rank by the integer-sum cosine kernel
         j = df.join(F.broadcast(cent), F.col("cid").isNotNull())
         scored = j.select(
             *df.columns, "cid",
-            F.round(cosine(left_vec, "cv"), 6).alias("c_sim"),
+            cosine_micro(dot_long("iv", "sv"), F.col("n2"), F.col("c2")).alias(
+                "c_sim"
+            ),
         )
-        w = Window.partitionBy(*[c for c in df.columns if c != "cid"][:1]).orderBy(
-            F.col("c_sim").desc(), "cid"
-        )
+        w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), "cid")
         return (
             scored.withColumn(out_rank, F.row_number().over(w))
             .where(F.col(out_rank) <= n_keep)
         )
 
-    # seed centroids from fixed ids, then one Lloyd refinement step
+    # seed centroids: the seed vectors themselves, already integer-sum form
     seeds = e.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+        F.col("iv").alias("sv"),
+        F.col("n2").cast(dec).alias("c2"),
     )
-    assign0 = nearest(
-        e.select("vec_id", "embedding"), seeds, "embedding", "r", 1
-    ).select("vec_id", "embedding", "cid")
-    # centroid mean via exact integer micro-unit sum, not F.avg over raw
-    # floats: the long sum is reduction-order-independent (F.avg over
-    # doubles is not) and mirrors the oracle's sum(xi)/count/1e6 float
-    # path bit-for-bit, so a near-tie at the round(.,6) boundary cannot
-    # flip an assignment differently per engine or per run
+    assign0 = nearest(e, "vec_id", seeds, "r", 1).select("vec_id", "iv", "cid")
+    # refined centroids: exact BIGINT component sums; |sv|^2 accumulated
+    # in DECIMAL(38,0) (the 64-element sum of squares can exceed int64 —
+    # mirrors the oracle's HUGEINT path)
     cent = (
-        assign0.select("cid", F.posexplode("embedding").alias("pos", "x"))
+        assign0.select("cid", F.posexplode("iv").alias("pos", "x"))
         .groupBy("cid", "pos")
-        .agg(
-            (
-                F.sum(F.round(F.col("x").cast("double") * 1000000.0, 0).cast("long"))
-                .cast("double")
-                / F.count(F.lit(1)).cast("double")
-                / F.lit(1000000.0)
-            ).alias("m")
-        )
+        .agg(F.sum("x").alias("s"))
         .groupBy("cid")
         .agg(
             F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("cv")
+                F.sort_array(F.collect_list(F.struct("pos", "s"))), lambda t: t["s"]
+            ).alias("sv")
+        )
+        .withColumn(
+            "c2",
+            F.aggregate(
+                "sv",
+                F.lit(0).cast(dec),
+                lambda acc, s: acc + s.cast(dec) * s.cast(dec),
+            ),
         )
     )
     # inverted lists: every vector -> nearest refined centroid
-    assign = nearest(
-        e.select("vec_id", "embedding"), cent, "embedding", "r", 1
-    ).select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"), "cid")
+    assign = nearest(e, "vec_id", cent, "r", 1).select(
+        F.col("vec_id").alias("nid"),
+        F.col("iv").alias("nv"),
+        F.col("n2").alias("nn2"),
+        "cid",
+    )
     # probes: nprobe nearest lists per query
-    probes = nearest(
-        e.where(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-        ),
-        cent,
-        "qv",
-        "pr",
-        nprobe,
-    ).select("qid", "qv", "cid")
+    q = e.where(F.col("vec_id") < 5).withColumnRenamed("vec_id", "qid")
+    probes = nearest(q, "qid", cent, "pr", nprobe).select(
+        "qid", F.col("iv").alias("qv"), F.col("n2").alias("qn2"), "cid"
+    )
     cands = probes.join(assign, "cid").where(F.col("nid") != F.col("qid"))
     scored = cands.select(
-        "qid", "nid", F.round(cosine("qv", "nv"), 6).alias("cos_sim")
+        "qid",
+        "nid",
+        cosine_micro(dot_long("qv", "nv"), F.col("qn2"), F.col("nn2")).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "nid")
     return (
