@@ -78,6 +78,13 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
 _EWMA_OUT = "user_id bigint, event_type string, ts_us bigint, value double, ewma double"
 _EWMA_STATE = "ewma double, n bigint"
 
+#: output/state schemas for streaming_ewma_replay (batch-count-invariant)
+_EWMA_REPLAY_OUT = (
+    "user_id bigint, event_type string, ts_us bigint, value double, "
+    "ewma double, emit_n bigint"
+)
+_EWMA_REPLAY_STATE = "ts array<bigint>, vals array<double>"
+
 
 def streaming_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     """F5 custom stateful aggregation: per-series EWMA carried across
@@ -113,6 +120,71 @@ def streaming_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     )
     return src.groupBy("user_id", "event_type").applyInPandasWithState(
         fold, _EWMA_OUT, _EWMA_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_ewma_replay(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Batch-count-INVARIANT EWMA fold (VERDICT r4 item 3): the fallback
+    for stream_live_ewma_state when the events fixture is not a single
+    parquet file, i.e. when AvailableNow delivers multiple micro-batches
+    whose timestamps may interleave across batch boundaries.
+
+    State holds the series' full (ts_us, value) history; each batch
+    merges its rows, re-sorts globally, and re-emits the COMPLETE
+    trajectory tagged with emit_n = |history|. Because emit_n strictly
+    grows per invocation, the reader (finalize_ewma_replay) keeps only
+    each series' final emission — which is by construction the fold over
+    the globally (ts_us, value)-sorted history, identical to the DuckDB
+    recursive-CTE oracle regardless of how the input was batched.
+
+    Scale note: O(series-history) state + per-batch re-emission is a
+    CORRECTNESS fallback for bounded replays, not the hot path — a live
+    100 TB feed uses streaming_ewma with watermark-ordered input, where
+    state is O(1) per series.
+    """
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts_hist, v_hist = state.get
+            hist = list(zip(ts_hist, v_hist))
+        else:
+            hist = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        hist.extend(
+            zip((int(t) for t in pdf["ts_us"]), (float(v) for v in pdf["value"]))
+        )
+        # same total order as the oracle's ORDER BY ts_us, value
+        hist.sort()
+        state.update(([t for t, _ in hist], [v for _, v in hist]))
+        ewma = None
+        n = len(hist)
+        out = []
+        for ts_us, value in hist:
+            ewma = value if ewma is None else alpha * value + (1 - alpha) * ewma
+            out.append((key[0], key[1], ts_us, value, ewma, n))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "event_type", "ts_us", "value", "ewma", "emit_n"],
+        )
+
+    src = events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "value", "ts"
+    )
+    return src.groupBy("user_id", "event_type").applyInPandasWithState(
+        fold, _EWMA_REPLAY_OUT, _EWMA_REPLAY_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def finalize_ewma_replay(sink: DataFrame) -> DataFrame:
+    """Keep each series' final (largest emit_n) emission from the replay
+    fold's append-mode sink — the globally-ordered full trajectory."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "event_type")
+    return (
+        sink.withColumn("_mx", F.max("emit_n").over(w))
+        .where(F.col("emit_n") == F.col("_mx"))
+        .select("user_id", "event_type", "ts_us", "value", "ewma")
     )
 
 
@@ -291,9 +363,18 @@ def _bounded_state_partitions(spark, n: str = "8"):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _normalize_stream_ts(src: DataFrame) -> DataFrame:
+    """Same ns->us / NTZ->UTC-instant ts normalization as tables.load
+    (parity contract), applied to a streaming source."""
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(src.dtypes).get("ts") == "timestamp_ntz":
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return src
+
+
 def _stream_events(spark, sf_dir):
-    """File-source streaming read of the events table with the same
-    ns->us ts normalization as tables.load (parity contract)."""
+    """File-source streaming read of the events table."""
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file source wants a DIRECTORY; pathGlobFilter selects the one
     # table file out of the shared fixture dir.
@@ -302,12 +383,7 @@ def _stream_events(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if dict(src.dtypes).get("ts") == "timestamp_ntz":
-        # same NTZ->UTC-instant normalization as tables.load (parity)
-        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
-    return src
+    return _normalize_stream_ts(src)
 
 
 def _run_to_table(agg: DataFrame, name: str, mode: str):
@@ -423,12 +499,33 @@ def stream_live_ewma_state(spark, sf_dir):
     the same double as the literal ``0.7`` (round-to-even lands the tie
     on 0.7's representation), making alpha/one-minus-alpha agreement
     exact, the same bit-parity argument as ts_ewma (C7).
+
+    Fixture de-coupling (VERDICT r4 item 3): if events.parquet ever
+    becomes a multi-file DIRECTORY (multiple AvailableNow micro-batches
+    with possibly interleaved timestamps), this key switches to the
+    batch-count-invariant streaming_ewma_replay fold, whose final
+    per-series emission equals the oracle regardless of batching
+    (proven in tests/test_streaming.py::test_ewma_replay_multi_batch).
     """
     tables.load(spark, sf_dir, "events")  # ensure parity conf + pkg ship
-    agg = streaming_ewma(_stream_events(spark, sf_dir))
     name = f"live_ewma_{os.getpid()}"
-    _run_to_table(agg, name, "append")
-    return spark.table(name).select("user_id", "event_type", "ts_us", "ewma")
+    if os.path.isfile(os.path.join(sf_dir, "events.parquet")):
+        # single file => single micro-batch => the O(1)-state hot path
+        agg = streaming_ewma(_stream_events(spark, sf_dir))
+        _run_to_table(agg, name, "append")
+        return spark.table(name).select("user_id", "event_type", "ts_us", "ewma")
+    # multi-file fixture: replay fold, one file per micro-batch
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    src = _normalize_stream_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    _run_to_table(streaming_ewma_replay(src), name, "append")
+    return finalize_ewma_replay(spark.table(name)).select(
+        "user_id", "event_type", "ts_us", "ewma"
+    )
 
 
 @query(
