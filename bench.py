@@ -52,10 +52,15 @@ from catena_spark.operators import relational as rel, timeseries as ts
 from catena_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-#: BENCH_REPEATS, when set, governs both timing paths; the defaults are
-#: 9 prepared / 5 cold (both medians of the same warm-latency statistic).
-REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
-REPEATS_PREPARED = int(os.environ.get("BENCH_REPEATS", "9"))
+#: BENCH_REPEATS_COLD / BENCH_REPEATS_PREPARED tune the two timing paths
+#: independently for A/Bs (ADVICE r4); both fall back to BENCH_REPEATS,
+#: then to the defaults 5 cold / 9 prepared (medians either way).
+REPEATS = int(
+    os.environ.get("BENCH_REPEATS_COLD", os.environ.get("BENCH_REPEATS", "5"))
+)
+REPEATS_PREPARED = int(
+    os.environ.get("BENCH_REPEATS_PREPARED", os.environ.get("BENCH_REPEATS", "9"))
+)
 WARMUPS = int(os.environ.get("BENCH_WARMUPS", "8"))
 
 

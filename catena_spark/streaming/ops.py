@@ -354,7 +354,15 @@ def _bounded_state_partitions(spark, n: str = "8"):
     size, and the main runtime-variance source observed in preflight.
     Results are partition-count independent; at production scale this
     value is sized to load before the first start, not taken from this
-    fixture profile."""
+    fixture profile.
+
+    Concurrency caveat (ADVICE r4): this mutates the SESSION-global
+    shuffle-partitions conf for the duration of the run, so any query
+    planned concurrently on the same SparkSession would silently inherit
+    the bounded value. The driver gate and pytest are strictly serial,
+    where this is safe; if a concurrent caller ever appears, scope the
+    conf via a session clone (spark.newSession()) or move it into the
+    writeStream options path instead."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n)
     try:

@@ -35,20 +35,34 @@ def global_running_sum(
     window this replaces. ``assert_total_order=True`` verifies that (one
     extra aggregate job — use in tests / first deployment of a new
     caller, not in steady-state production paths; current callers sort
-    by keys proven unique in their fixtures).
+    by keys proven unique in their fixtures). The assertion requires
+    ``sort_exprs`` to be PLAIN columns/names — a SortOrder like
+    ``F.col("k").desc()`` is valid for range partitioning but cannot be
+    grouped on (ADVICE r4); direction never affects uniqueness, so pass
+    the undecorated columns when asserting.
 
     With ``value = F.lit(1)`` this is a global ``row_number``. The
     intermediate is ``localCheckpoint``-ed so the totals fetch and the
     final join see the same partitioning (range sampling never re-runs).
     """
     if assert_total_order:
-        dup = (
-            df.groupBy(*sort_exprs)
-            .count()
-            .where(F.col("count") > 1)
-            .limit(1)
-            .collect()
-        )
+        try:
+            dup = (
+                df.groupBy(*sort_exprs)
+                # named count avoids ambiguity with a sort key called
+                # 'count' (ADVICE r4)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > 1)
+                .limit(1)
+                .collect()
+            )
+        except Exception as ex:
+            raise ValueError(
+                "global_running_sum(assert_total_order=True) needs plain "
+                "column expressions in sort_exprs — SortOrder (e.g. "
+                ".desc()) cannot be grouped on; pass undecorated columns "
+                "when asserting"
+            ) from ex
         if dup:
             raise ValueError(
                 f"global_running_sum: sort_exprs are not a total order "

@@ -18,14 +18,9 @@ SF = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def canon(val):
-    if val is None:
-        return "NULL"
-    if isinstance(val, float):
-        return repr(val)
-    if isinstance(val, bool):
-        return "1" if val else "0"
-    return str(val)
+# the ONE shared canonicalizer (ADVICE r4: a local copy here could
+# desync this rehearsal from the gate on edge cells like -0.0 or NaN)
+from catena_spark.parity import norm_cell as canon  # noqa: E402
 
 
 def value_hash(rows, cols):

@@ -409,3 +409,33 @@ def test_two_phase_rejects_tied_sort_keys(spark):
         ).collect()
     }
     assert got == {1: 10, 2: 30}
+
+
+def test_two_phase_assert_edge_cases(spark):
+    """ADVICE r4 hardening: a sort key literally named 'count' must not
+    collide with the assertion's own aggregate alias, and passing a
+    SortOrder (non-groupable) with assert_total_order=True must raise
+    the explanatory ValueError instead of an opaque analysis error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from catena_spark.twophase import global_running_sum
+
+    named_count = spark.createDataFrame(
+        [(1, 10), (2, 20)], "count long, v long"
+    )
+    got = {
+        r["count"]: r["run"]
+        for r in global_running_sum(
+            named_count, [F.col("count")], F.col("v"), "run",
+            assert_total_order=True,
+        ).collect()
+    }
+    assert got == {1: 10, 2: 30}
+
+    unique = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    with pytest.raises(ValueError, match="plain column expressions"):
+        global_running_sum(
+            unique, [F.col("k").desc()], F.col("v"), "run",
+            assert_total_order=True,
+        )
