@@ -93,14 +93,53 @@ def _settled_counts(root: str | None = None) -> dict[str, int]:
     return counts
 
 
+def _nongreen_keys(root: str | None = None) -> set[str]:
+    """Keys with any past driver record that did NOT settle — an ERR, a
+    hash mismatch, or a rows-only record made stale by a later oracle
+    upgrade. Rotation tie-break (VERDICT r4 item 5): within the same
+    settled count, a key whose history contains a non-green record gets
+    its confirming re-check before keys that have only ever been green,
+    closing flakiness arguments fastest."""
+    import glob
+    import json
+    import os
+
+    bad: set[str] = set()
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                report = json.load(f)
+        except Exception:
+            continue
+        for key, res in report.items():
+            spec = _REGISTRY.get(key)
+            ok = isinstance(res, dict) and (
+                res.get("hash_match") is True
+                or (
+                    res.get("err") == "no_oracle"
+                    and res.get("spark_rows") is not None
+                    and (spec is None or spec.oracle is None)
+                )
+            )
+            if not ok:
+                bad.add(key)
+    return bad
+
+
 def specs() -> dict[str, QuerySpec]:
     _load_all()
     try:
         settled = _settled_counts()
+        shaky = _nongreen_keys()
     except Exception:
-        settled = {}
+        settled, shaky = {}, set()
     order = {k: i for i, k in enumerate(_REGISTRY)}
-    keys = sorted(_REGISTRY, key=lambda k: (settled.get(k, 0), order[k]))
+    keys = sorted(
+        _REGISTRY,
+        key=lambda k: (settled.get(k, 0), 0 if k in shaky else 1, order[k]),
+    )
     return {k: _REGISTRY[k] for k in keys}
 
 

@@ -204,31 +204,44 @@ def test_exact_dedup_idempotent_and_complete(spark, rows):
 
 
 def test_sketch_error_bounds(spark):
-    """agg_approx_sketches contract: HLL distinct within 5% of exact,
-    approx percentiles inside the exact value range per group."""
+    """agg_approx_sketches contract (the one rows-only driver key —
+    VERDICT r4 item 7 asks for a quantitative check): HLL distinct
+    within 5% of exact (rsd=0.02 => ~2sigma headroom), approx
+    percentiles within 2% relative error of the EXACT percentiles and
+    inside the exact value range, monotone across quantiles. Runs at
+    BOTH sf0.001 and the driver's sf0.01 so the bound is checked at the
+    gate's own scale."""
     import pyspark.sql.functions as F
 
     from catena_spark import tables
     from catena_spark.operators.relational import agg_approx_sketches
-    from tests.conftest import SF_SMALL
+    from tests.conftest import SF_DRIVER, SF_SMALL
 
-    li = tables.load(spark, SF_SMALL, "lineitem")
-    exact = {
-        r["l_returnflag"]: r
-        for r in li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_orderkey").alias("d"),
-            F.min("l_extendedprice").alias("lo"),
-            F.max("l_extendedprice").alias("hi"),
-        )
-        .collect()
-    }
-    for r in agg_approx_sketches(spark, SF_SMALL).collect():
-        e = exact[r["l_returnflag"]]
-        assert abs(r["approx_orders"] - e["d"]) / e["d"] <= 0.05
-        for c in ("p50_price", "p95_price", "p99_price"):
-            assert e["lo"] <= r[c] <= e["hi"]
-        assert r["p50_price"] <= r["p95_price"] <= r["p99_price"]
+    for sf_dir in (SF_SMALL, SF_DRIVER):
+        li = tables.load(spark, sf_dir, "lineitem")
+        exact = {
+            r["l_returnflag"]: r
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.countDistinct("l_orderkey").alias("d"),
+                F.min("l_extendedprice").alias("lo"),
+                F.max("l_extendedprice").alias("hi"),
+                F.expr(
+                    "percentile(l_extendedprice, array(0.5, 0.95, 0.99))"
+                ).alias("pe"),
+            )
+            .collect()
+        }
+        for r in agg_approx_sketches(spark, sf_dir).collect():
+            e = exact[r["l_returnflag"]]
+            assert abs(r["approx_orders"] - e["d"]) / e["d"] <= 0.05
+            for i, c in enumerate(("p50_price", "p95_price", "p99_price")):
+                assert e["lo"] <= r[c] <= e["hi"]
+                assert abs(r[c] - e["pe"][i]) / e["pe"][i] <= 0.02, (
+                    f"{sf_dir} {r['l_returnflag']} {c}: approx {r[c]} vs "
+                    f"exact {e['pe'][i]}"
+                )
+            assert r["p50_price"] <= r["p95_price"] <= r["p99_price"]
 
 
 #: >64 points on one metric so the LTTB recurrence genuinely executes;

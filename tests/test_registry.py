@@ -72,3 +72,43 @@ def test_specs_orders_least_verified_first():
     assert all(order[first_settled:]), (
         "a zero-record key is ordered after a settled key"
     )
+
+
+def test_nongreen_history_breaks_ties_first():
+    """VERDICT r4 item 5: within the same settled count, keys whose
+    driver history contains a non-green record (ERR, mismatch, or a
+    stale rows-only record) must precede always-green keys, so their
+    confirming re-check lands in the next 50-key window."""
+    registry._load_all()
+    counts = registry._settled_counts()
+    shaky = registry._nongreen_keys()
+    keys = list(registry.specs())
+    for k in shaky:
+        ki = keys.index(k)
+        for j, other in enumerate(keys):
+            if (
+                counts.get(other, 0) == counts.get(k, 0)
+                and other not in shaky
+                and j < ki
+            ):
+                raise AssertionError(
+                    f"always-green {other} ordered before shaky {k} "
+                    f"at equal count {counts.get(k, 0)}"
+                )
+
+
+def test_nongreen_keys_detects_err_and_mismatch(tmp_path):
+    registry._load_all()
+    keys = list(registry._REGISTRY)
+    green, err, mism = keys[0], keys[1], keys[2]
+    _write_round(
+        tmp_path,
+        1,
+        {
+            green: {"hash_match": True, "spark_rows": 5, "err": None},
+            err: {"hash_match": None, "spark_rows": None, "err": "boom"},
+            mism: {"hash_match": False, "spark_rows": 5, "err": None},
+        },
+    )
+    bad = registry._nongreen_keys(str(tmp_path))
+    assert err in bad and mism in bad and green not in bad
