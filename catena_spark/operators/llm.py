@@ -345,10 +345,24 @@ def llm_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
-    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
-    j AS (SELECT q.qid, e.vec_id AS nid,
-                 round(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
-          FROM q, e WHERE e.vec_id != q.qid),
+    ix AS (SELECT vec_id, t.i AS d,
+                  CAST(round(v[t.i + 1] * 1000000) AS BIGINT) AS xi
+           FROM e, range(64) t(i)),
+    n2 AS (SELECT vec_id, CAST(sum(xi * xi) AS BIGINT) AS n2
+           FROM ix GROUP BY vec_id),
+    q AS (SELECT vec_id AS qid FROM e WHERE vec_id < 5),
+    dt AS (SELECT q.qid, ix.vec_id AS nid,
+                  CAST(sum(qa.xi * ix.xi) AS BIGINT) AS dot_i
+           FROM q
+           JOIN ix qa ON qa.vec_id = q.qid
+           JOIN ix ON ix.d = qa.d AND ix.vec_id != q.qid
+           GROUP BY q.qid, ix.vec_id),
+    j AS (SELECT qid, nid,
+                 round(CAST(dot_i AS DOUBLE)
+                       / (sqrt(CAST(nq.n2 AS DOUBLE))
+                          * sqrt(CAST(nn.n2 AS DOUBLE))), 6) AS cos_sim
+          FROM dt JOIN n2 nq ON nq.vec_id = qid
+                 JOIN n2 nn ON nn.vec_id = nid),
     r AS (SELECT *, row_number() OVER (PARTITION BY qid
                                        ORDER BY cos_sim DESC, nid) AS rn
           FROM j)
@@ -358,24 +372,38 @@ def llm_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for 5 query vectors (SURVEY.md
     §2-E3 baseline). Broadcast the tiny query side; dot products run as
-    JVM higher-order folds (no Python); per-query top-k via window on the
-    ROUNDED similarity with id tiebreak (both engines pick identical
-    sets). DuckDB oracle uses native list_cosine_similarity — an
-    independent kernel.
+    JVM higher-order folds (no Python); per-query top-k via window on
+    the similarity with id tiebreak. Integer-exact since r5 (the same
+    hardening as llm_ann_lsh): both engines derive the cosine from
+    order-free BIGINT micro-unit sums, so the ranked doubles are
+    bit-identical by construction rather than by two independent float
+    kernels happening to agree.
 
     Scale: brute force is the per-probe exact baseline; the bucketed
     variant (llm_ann_lsh) is the 100 TB path. For batch all-pairs at
     scale, block-partition candidates (IVF coarse quantizer) so each
     task scans one centroid's posting list.
     """
-    e = tables.load(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    e = (
+        tables.load(spark, sf_dir, "embeddings")
+        .select("vec_id", micro_ints("embedding").alias("iv"))
+        .withColumn("n2", dot_long("iv", "iv"))
     )
-    c = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("iv").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("nid"), F.col("iv").alias("nv"),
+        F.col("n2").alias("nn2"),
+    )
     j = c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
     scored = j.select(
-        "qid", "nid", F.round(cosine("qv", "nv"), 6).alias("cos_sim")
+        "qid",
+        "nid",
+        cosine_micro(dot_long("qv", "nv"), F.col("qn2"), F.col("nn2")).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "nid")
     return (
@@ -392,46 +420,81 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (SELECT vec_id, label,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim,
-           (a.label = b.label) AS same_label
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+               FROM embeddings),
+    ix AS (SELECT vec_id, t.i AS d,
+                  CAST(round(v[t.i + 1] * 1000000) AS BIGINT) AS xi
+           FROM e, range(64) t(i)),
+    n2 AS (SELECT vec_id, CAST(sum(xi * xi) AS BIGINT) AS n2
+           FROM ix GROUP BY vec_id),
+    dt AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  CAST(sum(a.xi * b.xi) AS BIGINT) AS dot_i
+           FROM ix a JOIN ix b ON a.d = b.d AND a.vec_id < b.vec_id
+           GROUP BY a.vec_id, b.vec_id)
+    SELECT dt.vec_a, dt.vec_b,
+           round(CAST(dot_i AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+                 6) AS cos_sim,
+           (ea.label = eb.label) AS same_label
+    FROM dt
+    JOIN n2 na ON na.vec_id = dt.vec_a
+    JOIN n2 nb ON nb.vec_id = dt.vec_b
+    JOIN e ea ON ea.vec_id = dt.vec_a
+    JOIN e eb ON eb.vec_id = dt.vec_b
+    WHERE dot_i > 0
+      AND 25 * CAST(dot_i AS HUGEINT) * CAST(dot_i AS HUGEINT)
+          >= 4 * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)
     """,
 )
 def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact all-pairs at
     threshold 0.4 (fixture max sim ~0.51 — see module calibration note).
+    Integer-exact since r5 (same hardening as llm_ann_lsh): BIGINT
+    micro-unit dot/norm sums, DECIMAL/HUGEINT squared threshold, output
+    double derived from the same integers on both engines.
 
     Scale: exact all-pairs is the CORRECTNESS oracle only; the
     production path is llm_ann_lsh (hyperplane-banded candidates ->
     exact verify) — same verify kernel, shuffle bounded by bucket
     collisions instead of n^2.
     """
-    e = tables.load(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", "label", l2_norm("embedding").alias("nrm")
+    e = (
+        tables.load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", micro_ints("embedding").alias("iv"))
+        .withColumn("n2", dot_long("iv", "iv"))
     )
     a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
-        F.col("label").alias("la"), F.col("nrm").alias("na"),
+        F.col("vec_id").alias("vec_a"), F.col("iv").alias("ia"),
+        F.col("label").alias("la"), F.col("n2").alias("n2a"),
     )
     b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
-        F.col("label").alias("lb"), F.col("nrm").alias("nb"),
+        F.col("vec_id").alias("vec_b"), F.col("iv").alias("ib"),
+        F.col("label").alias("lb"), F.col("n2").alias("n2b"),
     )
     j = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-    # norms are computed once per VECTOR, not per pair — sqrt(fold) gives
-    # the same double either way, so the cosine stays bit-identical to
-    # the naive form while the per-pair work drops from 3 folds to 1
+    dec = "decimal(38,0)"
+    scored = j.select(
+        "vec_a", "vec_b", "n2a", "n2b",
+        (F.col("la") == F.col("lb")).alias("same_label"),
+        dot_long("ia", "ib").alias("dot_i"),
+    )
     return (
-        j.select(
+        scored.where(
+            (F.col("dot_i") > 0)
+            & (
+                F.lit(25).cast(dec)
+                * F.col("dot_i").cast(dec)
+                * F.col("dot_i").cast(dec)
+                >= F.lit(4).cast(dec)
+                * F.col("n2a").cast(dec)
+                * F.col("n2b").cast(dec)
+            )
+        )
+        .select(
             "vec_a",
             "vec_b",
-            F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
-            (F.col("la") == F.col("lb")).alias("same_label"),
+            cosine_micro(F.col("dot_i"), F.col("n2a"), F.col("n2b")).alias("cos_sim"),
+            "same_label",
         )
-        .where(F.col("cos_sim") >= 0.4)
     )
 
 
@@ -864,24 +927,36 @@ def mm_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_doc_embedding_join",
     "E6",
     oracle="""
-    SELECT d.doc_id, d.lang, e.label, d.n_chars,
-           round(sqrt(list_sum(list_transform(e.embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS emb_norm
-    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    WITH ix AS (SELECT vec_id, label,
+                       CAST(round(CAST(embedding[t.i + 1] AS DOUBLE) * 1000000)
+                            AS BIGINT) AS xi
+                FROM embeddings, range(64) t(i)),
+    n2 AS (SELECT vec_id, label, CAST(sum(xi * xi) AS BIGINT) AS n2
+           FROM ix GROUP BY vec_id, label)
+    SELECT d.doc_id, d.lang, n2.label, d.n_chars,
+           round(sqrt(CAST(n2.n2 AS DOUBLE)) / 1000000.0, 6) AS emb_norm
+    FROM documents d JOIN n2 ON n2.vec_id = d.doc_id
     """,
 )
 def llm_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attach vectors to documents (doc_id = vec_id domain, SURVEY.md
     §2-E6) — plain equi-join + array reduction; at scale this is the
-    bucketed-join candidate (both sides bucketed by id co-locate)."""
+    bucketed-join candidate (both sides bucketed by id co-locate).
+    The reported norm is integer-derived since r5 (same hardening as
+    the cosine keys): sqrt of the exact BIGINT micro-unit norm-squared,
+    scaled back — bit-identical across engines by construction."""
     d = tables.load(spark, sf_dir, "documents")
-    e = tables.load(spark, sf_dir, "embeddings")
+    e = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", micro_ints("embedding").alias("iv")
+    )
     return d.join(e, d.doc_id == e.vec_id).select(
         "doc_id",
         "lang",
         "label",
         "n_chars",
-        F.round(l2_norm("embedding"), 6).alias("emb_norm"),
+        F.round(
+            F.sqrt(dot_long("iv", "iv").cast("double")) / F.lit(1000000.0), 6
+        ).alias("emb_norm"),
     )
 
 
@@ -1749,22 +1824,22 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_kmeans_assign",
     "E3",
     oracle="""
-    WITH cent AS (SELECT vec_id AS cid,
-                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-                  FROM embeddings WHERE vec_id < 8),
-    v AS (SELECT vec_id, label,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
-          FROM embeddings),
-    d AS (SELECT v.vec_id, v.label, cent.cid,
-                 list_sum(list_transform(list_zip(v.x, cent.c),
-                                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
-          FROM v, cent),
-    r AS (SELECT vec_id, label, cid, d2,
-                 row_number() OVER (PARTITION BY vec_id
-                                    ORDER BY d2, cid) AS rn
-          FROM d)
-    SELECT vec_id, CAST(label AS BIGINT) AS label,
-           cid AS cluster_id, d2 AS dist_sq
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ix AS (SELECT vec_id, t.i AS d,
+                  CAST(round(v[t.i + 1] * 1000000) AS BIGINT) AS xi
+           FROM e, range(64) t(i)),
+    c AS (SELECT vec_id AS cid, d, xi AS ci FROM ix WHERE vec_id < 8),
+    dd AS (SELECT ix.vec_id, c.cid,
+                  CAST(sum((ix.xi - c.ci) * (ix.xi - c.ci)) AS BIGINT) AS d2i
+           FROM ix JOIN c ON c.d = ix.d GROUP BY ix.vec_id, c.cid),
+    r AS (SELECT dd.vec_id, e.label, dd.cid, d2i,
+                 row_number() OVER (PARTITION BY dd.vec_id
+                                    ORDER BY d2i, cid) AS rn
+          FROM dd JOIN e ON e.vec_id = dd.vec_id)
+    SELECT vec_id, CAST(label AS BIGINT) AS label, cid AS cluster_id,
+           CAST(d2i AS DOUBLE) / 1000000000000.0 AS dist_sq
     FROM r WHERE rn = 1
     """,
 )
@@ -1772,9 +1847,11 @@ def llm_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's-iteration ASSIGN step (SURVEY.md §2-E3 depth): nearest of
     K=8 fixed centroids (seeded as vec_id<8, deterministic) per squared
     L2 — the inner kernel of distributed k-means / IVF coarse
-    quantization. dist_sq ships unrounded: the sequential left-fold over
-    64 lanes is IEEE-identical in both engines (proven pattern:
-    llm_centroid_by_label, llm_vector_quantize_int8).
+    quantization. Integer-exact since r5: distances are BIGINT sums of
+    squared micro-unit differences (order-free, tie-safe argmin on
+    exact integers), dist_sq the deterministic double d2i/1e12 — the
+    same by-construction bit parity as the cosine keys, replacing the
+    previous empirically-identical float folds.
 
     Scale: K centroids broadcast to every executor; each vector scans K
     candidates locally (a broadcast nested-loop by construction), then
@@ -1783,23 +1860,29 @@ def llm_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy-mean; iterate the two for full k-means.
     """
     e = tables.load(spark, sf_dir, "embeddings")
-    xd = F.transform("embedding", lambda x: x.cast("double"))
-    v = e.select("vec_id", F.col("label").cast("long").alias("label"), xd.alias("x"))
-    cent = e.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), xd.alias("c")
+    v = e.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        micro_ints("embedding").alias("iv"),
     )
-    d2 = F.aggregate(
-        F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
+    cent = v.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("iv").alias("cv")
+    )
+    d2i = F.aggregate(
+        F.zip_with("iv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
         lambda acc, val: acc + val,
     )
-    dists = v.join(F.broadcast(cent)).withColumn("d2", d2)
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    dists = v.join(F.broadcast(cent)).withColumn("d2i", d2i)
+    w = Window.partitionBy("vec_id").orderBy("d2i", "cid")
     return (
         dists.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(
-            "vec_id", "label", F.col("cid").alias("cluster_id"), F.col("d2").alias("dist_sq")
+            "vec_id",
+            "label",
+            F.col("cid").alias("cluster_id"),
+            (F.col("d2i").cast("double") / F.lit(1000000000000.0)).alias("dist_sq"),
         )
     )
 
@@ -2366,26 +2449,26 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_semdedup_representatives",
     "E3",
     oracle="""
-    WITH cent AS (SELECT vec_id AS cid,
-                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-                  FROM embeddings WHERE vec_id < 8),
-    v AS (SELECT vec_id,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
-          FROM embeddings),
-    d AS (SELECT v.vec_id, cent.cid,
-                 list_sum(list_transform(list_zip(v.x, cent.c),
-                                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
-          FROM v, cent),
-    a AS (SELECT vec_id, cid, d2,
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ix AS (SELECT vec_id, t.i AS d,
+                  CAST(round(v[t.i + 1] * 1000000) AS BIGINT) AS xi
+           FROM e, range(64) t(i)),
+    c AS (SELECT vec_id AS cid, d, xi AS ci FROM ix WHERE vec_id < 8),
+    dd AS (SELECT ix.vec_id, c.cid,
+                  CAST(sum((ix.xi - c.ci) * (ix.xi - c.ci)) AS BIGINT) AS d2i
+           FROM ix JOIN c ON c.d = ix.d GROUP BY ix.vec_id, c.cid),
+    a AS (SELECT vec_id, cid, d2i,
                  row_number() OVER (PARTITION BY vec_id
-                                    ORDER BY d2, cid) AS rn
-          FROM d),
-    asg AS (SELECT vec_id, cid AS cluster_id, d2 FROM a WHERE rn = 1),
-    r AS (SELECT vec_id, cluster_id, d2,
+                                    ORDER BY d2i, cid) AS rn
+          FROM dd),
+    asg AS (SELECT vec_id, cid AS cluster_id, d2i FROM a WHERE rn = 1),
+    r AS (SELECT vec_id, cluster_id, d2i,
                  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
                      AS cluster_size,
                  row_number() OVER (PARTITION BY cluster_id
-                                    ORDER BY d2, vec_id) AS krn
+                                    ORDER BY d2i, vec_id) AS krn
           FROM asg)
     SELECT vec_id, cluster_id, cluster_size, (krn = 1) AS keep
     FROM r
@@ -2399,9 +2482,12 @@ def llm_semdedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-space analogue of llm_dedup_keep_best's lexical policy
     (Abbas et al. 2023 prune entire tight clusters the same way).
 
-    Parity: d2 values reuse the proven IEEE-identical left-fold; the
-    keep flag compares identical doubles with an integer tiebreak, so
-    both engines rank identically even with equal distances.
+    Parity (r5): distances are the integer micro-unit squared-L2 of
+    llm_kmeans_assign; the oracle ranks on the exact BIGINT d2i while
+    Spark ranks on dist_sq = d2i/1e12, which is order-preserving AND
+    injective here (distinct d2i differ by >= 1 -> quotients differ by
+    >= 1e-12, far above the ~1.4e-14 double ulp at magnitude <= 86), so
+    the two rankings are provably identical.
 
     Scale: reuses llm_kmeans_assign's broadcast-centroids shape (no
     shuffle of the vector table for assignment); the representative
