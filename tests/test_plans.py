@@ -162,3 +162,19 @@ def test_orc_partitioned_read_prunes(spark, tmp_path):
     )
     plan = formatted_plan(back)
     assert "PartitionFilters: [" in plan and "dt" in plan.split("PartitionFilters:")[1][:120], plan[:2000]
+
+
+def test_ewma_single_exchange_partition_fold(spark):
+    """ts_ewma's r5 restructure (partition-level mapInPandas fold) must
+    keep the grouped-map's plan economy: exactly one hash Exchange on
+    the series key feeding the in-partition sort, and no grouped-map
+    FlatMapGroups node (the per-group Arrow overhead it replaced)."""
+    import re
+
+    df = ts.ts_ewma(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    # formatted plans name each operator twice (tree + detail section):
+    # count the numbered operator headers, not raw substring hits
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan

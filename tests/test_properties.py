@@ -452,3 +452,34 @@ def test_two_phase_assert_edge_cases(spark):
             unique, [F.col("k").desc()], F.col("v"), "run",
             assert_total_order=True,
         )
+
+
+def test_duckdb_list_sum_is_sequential_left_fold(duck):
+    """Executable form of the parity assumption behind fn_array_suite /
+    llm_vector_quantize_int8 (SCALE.md known-artifacts): DuckDB's
+    list_sum over doubles must equal the sequential left fold Spark's
+    F.aggregate performs — bit-for-bit, on every fixture embedding.
+    Four driver rounds relied on this empirically; this test pins it so
+    an engine upgrade that switches list_sum to pairwise/SIMD summation
+    fails HERE, not in the driver gate."""
+    import math
+
+    rows = duck.execute(
+        """
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS s,
+               list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq
+        FROM embeddings
+        """
+    ).fetchall()
+    assert len(rows) > 0
+    for _vid, v, s, sq in rows:
+        acc = 0.0
+        acc2 = 0.0
+        for x in v:
+            acc += x
+            acc2 += x * x
+        assert acc == s and math.isfinite(s)
+        assert acc2 == sq
