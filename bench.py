@@ -121,7 +121,9 @@ CONF_BY_QUERY = {
 }
 
 
-def _interleaved_medians(fns: dict, repeats: int) -> dict[str, float]:
+def _interleaved_medians(
+    fns: dict, repeats: int, setups: dict | None = None
+) -> dict[str, float]:
     """Median of ``repeats`` timed executions per query, taken in
     round-robin passes with alternating order (r5): a transient system
     noise window then shaves a sample from EVERY query instead of
@@ -129,12 +131,16 @@ def _interleaved_medians(fns: dict, repeats: int) -> dict[str, float]:
     median-warm-latency statistic, strictly lower variance on a shared
     VM. (A sequential version of this loop produced a 4x outlier median
     on one query during an r5 noise burst; the interleaved form did
-    not.)"""
+    not.) ``setups`` run per sample OUTSIDE the timed region (the cold
+    path re-sets per-query conf each sample now that queries alternate;
+    those py4j round-trips must not be billed to the query)."""
     samples: dict[str, list[float]] = {name: [] for name in fns}
     names = list(fns)
     for r in range(repeats):
         order = names if r % 2 == 0 else names[::-1]
         for name in order:
+            if setups is not None:
+                setups[name]()
             t0 = time.perf_counter()
             fns[name]()
             samples[name].append(time.perf_counter() - t0)
@@ -181,17 +187,16 @@ def main() -> None:
     )
     prepared = {name: round(v, 4) for name, v in prepared_raw.items()}
 
-    def _cold_run(name, fn):
-        _conf_for(name)
-        fn(spark, SF_DIR).collect()
-
     cold_fns = {
-        name: (lambda n=name, f=fn: _cold_run(n, f)) for name, fn in QUERIES.items()
+        name: (lambda f=fn: f(spark, SF_DIR).collect())
+        for name, fn in QUERIES.items()
     }
+    setups = {name: (lambda n=name: _conf_for(n)) for name in QUERIES}
     for _ in range(2):  # cold-path warmup passes (rebuild + execute)
         for name in QUERIES:
+            setups[name]()
             cold_fns[name]()
-    cold_raw = _interleaved_medians(cold_fns, REPEATS)
+    cold_raw = _interleaved_medians(cold_fns, REPEATS, setups=setups)
     cold = {name: round(v, 4) for name, v in cold_raw.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

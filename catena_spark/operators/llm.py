@@ -29,7 +29,7 @@ from ..functions.text import (
     quality_score,
     regex_tokens,
 )
-from ..functions.vectors import cosine, cosine_micro, dot, dot_long, l2_norm, micro_ints
+from ..functions.vectors import cosine_micro, dot_long, micro_ints
 from ..registry import query
 from ..twophase import global_running_sum
 
@@ -595,13 +595,7 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = tables.load(spark, sf_dir, "embeddings")
     planes = _hyperplanes()
-    e = e.withColumn(
-        "ix",
-        F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("long"),
-        ),
-    )
+    e = e.withColumn("ix", micro_ints("embedding"))
     bits = [
         F.when(
             F.aggregate(

@@ -506,8 +506,13 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     state exactly as the streaming twin does.
     """
     s = _series(spark, sf_dir).select("source", "metric", "ts_us", "value")
+    # NULLS LAST explicitly: Spark's bare ascending sort is NULLS FIRST,
+    # but both the pandas sort this replaced (NaN last) and the DuckDB
+    # oracle's ORDER BY (NULLS LAST) put nulls last — latent divergence
+    # only, fixtures carry no nulls, but the orders must agree by
+    # construction
     parts = s.repartition("source", "metric").sortWithinPartitions(
-        "source", "metric", "ts_us", "value"
+        "source", "metric", F.asc_nulls_last("ts_us"), F.asc_nulls_last("value")
     )
 
     def fold(batches):

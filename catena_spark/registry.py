@@ -49,21 +49,27 @@ def _load_all() -> None:
     from .streaming import ops  # noqa: F401
 
 
-def _settled_counts(root: str | None = None) -> dict[str, int]:
-    """Per-key count of successful driver verifications across past
-    rounds' CORRECTNESS_r*.json (under ``root``, default the repo root).
+def _scan_history(root: str | None = None) -> tuple[dict[str, int], set[str]]:
+    """ONE pass over past rounds' CORRECTNESS_r*.json (under ``root``,
+    default the repo root), classifying every record with the single
+    green-record predicate. Returns (settled counts, non-green keys) so
+    the two rotation signals can never desync (the shared-definition
+    rule ADVICE r4 applied to the canonicalizer).
 
-    Round 1 showed the driver checks a 50-key PREFIX of queries() in
-    dict order (CORRECTNESS_r01.json == first 50 registry keys exactly),
-    leaving 37 keys unverified. Ordering least-verified-first rotates
-    the whole inventory through the driver's window across rounds, so
-    every key accumulates an on-record verification.
+    A hash-green row always settles. A rows-only `no_oracle` row settles
+    ONLY while the spec still has no oracle: once an oracle is added
+    (round-3 conversions: minhash/ann/lttb), the old rows-only record is
+    no longer the strongest available check, so the key re-enters the
+    unverified pool and rotates back into the driver's window for a real
+    hash comparison. Any record that does not settle (ERR, mismatch,
+    stale rows-only) marks its key non-green.
     """
     import glob
     import json
     import os
 
     counts: dict[str, int] = {}
+    nongreen: set[str] = set()
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
@@ -73,12 +79,6 @@ def _settled_counts(root: str | None = None) -> dict[str, int]:
         except Exception:
             continue
         for key, res in report.items():
-            # A hash-green row always settles. A rows-only `no_oracle` row
-            # settles ONLY while the spec still has no oracle: once an
-            # oracle is added (round-3 conversions: minhash/ann/lttb), the
-            # old rows-only record is no longer the strongest available
-            # check, so the key re-enters the unverified pool and rotates
-            # back into the driver's window for a real hash comparison.
             spec = _REGISTRY.get(key)
             ok = isinstance(res, dict) and (
                 res.get("hash_match") is True
@@ -90,49 +90,32 @@ def _settled_counts(root: str | None = None) -> dict[str, int]:
             )
             if ok:
                 counts[key] = counts.get(key, 0) + 1
-    return counts
+            else:
+                nongreen.add(key)
+    return counts, nongreen
+
+
+def _settled_counts(root: str | None = None) -> dict[str, int]:
+    """Per-key count of successful driver verifications (see
+    _scan_history; round 1 showed the driver checks a 50-key PREFIX of
+    queries() in dict order, so least-verified-first ordering rotates
+    the whole inventory through the window across rounds)."""
+    return _scan_history(root)[0]
 
 
 def _nongreen_keys(root: str | None = None) -> set[str]:
-    """Keys with any past driver record that did NOT settle — an ERR, a
-    hash mismatch, or a rows-only record made stale by a later oracle
-    upgrade. Rotation tie-break (VERDICT r4 item 5): within the same
-    settled count, a key whose history contains a non-green record gets
-    its confirming re-check before keys that have only ever been green,
-    closing flakiness arguments fastest."""
-    import glob
-    import json
-    import os
-
-    bad: set[str] = set()
-    if root is None:
-        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as f:
-                report = json.load(f)
-        except Exception:
-            continue
-        for key, res in report.items():
-            spec = _REGISTRY.get(key)
-            ok = isinstance(res, dict) and (
-                res.get("hash_match") is True
-                or (
-                    res.get("err") == "no_oracle"
-                    and res.get("spark_rows") is not None
-                    and (spec is None or spec.oracle is None)
-                )
-            )
-            if not ok:
-                bad.add(key)
-    return bad
+    """Keys with any past driver record that did NOT settle (see
+    _scan_history). Rotation tie-break (VERDICT r4 item 5): within the
+    same settled count, a key whose history contains a non-green record
+    gets its confirming re-check before keys that have only ever been
+    green, closing flakiness arguments fastest."""
+    return _scan_history(root)[1]
 
 
 def specs() -> dict[str, QuerySpec]:
     _load_all()
     try:
-        settled = _settled_counts()
-        shaky = _nongreen_keys()
+        settled, shaky = _scan_history()
     except Exception:
         settled, shaky = {}, set()
     order = {k: i for i, k in enumerate(_REGISTRY)}

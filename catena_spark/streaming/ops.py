@@ -381,17 +381,24 @@ def _normalize_stream_ts(src: DataFrame) -> DataFrame:
     return src
 
 
-def _stream_events(spark, sf_dir):
-    """File-source streaming read of the events table."""
+def _stream_events(spark, sf_dir, path=None, **options):
+    """File-source streaming read of the events table (schema inferred
+    from the batch reader, ts normalized). By default reads the shared
+    fixture dir with pathGlobFilter picking the single events.parquet
+    file; pass ``path`` (+ reader options like maxFilesPerTrigger) to
+    stream a multi-file events directory instead — both the fast path
+    and the replay fallback go through this one reader so a future read
+    change cannot reach one and miss the other."""
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # The file source wants a DIRECTORY; pathGlobFilter selects the one
-    # table file out of the shared fixture dir.
-    src = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return _normalize_stream_ts(src)
+    reader = spark.readStream.schema(raw_schema)
+    if path is None:
+        # The file source wants a DIRECTORY; pathGlobFilter selects the
+        # one table file out of the shared fixture dir.
+        reader = reader.option("pathGlobFilter", "events.parquet")
+        path = sf_dir
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return _normalize_stream_ts(reader.parquet(path))
 
 
 def _run_to_table(agg: DataFrame, name: str, mode: str):
@@ -523,12 +530,11 @@ def stream_live_ewma_state(spark, sf_dir):
         _run_to_table(agg, name, "append")
         return spark.table(name).select("user_id", "event_type", "ts_us", "ewma")
     # multi-file fixture: replay fold, one file per micro-batch
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    src = _normalize_stream_ts(
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(path)
+    src = _stream_events(
+        spark,
+        sf_dir,
+        path=os.path.join(sf_dir, "events.parquet"),
+        maxFilesPerTrigger="1",
     )
     _run_to_table(streaming_ewma_replay(src), name, "append")
     return finalize_ewma_replay(spark.table(name)).select(

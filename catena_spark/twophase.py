@@ -46,23 +46,32 @@ def global_running_sum(
     final join see the same partitioning (range sampling never re-runs).
     """
     if assert_total_order:
-        try:
-            dup = (
-                df.groupBy(*sort_exprs)
-                # named count avoids ambiguity with a sort key called
-                # 'count' (ADVICE r4)
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .where(F.col("_n") > 1)
-                .limit(1)
-                .collect()
-            )
-        except Exception as ex:
+        # detect SortOrder inputs UP FRONT (a Column's repr carries the
+        # direction, e.g. Column<'k DESC NULLS LAST'>) so the explanatory
+        # error fires only for that case — a blanket except here would
+        # rebrand unrelated failures (missing column, dead executor) as
+        # a sort_exprs problem
+        decorated = [
+            c for c in sort_exprs
+            if not isinstance(c, str)
+            and (" ASC NULLS" in str(c) or " DESC NULLS" in str(c))
+        ]
+        if decorated:
             raise ValueError(
                 "global_running_sum(assert_total_order=True) needs plain "
                 "column expressions in sort_exprs — SortOrder (e.g. "
-                ".desc()) cannot be grouped on; pass undecorated columns "
-                "when asserting"
-            ) from ex
+                f".desc()) cannot be grouped on (got {decorated}); pass "
+                "undecorated columns when asserting"
+            )
+        dup = (
+            df.groupBy(*sort_exprs)
+            # named count avoids ambiguity with a sort key called
+            # 'count' (ADVICE r4)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
         if dup:
             raise ValueError(
                 f"global_running_sum: sort_exprs are not a total order "

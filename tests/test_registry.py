@@ -84,6 +84,8 @@ def test_nongreen_history_breaks_ties_first():
     shaky = registry._nongreen_keys()
     keys = list(registry.specs())
     for k in shaky:
+        if k not in keys:  # history outlives renamed/removed keys
+            continue
         ki = keys.index(k)
         for j, other in enumerate(keys):
             if (
