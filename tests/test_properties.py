@@ -483,3 +483,44 @@ def test_duckdb_list_sum_is_sequential_left_fold(duck):
             acc2 += x * x
         assert acc == s and math.isfinite(s)
         assert acc2 == sq
+
+
+def test_decimal_threshold_predicate_exact_within_envelope(spark):
+    """The ANN/near-dup 0.4-threshold comparison runs in DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB). Under non-ANSI Spark a decimal OVERFLOW
+    would yield NULL and silently drop the row, so this pins the
+    predicate against exact Python integer arithmetic across the
+    documented envelope — fixture magnitudes (dot,|v|^2 <= ~6.4e13 for
+    |x|<=1 micro-unit vectors) up to a 100x safety margin, including
+    exact-boundary ties where 25*dot^2 == 4*n2a*n2b."""
+    from pyspark.sql import functions as F
+
+    cases = []
+    base = [0, 1, 7, 10**6, 64 * 10**12, 6 * 10**15]  # up to ~100x fixtures
+    for dot in base:
+        for n2a in base[1:]:
+            for n2b in base[1:]:
+                cases.append((dot, n2a, n2b))
+    # exact boundary: 25*dot^2 == 4*n2a*n2b  (dot=2k, n2a=5k, n2b=5k)
+    for k in (1, 10**6, 10**12):
+        cases.append((2 * k, 5 * k, 5 * k))
+    df = spark.createDataFrame(cases, "dot_i long, n2a long, n2b long")
+    dec = "decimal(38,0)"
+    got = {
+        (r["dot_i"], r["n2a"], r["n2b"]): r["keep"]
+        for r in df.withColumn(
+            "keep",
+            (F.col("dot_i") > 0)
+            & (
+                F.lit(25).cast(dec)
+                * F.col("dot_i").cast(dec)
+                * F.col("dot_i").cast(dec)
+                >= F.lit(4).cast(dec)
+                * F.col("n2a").cast(dec)
+                * F.col("n2b").cast(dec)
+            ),
+        ).collect()
+    }
+    for dot, n2a, n2b in cases:
+        exact = dot > 0 and 25 * dot * dot >= 4 * n2a * n2b
+        assert got[(dot, n2a, n2b)] == exact, (dot, n2a, n2b)
