@@ -78,7 +78,10 @@ def compact(spark: SparkSession, path: str, target_files_per_partition: int = 1)
     cluster = [c for c in ("user_id", "event_type", "source", "metric") if c in df.columns]
     n = max(1, int(target_files_per_partition))
     bucket = (F.abs(F.xxhash64(*cluster, "ts")) % n) if n > 1 else F.lit(0)
-    n_dt = df.select("dt").distinct().count()
+    # partition count from the directory listing (metadata), not a
+    # cluster-wide distinct scan — at 100 TB that job existed only to
+    # learn a number the layout already encodes (self-review r5)
+    n_dt = max(1, len([p for p in Path(path).glob("dt=*") if p.is_dir()]))
     tmp = path.rstrip("/") + ".compact-tmp"
     (
         df.withColumn("_bucket", bucket)
@@ -124,21 +127,28 @@ def stream_ingest_events(
     src_dir: str,
     dest_dir: str,
     checkpoint_dir: str,
-    watermark: str = "10 minutes",
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
-    """A1/A2/F1/F6: file-source streaming ingest with exactly-once sink.
+    """A1/A2/F6: file-source streaming ingest with exactly-once sink.
 
     The SS checkpoint (offsets+commits) IS the WAL: kill the query, add
     files, restart with the same checkpoint -> each input file applied
     exactly once (tests/test_streaming.py::test_restart_recovery).
-    Watermark enforces catena's late-data contract (writes into
-    already-rotated windows rejected) for stateful downstream ops.
+
+    Late-data contract (r5 correction, self-review finding): a
+    withWatermark on this stateless append query was a NO-OP — the
+    parquet sink has no state to evict, so late rows were written
+    anyway and the old docstring's rejection claim was false. Catena's
+    actual contract (writes into rotated-out windows rejected) is
+    enforced where catena enforces it: the client API layer
+    (api.py InsertRows late-window rejection, tests/test_api.py), and
+    retention itself drops whole dt partitions. Stateful downstream
+    queries (F1) attach their own watermarks — see streaming/ops.py.
     """
     reader = spark.readStream.schema(EVENTS_DDL)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(src_dir).withWatermark("ts", watermark)
+    stream = reader.parquet(src_dir)
     return (
         with_dt(stream)
         .writeStream.format("parquet")
@@ -209,7 +219,14 @@ def refresh_rollup(
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
-               AS sum_cents
+               AS sum_cents,
+           CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS min_ts_us,
+           CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS max_ts_us,
+           CAST(sum(epoch_us(CAST(ts AS TIMESTAMP)) % 1000000) AS BIGINT)
+               AS sum_us_frac,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+           CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+           CAST(sum(length(props)) AS BIGINT) AS sum_props_len
     FROM events
     GROUP BY event_type
     """,
@@ -218,8 +235,19 @@ def src_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV and JSON-lines source connectors (SURVEY.md §2-A6 depth):
     events round-trip parquet -> CSV -> JSON -> aggregate, proving the
     schema'd text-format read paths carry timestamps and doubles without
-    loss — the oracle aggregates the original parquet, so any connector
+    loss — the oracle aggregates the ORIGINAL parquet, so any connector
     corruption hash-mismatches.
+
+    r5 hardening (self-review finding): the previous form read the raw
+    parquet (ts as timestamp_ntz), whose CSV write used the
+    timestampNTZFormat DEFAULT — not the timestampFormat option set —
+    so the read-back pattern matched nothing and PERMISSIVE mode nulled
+    the entire ts column; the old aggregate (event_type/value only)
+    could not see it. Now the source goes through tables.load (LTZ
+    normalization, so timestampFormat applies on both legs) and the
+    checked aggregate covers EVERY column: microsecond-exact ts extremes
+    + the sub-second digit sum (catches truncated fractions), event/user
+    id sums, and props length sum (catches CSV quote/escape damage).
 
     Both reads use EXPLICIT schemas (EVENTS_DDL): at 100 TB, schema
     inference is a full extra pass over the data and is never acceptable;
@@ -227,7 +255,7 @@ def src_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").select(
+    ev = tables.load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
     tmp = Path(tempfile.mkdtemp(prefix="catena_src_rt_"))
@@ -252,11 +280,18 @@ def src_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("timestampFormat", tsfmt)
             .json(json_dir)
         )
+        us = F.unix_micros("ts")
         out = json_df.groupBy("event_type").agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias(
                 "sum_cents"
             ),
+            F.min(us).cast("long").alias("min_ts_us"),
+            F.max(us).cast("long").alias("max_ts_us"),
+            F.sum(us % 1000000).cast("long").alias("sum_us_frac"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.sum("user_id").cast("long").alias("sum_user_id"),
+            F.sum(F.length("props")).cast("long").alias("sum_props_len"),
         )
         return out.localCheckpoint(eager=True)  # materialize before tmp cleanup
     finally:

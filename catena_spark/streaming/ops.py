@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..parity import ravg, rsum, ts_str
+
 
 def windowed_counts(events: DataFrame, width: str = "6 hours") -> DataFrame:
     """F2 tumbling windows: per (window, event_type) count + value sum."""
@@ -26,10 +28,10 @@ def windowed_counts(events: DataFrame, width: str = "6 hours") -> DataFrame:
         events.groupBy(F.window("ts", width), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_v"),
+            rsum(F.col("value")).alias("sum_v"),
         )
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            ts_str("window.start").alias("win_start"),
             "event_type",
             "n",
             "sum_v",
@@ -41,9 +43,9 @@ def sliding_avg(events: DataFrame, width: str = "2 hours", slide: str = "1 hour"
     """F2 sliding windows: overlapping per-type averages."""
     return (
         events.groupBy(F.window("ts", width, slide), "event_type")
-        .agg(F.round(F.avg("value"), 6).alias("avg_v"), F.count(F.lit(1)).alias("n"))
+        .agg(ravg(F.col("value")).alias("avg_v"), F.count(F.lit(1)).alias("n"))
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            ts_str("window.start").alias("win_start"),
             "event_type",
             "avg_v",
             "n",
@@ -76,7 +78,7 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
 
 #: output/state schemas for streaming_ewma
 _EWMA_OUT = "user_id bigint, event_type string, ts_us bigint, value double, ewma double"
-_EWMA_STATE = "ewma double, n bigint"
+_EWMA_STATE = "ewma double"
 
 #: output/state schemas for streaming_ewma_replay (batch-count-invariant)
 _EWMA_REPLAY_OUT = (
@@ -97,7 +99,7 @@ def streaming_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     """
 
     def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        (ewma, n) = state.get if state.exists else (None, 0)
+        (ewma,) = state.get if state.exists else (None,)
         # concat BEFORE sorting: a group larger than the Arrow batch size
         # arrives as multiple chunks, and per-chunk sorts would fold
         # later-chunk earlier-timestamps out of order — the whole batch's
@@ -108,15 +110,17 @@ def streaming_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         out = []
         for r in pdf.itertuples(index=False):
             ewma = r.value if ewma is None else alpha * r.value + (1 - alpha) * ewma
-            n += 1
             out.append((key[0], key[1], r.ts_us, r.value, ewma))
-        state.update((ewma, n))
+        state.update((ewma,))
         yield pd.DataFrame(
             out, columns=["user_id", "event_type", "ts_us", "value", "ewma"]
         )
 
+    # project the minimal columns through Arrow (self-review r5: the
+    # raw ts column was dead weight in the fold; with NoTimeout no
+    # event-time column is needed past this select)
     src = events.select(
-        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "value", "ts"
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "value"
     )
     return src.groupBy("user_id", "event_type").applyInPandasWithState(
         fold, _EWMA_OUT, _EWMA_STATE, "append", GroupStateTimeout.NoTimeout
@@ -168,7 +172,7 @@ def streaming_ewma_replay(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         )
 
     src = events.select(
-        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "value", "ts"
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "value"
     )
     return src.groupBy("user_id", "event_type").applyInPandasWithState(
         fold, _EWMA_REPLAY_OUT, _EWMA_REPLAY_STATE, "append", GroupStateTimeout.NoTimeout
@@ -281,7 +285,7 @@ def static_enrich_counts(events: DataFrame, user_dim: DataFrame) -> DataFrame:
             F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_cents"),
         )
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            ts_str("window.start").alias("win_start"),
             "tier",
             "n",
             "sum_cents",
@@ -381,6 +385,12 @@ def _normalize_stream_ts(src: DataFrame) -> DataFrame:
     return src
 
 
+#: raw events schema per sf_dir — the keys that build two stream legs
+#: (dedup's self-union, the interval join) would otherwise re-fetch the
+#: parquet footer per leg; on object storage those are remote round-trips
+_RAW_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def _stream_events(spark, sf_dir, path=None, **options):
     """File-source streaming read of the events table (schema inferred
     from the batch reader, ts normalized). By default reads the shared
@@ -389,7 +399,10 @@ def _stream_events(spark, sf_dir, path=None, **options):
     stream a multi-file events directory instead — both the fast path
     and the replay fallback go through this one reader so a future read
     change cannot reach one and miss the other."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _RAW_SCHEMA_CACHE.get(sf_dir)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _RAW_SCHEMA_CACHE[sf_dir] = raw_schema
     reader = spark.readStream.schema(raw_schema)
     if path is None:
         # The file source wants a DIRECTORY; pathGlobFilter selects the
@@ -421,7 +434,15 @@ def _run_to_table(agg: DataFrame, name: str, mode: str):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination()
+            # bounded wait (self-review r5): an unbounded
+            # awaitTermination would hang the driver gate forever on a
+            # wedged state-store/checkpoint; 600 s is ~60x the slowest
+            # fixture stream
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError(
+                    f"streaming query {name} did not finish within 600s"
+                )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -465,7 +486,7 @@ def stream_live_tumbling_agg(spark, sf_dir):
             .alias("sum_cents"),
         )
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            ts_str("window.start").alias("win_start"),
             "event_type",
             "n",
             "sum_cents",
@@ -571,11 +592,18 @@ def stream_live_dedup_watermark(spark, sf_dir):
     watermark passes an id's event time — bounded state on an unbounded
     feed, unlike batch dropDuplicates which would hold the full key set;
     this is the Spark-native form of catena's WAL idempotent replay
-    (SURVEY.md §2-F4/A2).
+    (SURVEY.md §2-F4/A2). The watermark delay here EXCEEDS the fixture's
+    whole time span (r5, self-review finding — the same multi-batch
+    hazard the ewma key's replay fallback guards): with a 10-minute
+    delay, a multi-file fixture would advance the watermark after batch
+    1 and drop batch 2's older rows outright. 45 days keeps every row
+    admissible and every dedup key live for the full bounded replay —
+    exactly how a production backfill sizes its watermark to the
+    backfill horizon; the steady-state feed uses the short delay.
     """
     tables.load(spark, sf_dir, "events")  # ensure parity conf + pkg ship
     doubled = _stream_events(spark, sf_dir).unionAll(_stream_events(spark, sf_dir))
-    deduped = doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+    deduped = doubled.withWatermark("ts", "45 days").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
     name = f"live_dedup_{os.getpid()}"
