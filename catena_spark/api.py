@@ -28,6 +28,7 @@ SURVEY.md §1.1].
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -44,10 +45,16 @@ ROW_DDL = "source string, metric string, ts timestamp, value double"
 class InsertResult:
     """InsertRows outcome: catena errors the whole batch on a late
     window; here late rows are split out and counted so the caller can
-    dead-letter them (the streaming watermark does the same, F1)."""
+    dead-letter them (the streaming watermark does the same, F1).
+    ``rejected_invalid`` counts NULL-ts rows (r5, self-review): they
+    have no window, so they are neither writable nor late — previously
+    they could vanish uncounted or create a junk
+    __HIVE_DEFAULT_PARTITION__ directory that corrupted the rotation
+    horizon."""
 
     inserted: int
     rejected_late: int
+    rejected_invalid: int = 0
 
 
 class SeriesIterator:
@@ -82,6 +89,10 @@ class CatenaDB:
     (source, metric, ts) = extents, partition pruning = extent index)."""
 
     def __init__(self, spark: SparkSession, base_dir: str, writable_partitions: int = 2):
+        if writable_partitions < 1:
+            # parts[-0] would silently mean parts[0] and accept
+            # EVERYTHING — the inverse of "zero writable windows"
+            raise ValueError("writable_partitions must be >= 1")
         self.spark = spark
         self.base_dir = str(base_dir)
         #: newest-N dt windows accept writes (catena: memory partitions);
@@ -111,41 +122,65 @@ class CatenaDB:
 
     # ------------------------------------------------------------ write path
 
+    _DT_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
     def _partitions(self) -> list[str]:
-        """Sorted dt partition names (catena: partition list)."""
+        """Sorted dt partition names (catena: partition list). Only
+        date-shaped names count — a stray directory (e.g. Hive's NULL
+        partition __HIVE_DEFAULT_PARTITION__, which sorts after every
+        date) must not shift the rotation horizon (r5, self-review)."""
         root = Path(self.base_dir)
         return sorted(
-            p.name.split("=", 1)[1] for p in root.glob("dt=*") if p.is_dir()
+            name
+            for p in root.glob("dt=*")
+            if p.is_dir() and self._DT_RE.match(name := p.name.split("=", 1)[1])
         )
 
     def insert_rows(self, rows: DataFrame) -> InsertResult:
         """``InsertRows``: route rows to dt windows; windows older than
         the writable set reject their rows (late-data policy, §2-F1).
-        New windows are created on first insert, as in catena."""
+        New windows are created on first insert, as in catena — but only
+        while the window count is below the writable capacity: at
+        capacity, a row older than every existing window would create a
+        born-rotated window, so it is late (>=, not >, r5 fix — the old
+        check accepted it and the re-insert was then rejected,
+        non-idempotent). NULL-ts rows have no window: counted as
+        rejected_invalid, never written. The batch is persisted once so
+        the two counts and the write see one materialization."""
         parts = self._partitions()
-        df = ingest.with_dt(rows.select("source", "metric", "ts", "value"))
-        if len(parts) > self.writable_partitions:
-            horizon = parts[-self.writable_partitions]
-            late = df.where(F.col("dt") < horizon)
-            ok = df.where(F.col("dt") >= horizon)
-            n_late = late.count()
-        else:
-            ok, n_late = df, 0
-        n_ok = ok.count()
-        if n_ok:
-            (
-                ok.repartition("dt")
-                .sortWithinPartitions("source", "metric", "ts")
-                .write.mode("append")
-                .partitionBy("dt")
-                .parquet(self.base_dir)
-            )
-        return InsertResult(inserted=n_ok, rejected_late=n_late)
+        df = ingest.with_dt(rows.select("source", "metric", "ts", "value")).persist()
+        try:
+            n_invalid = df.where(F.col("dt").isNull()).count()
+            valid = df.where(F.col("dt").isNotNull())
+            if len(parts) >= self.writable_partitions:
+                horizon = parts[-self.writable_partitions]
+                ok = valid.where(F.col("dt") >= horizon)
+                n_late = valid.where(F.col("dt") < horizon).count()
+            else:
+                ok, n_late = valid, 0
+            n_ok = ok.count()
+            if n_ok:
+                (
+                    ok.repartition("dt")
+                    .sortWithinPartitions("source", "metric", "ts")
+                    .write.mode("append")
+                    .partitionBy("dt")
+                    .parquet(self.base_dir)
+                )
+        finally:
+            df.unpersist()
+        return InsertResult(
+            inserted=n_ok, rejected_late=n_late, rejected_invalid=n_invalid
+        )
 
     # ------------------------------------------------------------ read path
 
     def _all(self) -> DataFrame:
-        return self.spark.read.parquet(self.base_dir)
+        # explicit schema makes reads total on a freshly created (empty)
+        # DB — schema inference over zero files raises (r5, self-review)
+        return self.spark.read.schema(ROW_DDL + ", dt string").parquet(
+            self.base_dir
+        )
 
     def iterator(self, source: str, metric: str) -> SeriesIterator:
         """``NewIterator``: equality filters push to the scan; partition

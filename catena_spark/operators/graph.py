@@ -105,6 +105,13 @@ def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ej = e.join(ow, "u").localCheckpoint(eager=True)  # edges reused 3x
     nodes = s.select(F.col("metric").alias("v")).distinct().localCheckpoint(eager=True)
     nn = nodes.count()
+    if nn == 0:
+        # empty input: an empty result with the output schema, not a
+        # driver-side ZeroDivisionError (r5, self-review); the oracle's
+        # aggregate over zero rows is equally empty
+        return spark.createDataFrame(
+            [], "metric string, pagerank_micro long, rank long"
+        )
     base = (15 * (_MASS // nn)) // 100
     pr = nodes.withColumn("pr", F.lit(_MASS // nn).cast("long"))
     for _ in range(3):

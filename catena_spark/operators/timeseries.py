@@ -548,11 +548,12 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, metric, ts_us, value, z FROM (
         SELECT source, metric, ts_us, value,
                round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z,
-               count(*) OVER w AS n_win
+               count(*) OVER w AS n_win,
+               stddev_samp(value) OVER w AS sd
         FROM s
         WINDOW w AS (PARTITION BY source, metric ORDER BY ts_us, value
                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
-    WHERE n_win >= 5 AND abs(z) > 2.0
+    WHERE n_win >= 5 AND sd > 0 AND abs(z) > 2.0
     """),
 )
 def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,6 +563,11 @@ def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: z is rounded to 4 before the threshold compare on both
     engines so stddev numeric noise (~1e-12) cannot flip membership.
+    A constant trailing window (sd = 0) is excluded EXPLICITLY on both
+    sides (r5, self-review): Spark's 0-division yields NULL (row
+    dropped) while DuckDB's IEEE float ops yield +/-inf (row kept) —
+    semantically an sd=0 window has no meaningful z anyway. n_win
+    counts rows (count(*)) on both sides.
     """
     s = _series(spark, sf_dir)
     w = (
@@ -569,14 +575,16 @@ def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_us", "value")
         .rowsBetween(-20, -1)
     )
-    z = F.round(
-        (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 4
-    )
-    n_win = F.count("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = F.round((F.col("value") - F.avg("value").over(w)) / sd, 4)
+    n_win = F.count(F.lit(1)).over(w)
     return (
-        s.select("source", "metric", "ts_us", "value", z.alias("z"), n_win.alias("n_win"))
-        .where((F.col("n_win") >= 5) & (F.abs(F.col("z")) > 2.0))
-        .drop("n_win")
+        s.select(
+            "source", "metric", "ts_us", "value",
+            z.alias("z"), n_win.alias("n_win"), sd.alias("sd"),
+        )
+        .where((F.col("n_win") >= 5) & (F.col("sd") > 0) & (F.abs(F.col("z")) > 2.0))
+        .drop("n_win", "sd")
     )
 
 
@@ -587,14 +595,15 @@ def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "C9",
     oracle=_cte("""
     , flagged AS (
-        SELECT source, ts_us,
+        SELECT source, ts_us, metric, value,
                CASE WHEN lag(ts_us) OVER w IS NULL
                          OR ts_us - lag(ts_us) OVER w > 1800000000
                     THEN 1 ELSE 0 END AS is_new
         FROM s WINDOW w AS (PARTITION BY source ORDER BY ts_us, metric, value)),
     sessions AS (
         SELECT source, ts_us,
-               sum(is_new) OVER (PARTITION BY source ORDER BY ts_us
+               sum(is_new) OVER (PARTITION BY source
+                                 ORDER BY ts_us, metric, value
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS session_id
         FROM flagged)
@@ -616,15 +625,20 @@ def ts_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     s = _series(spark, sf_dir)
     w = Window.partitionBy("source").orderBy("ts_us", "metric", "value")
+    # the cumsum MUST run over the same total order as the flag window
+    # (r5, self-review): ordering by ts_us alone left tied timestamps'
+    # session_id dependent on arbitrary row order
     w_cum = (
         Window.partitionBy("source")
-        .orderBy("ts_us")
+        .orderBy("ts_us", "metric", "value")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     gap = F.col("ts_us") - F.lag("ts_us").over(w)
     flagged = s.select(
         "source",
         "ts_us",
+        "metric",
+        "value",
         F.when(gap.isNull() | (gap > 1800 * US), 1).otherwise(0).alias("is_new"),
     )
     sessions = flagged.select(
@@ -2009,13 +2023,16 @@ def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b GROUP BY 1
     )
     SELECT metric, n AS n_buckets,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)
-               AS slope_cents_per_hour,
-           round((CAST(sy AS DOUBLE)
-                  - (CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-                 / CAST(n AS DOUBLE), 4) AS intercept_cents
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+           END AS slope_cents_per_hour,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+             round((CAST(sy AS DOUBLE)
+                    - (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE), 4)
+           END AS intercept_cents
     FROM g
     """),
 )
@@ -2030,7 +2047,11 @@ def ts_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     are each ONE identical float expression over identical integers
     (cast, multiply, divide, round) — bit-identical on both engines,
     same proof as ts_corr_metric_pairs. Fixture x,y magnitudes keep
-    n*sxy well inside 2^63.
+    n*sxy well inside 2^63. A single-bucket metric (zero x-variance)
+    yields NULL slope/intercept EXPLICITLY on both sides (r5,
+    self-review): Spark's 0/0 is NULL but DuckDB's IEEE 0/0 is NaN, so
+    the undefined case must be guarded, exactly as
+    ts_corr_metric_pairs already does.
 
     Scale: the classic sufficient-statistics shape — one shuffle to
     hourly buckets (map-side partial), one tiny aggregate to 5 numbers
@@ -2050,17 +2071,18 @@ def ts_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    ).cast("double")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / varx.cast("double")
     intercept = (
         F.col("sy").cast("double") - slope * F.col("sx").cast("double")
     ) / F.col("n").cast("double")
     return g.select(
         "metric",
         F.col("n").alias("n_buckets"),
-        F.round(slope, 6).alias("slope_cents_per_hour"),
-        F.round(intercept, 4).alias("intercept_cents"),
+        F.when(varx != 0, F.round(slope, 6)).alias("slope_cents_per_hour"),
+        F.when(varx != 0, F.round(intercept, 4)).alias("intercept_cents"),
     )
 
 
@@ -2160,7 +2182,7 @@ def ts_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT metric,
            CAST(count(*) AS BIGINT) AS n_present_hours,
            CAST(count(*) FILTER (WHERE step > 1) AS BIGINT) AS n_gaps,
-           CAST(coalesce(max(step) FILTER (WHERE step > 1), 0) - 1 AS BIGINT)
+           CAST(coalesce(max(step) FILTER (WHERE step > 1), 1) - 1 AS BIGINT)
                AS max_gap_hours,
            CAST(coalesce(sum(step - 1) FILTER (WHERE step > 1), 0) AS BIGINT)
                AS total_missing_hours
@@ -2191,7 +2213,11 @@ def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_gap = F.col("step") > 1
     return g.groupBy("metric").agg(
         F.count(F.lit(1)).cast("long").alias("n_present_hours"),
-        F.sum(is_gap.cast("long")).cast("long").alias("n_gaps"),
+        # count(when(...)), not sum(cast): sum over an all-NULL step
+        # column (single present hour) is NULL where the oracle's
+        # FILTERed count(*) is 0 (r5 — caught by the degenerate-input
+        # cross-engine test)
+        F.count(F.when(is_gap, F.lit(1))).cast("long").alias("n_gaps"),
         (
             F.coalesce(F.max(F.when(is_gap, F.col("step"))), F.lit(1)) - 1
         ).cast("long").alias("max_gap_hours"),

@@ -96,3 +96,58 @@ def test_compaction_preserves_results(spark, db):
         for r in db.iterator("cpu0", "util").points().collect()
     )
     assert before == after
+
+
+def test_empty_db_reads_are_total(spark, tmp_path):
+    """r5 self-review: reads on a freshly created DB must return empty
+    results, not raise UNABLE_TO_INFER_SCHEMA."""
+    db = CatenaDB.create(spark, str(tmp_path / "fresh"))
+    assert db.list_series().count() == 0
+    assert db.iterator("cpu0", "util").points().count() == 0
+    assert db.iterator("cpu0", "util").first() is None
+
+
+def test_null_ts_rows_counted_invalid_not_written(spark, db):
+    """r5 self-review: NULL-ts rows have no window — they must be
+    counted (rejected_invalid), never written, and never create a
+    __HIVE_DEFAULT_PARTITION__ dir that shifts the rotation horizon."""
+    good = _rows(spark, [0])
+    bad = spark.createDataFrame(
+        [("cpu0", "util", None, 1.0)],
+        "source string, metric string, ts timestamp, value double",
+    )
+    res = db.insert_rows(good.unionAll(bad))
+    assert res.inserted == 3 and res.rejected_late == 0
+    assert res.rejected_invalid == 1
+    assert db._partitions() == ["2026-01-10"]
+    assert db.iterator("cpu0", "util").points().count() == 3
+
+
+def test_junk_partition_dir_ignored(spark, db):
+    """A non-date dt directory (e.g. Hive's NULL partition) sorts after
+    every date string and previously shifted the horizon."""
+    import pathlib
+
+    db.insert_rows(_rows(spark, [0, 1]))
+    (pathlib.Path(db.base_dir) / "dt=__HIVE_DEFAULT_PARTITION__").mkdir()
+    assert db._partitions() == ["2026-01-10", "2026-01-11"]
+    # day-11 inserts still writable (horizon not shifted by the junk dir)
+    res = db.insert_rows(_rows(spark, [1]))
+    assert res.inserted == 3 and res.rejected_late == 0
+
+
+def test_at_capacity_older_than_all_is_late_and_idempotent(spark, db):
+    """r5 self-review (>= fix): with exactly writable_partitions
+    windows, a row older than ALL of them must be rejected — the old >
+    check accepted it into a born-rotated window once, then rejected
+    the identical re-insert (non-idempotent policy)."""
+    db.insert_rows(_rows(spark, [1, 2]))  # exactly 2 windows, writable=2
+    res1 = db.insert_rows(_rows(spark, [0]))
+    res2 = db.insert_rows(_rows(spark, [0]))
+    assert (res1.inserted, res1.rejected_late) == (0, 3)
+    assert (res2.inserted, res2.rejected_late) == (0, 3)
+
+
+def test_zero_writable_partitions_rejected():
+    with pytest.raises(ValueError, match="writable_partitions"):
+        CatenaDB(None, "/tmp/x", writable_partitions=0)

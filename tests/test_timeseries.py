@@ -150,3 +150,77 @@ def test_lttb_actually_downsamples_long_series(spark):
     assert all(src[t] == v for t, v in out), "fabricated point"
     # the spiked global max at i=250 dominates its bucket's triangle area
     assert any(t == 250 * 1_000_000 for t, _ in out)
+
+
+def test_degenerate_inputs_cross_engine_parity(spark, tmp_path):
+    """r5 self-review regression net: cases where Spark and DuckDB
+    previously disagreed only OUTSIDE the fixtures' data shapes —
+    a gapless metric (gap_report oracle returned -1), a constant
+    trailing window (zscore: NULL-dropped vs inf-kept), a single-bucket
+    metric (trend_ols: NULL vs NaN), and tied timestamps (sessionize
+    cumsum tiebreak). Runs each key AND its oracle on a synthetic
+    events table engineered to hit all four, comparing exactly."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from catena_spark import registry
+    from catena_spark.parity import norm_cell
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    # user 1 / 'click': dense hourly points (gapless metric), constant
+    # values (constant trailing window), one lone burst value
+    for i in range(30):
+        rows.append((100 + i, t0 + dt.timedelta(hours=i), 1, "click", 5.0))
+    rows.append((130, t0 + dt.timedelta(hours=30), 1, "click", 500.0))
+    # user 2 / 'view': single hourly bucket (zero x-variance for OLS)
+    rows.append((200, t0, 2, "view", 1.0))
+    rows.append((201, t0 + dt.timedelta(minutes=5), 2, "view", 2.0))
+    # user 3: tied timestamps across metrics (sessionize tiebreak) —
+    # distinct event_types so they don't pollute click's gaplessness or
+    # view's single bucket
+    tied = t0 + dt.timedelta(days=2)
+    rows.append((300, tied, 3, "signup", 1.0))
+    rows.append((301, tied, 3, "purchase", 2.0))
+    rows.append((302, tied + dt.timedelta(hours=2), 3, "signup", 3.0))
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [float(r[4]) for r in rows],
+            "props": ['{"k": 1}'] * len(rows),
+        }
+    )
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    specs = registry.specs()
+    for key in (
+        "ts_gap_report",
+        "ts_zscore_outliers",
+        "ts_trend_ols",
+        "ts_sessionize_30m",
+    ):
+        spec = specs[key]
+        sdf = spec.fn(spark, sf)
+        cols = sorted(sdf.columns)
+        got = sorted(
+            tuple(norm_cell(r[c]) for c in cols) for r in sdf.collect()
+        )
+        cur = con.execute(spec.oracle)
+        names = [d[0] for d in cur.description]
+        order = sorted(range(len(names)), key=lambda i: names[i])
+        exp = sorted(
+            tuple(norm_cell(r[i]) for i in order) for r in cur.fetchall()
+        )
+        assert sorted(names) == cols, key
+        assert got == exp, f"{key}: spark={got[:4]} oracle={exp[:4]}"
+    con.close()
