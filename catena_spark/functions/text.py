@@ -47,6 +47,24 @@ def char_ngrams(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def word_ngrams(text: Column | str, n: int = 5) -> Column:
+    """Distinct word n-grams (space-tokenized), the word-level sibling
+    of char_ngrams and the ONE definition shared by the contamination
+    and novelty keys (r5, self-review — two independent constructions
+    previously had to stay semantically identical by hand). Splits the
+    text once; texts with fewer than ``n`` words yield an EMPTY array
+    (same descending-sequence guard as char_ngrams)."""
+    col = F.col(text) if isinstance(text, str) else text
+    ws = F.split(col, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    )
+    return F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def quality_score(text: Column | str) -> Column:
     """Deterministic doc-quality heuristic in [0,1]:
     0.4*length_score + 0.4*lexical_diversity + 0.2*(1 - punct_ratio).

@@ -56,6 +56,23 @@ def dot_long(ia: Column | str, ib: Column | str) -> Column:
     )
 
 
+def cosine_ge(
+    dot_i: Column, n2a: Column, n2b: Column, num: int = 2, den: int = 5
+) -> Column:
+    """cos >= num/den as EXACT integer arithmetic (r5 — the one shared
+    definition of the ANN/near-dup threshold): dot > 0 AND
+    den^2*dot^2 >= num^2*n2a*n2b in DECIMAL(38,0), mirroring the
+    oracles' HUGEINT comparison. Squaring is sound because both sides
+    are non-negative once dot > 0. Headroom: |x| <= ~100 per component
+    keeps den^2*dot^2 under 1e38 (pinned with boundary ties in
+    tests/test_properties.py)."""
+    dec = "decimal(38,0)"
+    return (dot_i > 0) & (
+        F.lit(den * den).cast(dec) * dot_i.cast(dec) * dot_i.cast(dec)
+        >= F.lit(num * num).cast(dec) * n2a.cast(dec) * n2b.cast(dec)
+    )
+
+
 def cosine_micro(dot_i: Column, n2a: Column, n2b: Column) -> Column:
     """Cosine from exact integer sums: round(D / (sqrt(A)*sqrt(B)), 6).
 

@@ -28,8 +28,9 @@ from ..functions.text import (
     lang_id,
     quality_score,
     regex_tokens,
+    word_ngrams,
 )
-from ..functions.vectors import cosine_micro, dot_long, micro_ints
+from ..functions.vectors import cosine_ge, cosine_micro, dot_long, micro_ints
 from ..registry import query
 from ..twophase import global_running_sum
 
@@ -471,24 +472,13 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("lb"), F.col("n2").alias("n2b"),
     )
     j = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-    dec = "decimal(38,0)"
     scored = j.select(
         "vec_a", "vec_b", "n2a", "n2b",
         (F.col("la") == F.col("lb")).alias("same_label"),
         dot_long("ia", "ib").alias("dot_i"),
     )
     return (
-        scored.where(
-            (F.col("dot_i") > 0)
-            & (
-                F.lit(25).cast(dec)
-                * F.col("dot_i").cast(dec)
-                * F.col("dot_i").cast(dec)
-                >= F.lit(4).cast(dec)
-                * F.col("n2a").cast(dec)
-                * F.col("n2b").cast(dec)
-            )
-        )
+        scored.where(cosine_ge(F.col("dot_i"), F.col("n2a"), F.col("n2b")))
         .select(
             "vec_a",
             "vec_b",
@@ -663,23 +653,12 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "vec_b",
     )
-    dec = "decimal(38,0)"
     scored = cand.select(
         "vec_a", "vec_b", "n2a", "n2b",
         dot_long("ia", "ib").alias("dot_i"),
     )
     return (
-        scored.where(
-            (F.col("dot_i") > 0)
-            & (
-                F.lit(25).cast(dec)
-                * F.col("dot_i").cast(dec)
-                * F.col("dot_i").cast(dec)
-                >= F.lit(4).cast(dec)
-                * F.col("n2a").cast(dec)
-                * F.col("n2b").cast(dec)
-            )
-        )
+        scored.where(cosine_ge(F.col("dot_i"), F.col("n2a"), F.col("n2b")))
         .select(
             "vec_a",
             "vec_b",
@@ -1442,8 +1421,23 @@ def llm_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             if changed == 0:
                 labels = new_labels
+                converged = True
                 break
         labels = new_labels
+    else:
+        converged = False
+    if not converged:
+        # fail loud, never silently ship partial labels (r5,
+        # self-review): the docstring advertises the loop as general,
+        # so a >20-diameter component (possible if the edge source is
+        # ever swapped for non-transitive near-dup pairs) must error —
+        # a wrong component_id would silently corrupt downstream
+        # keep/drop decisions and diverge from the oracle's closure
+        raise RuntimeError(
+            "llm_dup_components: label propagation did not converge in "
+            "20 rounds — component diameter exceeds the bound; raise "
+            "the round cap for this graph"
+        )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("component_size"))
     return (
         labels.join(sizes, "label")
@@ -1788,21 +1782,12 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles only the surviving (contaminated) grams.
     """
     d = _docs_norm(spark, sf_dir)
-    five_gram = lambda col: F.array_distinct(  # noqa: E731
-        F.filter(
-            F.transform(
-                F.split(col, " "),
-                lambda _, i: F.array_join(F.slice(F.split(col, " "), i + 1, 5), " "),
-            ),
-            lambda g: F.size(F.split(g, " ")) == 5,
-        )
-    )
     corpus = d.where(F.col("source") != "src0").select(
-        "doc_id", F.explode(five_gram(F.col("t"))).alias("gram")
+        "doc_id", F.explode(word_ngrams(F.col("t"), 5)).alias("gram")
     )
     bench = (
         d.where(F.col("source") == "src0")
-        .select(F.explode(five_gram(F.col("t"))).alias("gram"))
+        .select(F.explode(word_ngrams(F.col("t"), 5)).alias("gram"))
         .distinct()
     )
     return (
@@ -2056,7 +2041,11 @@ def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-char counts map-side, so the shuffle carries ~27 rows/doc.
     """
     d = tables.load(spark, sf_dir, "documents")
-    chars = d.select(
+    # length >= 1 guard (r5, self-review): Spark's sequence(1, 0) is the
+    # DESCENDING [1, 0] (the char_ngrams trap, functions/text.py), which
+    # would fabricate two '' chars for an empty text while the oracle's
+    # string_split('') yields none
+    chars = d.where(F.length("text") >= 1).select(
         "doc_id",
         F.explode(
             F.filter(
@@ -2411,20 +2400,13 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a single min. This is the same exchange shape a suffix-array
     dedup pipeline's gram-attribution step uses at 100 TB.
     """
-    d = _docs_norm(spark, sf_dir).select(
-        "doc_id", F.split("t", " ").alias("ws")
-    ).where(F.size("ws") >= 5)
-    g = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(ws) - 4),"
-                " i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),"
-                " element_at(ws, i + 2), element_at(ws, i + 3),"
-                " element_at(ws, i + 4)))"
-            )
-        ).alias("gram"),
-    ).distinct()
+    # word_ngrams returns the per-doc DISTINCT gram array, so exploding
+    # it gives unique (doc_id, gram) pairs directly — the previous
+    # explode-then-.distinct() paid a whole extra shuffle for the same
+    # result (r5, self-review)
+    g = _docs_norm(spark, sf_dir).select(
+        "doc_id", F.explode(word_ngrams(F.col("t"), 5)).alias("gram")
+    )
     novel = F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).cast("long")
     return g.withColumn(
         "first_doc", F.min("doc_id").over(Window.partitionBy("gram"))

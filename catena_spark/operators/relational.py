@@ -1193,12 +1193,17 @@ def pivot_flag_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+    # counts coalesce to 0 (r5, self-review): a missing pivot cell is
+    # NULL from Spark's pivot but 0 from the oracle's count(*) FILTER —
+    # latent here because every (flag, status) cell is populated at the
+    # fixture SFs; qty stays NULL-for-empty on BOTH sides (sum FILTER
+    # over no rows is NULL), so it needs no coalesce
     return p.select(
         "l_returnflag",
         F.col("F_qty").alias("qty_F"),
         F.col("O_qty").alias("qty_O"),
-        F.col("F_n").alias("n_F"),
-        F.col("O_n").alias("n_O"),
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("long").alias("n_F"),
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("long").alias("n_O"),
     )
 
 
@@ -1387,12 +1392,16 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
-        .agg(
+        # collect the set ONCE per group and derive both outputs from it
+        # (r5, self-review: two collect_set aggregates doubled the
+        # aggregation state and shuffle payload for the same set)
+        .agg(F.array_sort(F.collect_set("o_orderstatus")).alias("_set"))
+        .select(
+            "c_mktsegment",
             # joined string, not the raw array: the driver's pandas hash
             # canonicalization can't factorize ndarray cells (ADVICE r1).
-            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",")
-                .alias("statuses"),
-            F.size(F.collect_set("o_orderstatus")).cast("long").alias("n_statuses"),
+            F.array_join("_set", ",").alias("statuses"),
+            F.size("_set").cast("long").alias("n_statuses"),
         )
     )
 
