@@ -4,8 +4,16 @@ order-insensitive value hash) — mirrors the real driver's gate.
 
 Usage: cd /tmp && python drive_contract.py [key1 key2 ...]
 No args => all oracle-backed keys.
+
+Env overrides (r5 hostile-conf matrix — scripts/stress_window.sh): the
+real driver's session conf is unknown, so the rehearsal must pass under
+ANY reasonable conf, not just one. CATENA_SIM_TZ (session timezone,
+default America/New_York; Asia/Kolkata exercises the +05:30 half-hour
+offset), CATENA_SIM_MASTER (default local[8]), CATENA_SIM_SHUFFLE
+(default 8).
 """
 import hashlib
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -36,9 +44,17 @@ def value_hash(rows, cols):
 def main():
     focus = set(sys.argv[1:])
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.session.timeZone", "America/New_York")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(
+            os.environ.get("CATENA_SIM_MASTER", "local[8]")
+        )
+        .config(
+            "spark.sql.session.timeZone",
+            os.environ.get("CATENA_SIM_TZ", "America/New_York"),
+        )
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("CATENA_SIM_SHUFFLE", "8"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -1,0 +1,34 @@
+#!/bin/bash
+# r5 hostile-conf matrix over the driver's NEXT 50-key rotation window:
+# the real driver's session conf (timezone, parallelism, shuffle count)
+# is unknown, so every window key must hash-match DuckDB under ANY
+# reasonable conf. Varies one axis at a time plus two combined-hostile
+# profiles; Asia/Kolkata exercises the +05:30 half-hour offset, local[2]
+# exercises low parallelism (different partition counts, merge orders),
+# shuffle=1 exercises single-partition exchanges.
+#
+#   scripts/stress_window.sh          # ~10-15 min
+set -e
+cd "$(dirname "$0")/.."
+
+WINDOW=$(python - <<'EOF'
+from catena_spark import registry
+print(" ".join(list(registry.specs())[:50]))
+EOF
+)
+echo "window: $WINDOW"
+
+run() {
+  echo "== TZ=$1 MASTER=$2 SHUFFLE=$3"
+  (cd /tmp && CATENA_SIM_TZ="$1" CATENA_SIM_MASTER="$2" CATENA_SIM_SHUFFLE="$3" \
+    python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+}
+
+run America/New_York "local[8]"  8    # baseline (the committed sim conf)
+run UTC              "local[8]"  8
+run Asia/Kolkata     "local[8]"  8
+run America/New_York "local[2]"  8
+run America/New_York "local[8]"  1
+run Asia/Kolkata     "local[2]"  1    # combined hostile, low parallelism
+run UTC              "local[32]" 64   # combined hostile, high parallelism
+echo "== STRESS MATRIX ALL GREEN"
