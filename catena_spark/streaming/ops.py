@@ -206,7 +206,7 @@ from ..registry import query  # noqa: E402
     "stream_windowed_counts",
     "F2",
     oracle="""
-    SELECT strftime(to_timestamp((epoch_us(ts) // 21600000000) * 21600),
+    SELECT strftime(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000),
                     '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type, count(*) AS n, round(sum(value), 2) AS sum_v
     FROM events GROUP BY 1, 2
@@ -317,7 +317,7 @@ def user_tier_dim(events_batch: DataFrame) -> DataFrame:
                         ['bronze', 'silver', 'gold'][CAST(user_id % 3 AS INTEGER) + 1]
                             AS tier
                  FROM events)
-    SELECT strftime(to_timestamp((epoch_us(e.ts) // 21600000000) * 21600),
+    SELECT strftime(make_timestamp((epoch_us(e.ts) // 21600000000) * 21600000000),
                     '%Y-%m-%d %H:%M:%S') AS win_start,
            dim.tier,
            count(*) AS n,
@@ -451,7 +451,7 @@ def _run_to_table(agg: DataFrame, name: str, mode: str):
     "stream_live_tumbling_agg",
     "F2",
     oracle="""
-    SELECT strftime(to_timestamp((epoch_us(ts) // 21600000000) * 21600),
+    SELECT strftime(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000),
                     '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,

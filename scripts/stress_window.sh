@@ -31,4 +31,11 @@ run America/New_York "local[2]"  8
 run America/New_York "local[8]"  1
 run Asia/Kolkata     "local[2]"  1    # combined hostile, low parallelism
 run UTC              "local[32]" 64   # combined hostile, high parallelism
+
+# process-TZ axis: shifts the DuckDB TimeZone setting and pandas/python
+# datetime rendering — the axis that caught the r5 to_timestamp oracle
+# bug (tests/test_oracle_tz.py is the permanent guard)
+echo "== process TZ=Asia/Kolkata"
+(cd /tmp && TZ=Asia/Kolkata CATENA_SIM_TZ=Asia/Kolkata \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
 echo "== STRESS MATRIX ALL GREEN"
