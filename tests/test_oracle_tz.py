@@ -41,7 +41,8 @@ _WITH_ORACLE = [k for k, s in _SPECS.items() if s.oracle is not None]
 #: ``F.to_timestamp`` because oracles are plain SQL strings.
 _TZ_DEPENDENT = re.compile(
     r"\b(to_timestamp|current_timestamp|current_date|current_localtime"
-    r"|current_localtimestamp|now|today|get_current_timestamp|timezone)\s*\(",
+    r"|current_localtimestamp|now|today|get_current_timestamp|timezone)\s*\("
+    r"|TIMESTAMPTZ|TIMESTAMP\s+WITH\s+TIME\s+ZONE",
     re.IGNORECASE,
 )
 
