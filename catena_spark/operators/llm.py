@@ -844,7 +844,9 @@ def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "E5",
     oracle="""
     SELECT label, g.pos,
-           round(avg(CAST(embedding[g.pos] AS DOUBLE)), 6) AS c
+           CAST(sum(CAST(round(CAST(embedding[g.pos] AS DOUBLE) * 1000000, 0)
+                         AS BIGINT)) AS DOUBLE)
+               / CAST(1000000 * count(*) AS DOUBLE) AS c
     FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos) g
     GROUP BY 1, 2
     """,
@@ -854,14 +856,26 @@ def llm_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §2-E5): posexplode -> hash aggregate. The k-means-step /
     class-prototype primitive.
 
+    Parity (r5): components are quantized to integer micro-units (the
+    same 1e-6 kernel as the cosine keys) and summed as exact BIGINTs —
+    order-free, unlike the previous round(avg(float32), 6) whose
+    float-sum accumulation order could tie at the round boundary — with
+    one final division producing bit-identical doubles.
+
     Scale: |labels| x 64 groups regardless of row count — partial
     aggregation does nearly all the work map-side.
     """
     e = tables.load(spark, sf_dir, "embeddings")
+    micro = F.round(F.col("v").cast("double") * 1000000, 0).cast("long")
     return (
         e.select("label", F.posexplode("embedding").alias("pos0", "v"))
         .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        .agg(
+            (
+                F.sum(micro).cast("double")
+                / (F.count(F.lit(1)) * 1000000).cast("double")
+            ).alias("c")
+        )
     )
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import tables
-from ..parity import ravg, rsum
+from ..parity import duck_uavg, duck_usum, ravg, rsum, uavg, usum
 from ..registry import query
 
 
@@ -45,42 +45,74 @@ def scan_lineitem_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pricing_summary",
     "D7",
     oracle="""
+    WITH u AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(l_quantity AS BIGINT)                   AS qi,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc,
+               CAST(round(l_discount      * 100, 0) AS BIGINT) AS dc,
+               CAST(round(l_tax           * 100, 0) AS BIGINT) AS tc
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00')
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
-           round(avg(l_quantity), 6)                                        AS avg_qty,
-           round(avg(l_extendedprice), 6)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
-           count(*)                                                         AS cnt
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
+           CAST(sum(qi) AS DOUBLE)                              AS sum_qty,
+           CAST(sum(pc) AS DOUBLE) / 100.0                      AS sum_base,
+           CAST(sum(pc * (100 - dc)) AS DOUBLE) / 10000.0       AS sum_disc_price,
+           CAST(sum(pc * (100 - dc) * (100 + tc)) AS DOUBLE) / 1000000.0
+                                                                AS sum_charge,
+           CAST(sum(qi) AS DOUBLE) / CAST(count(*) AS DOUBLE)   AS avg_qty,
+           CAST(sum(pc) AS DOUBLE) / CAST(100 * count(*) AS DOUBLE) AS avg_price,
+           CAST(sum(dc) AS DOUBLE) / CAST(100 * count(*) AS DOUBLE) AS avg_disc,
+           count(*)                                             AS cnt
+    FROM u GROUP BY l_returnflag, l_linestatus
     """,
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP (TPC-H Q1 shape): multi-key hash aggregate over the fact
     table with a pushed-down date filter.
 
+    Parity (r5 hardening — the sf0.1 mirror caught a round-boundary tie):
+    rounding a FLOAT sum is order-sensitive once |sum|*2^-52 approaches
+    the round grid (sum_charge ~2.8e9 at sf0.1 has ulp 4.8e-7 > half of
+    1e-6), so engines summing in different orders can round to different
+    values. All monetary inputs are 2-decimal-exact, so sums are exact
+    BIGINT integer-unit arithmetic (cents / 1e-4 / 1e-6 units) in BOTH
+    engines — order-free — with ONE final correctly-rounded conversion +
+    division producing bit-identical doubles. Spark sums in decimal(38,0)
+    (long would wrap around 9.2e18 — reachable for the 1e-6-unit charge
+    sum near ~1e12 rows); DuckDB's BIGINT sum auto-promotes to HUGEINT.
+
     Scale: map-side partial aggregation, 6-group shuffle; the shipdate
     predicate reaches the Parquet scan (PushedFilters) so at 100 TB only
     qualifying row groups are read.
     """
     li = tables.load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qi = F.col("l_quantity").cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dc = F.round(F.col("l_discount") * 100, 0).cast("long")
+    tc = F.round(F.col("l_tax") * 100, 0).cast("long")
+    dec = "decimal(38,0)"
+    cnt = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            rsum(F.col("l_quantity")).alias("sum_qty"),
-            rsum(F.col("l_extendedprice")).alias("sum_base"),
-            rsum(disc_price, 4).alias("sum_disc_price"),
-            rsum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
-            ravg(F.col("l_quantity")).alias("avg_qty"),
-            ravg(F.col("l_extendedprice")).alias("avg_price"),
-            ravg(F.col("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("cnt"),
+            F.sum(qi.cast(dec)).cast("double").alias("sum_qty"),
+            (F.sum(pc.cast(dec)).cast("double") / F.lit(100.0)).alias("sum_base"),
+            (
+                F.sum((pc * (100 - dc)).cast(dec)).cast("double") / F.lit(10000.0)
+            ).alias("sum_disc_price"),
+            (
+                F.sum((pc * (100 - dc) * (100 + tc)).cast(dec)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("sum_charge"),
+            (F.sum(qi.cast(dec)).cast("double") / cnt.cast("double")).alias("avg_qty"),
+            (
+                F.sum(pc.cast(dec)).cast("double") / (cnt * 100).cast("double")
+            ).alias("avg_price"),
+            (
+                F.sum(dc.cast(dec)).cast("double") / (cnt * 100).cast("double")
+            ).alias("avg_disc"),
+            cnt.alias("cnt"),
         )
     )
 
@@ -128,10 +160,10 @@ def filter_pushdown_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_orders_customer",
     "D3",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment, o_orderstatus,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS sum_total
+           {duck_usum("o_totalprice", 2)} AS sum_total
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment, o_orderstatus
     """,
@@ -150,7 +182,7 @@ def join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            rsum(F.col("o_totalprice")).alias("sum_total"),
+            usum(F.col("o_totalprice"), 2).alias("sum_total"),
         )
     )
 
@@ -158,10 +190,10 @@ def join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_left_orders_lineitem",
     "D4",
-    oracle="""
+    oracle=f"""
     SELECT o.o_orderkey, o.o_orderstatus,
            count(l.l_orderkey) AS n_big_items,
-           coalesce(round(sum(l.l_extendedprice), 2), 0.0) AS sum_big
+           coalesce({duck_usum("l.l_extendedprice", 2)}, 0.0) AS sum_big
     FROM orders o
     LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 45) l
       ON l.l_orderkey = o.o_orderkey
@@ -182,7 +214,9 @@ def join_left_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderstatus")
         .agg(
             F.count("l_orderkey").alias("n_big_items"),
-            F.coalesce(rsum(F.col("l_extendedprice")), F.lit(0.0)).alias("sum_big"),
+            F.coalesce(usum(F.col("l_extendedprice"), 2), F.lit(0.0)).alias(
+                "sum_big"
+            ),
         )
     )
 
@@ -294,8 +328,9 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_rollup_nation_region",
     "D9",
-    oracle="""
-    SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+    oracle=f"""
+    SELECT r_name, n_name, count(*) AS n_cust,
+           {duck_usum("c_acctbal", 2)} AS sum_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -316,7 +351,7 @@ def agg_rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     return joined.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_cust"),
-        rsum(F.col("c_acctbal")).alias("sum_bal"),
+        usum(F.col("c_acctbal"), 2).alias("sum_bal"),
     )
 
 
@@ -362,8 +397,11 @@ def win_rank_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     "D11",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER w_cum, 2) AS running_total,
-           round(avg(o_totalprice) OVER w_ma3, 6) AS ma3,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w_cum
+                AS DOUBLE) / 100.0 AS running_total,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w_ma3
+                AS DOUBLE)
+               / CAST(100 * count(*) OVER w_ma3 AS DOUBLE) AS ma3,
            lag(o_totalprice, 1)  OVER w_ord AS prev_total,
            lead(o_totalprice, 1) OVER w_ord AS next_total
     FROM orders
@@ -376,16 +414,28 @@ def win_rank_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic windows: running sum, 3-row moving average, lag/lead —
-    frames spelled out explicitly (engine frame defaults differ)."""
+    frames spelled out explicitly (engine frame defaults differ).
+
+    Parity (r5): windowed float sums are NOT order-identical across
+    engines (DuckDB aggregates window frames via segment trees, Spark
+    accumulates) and a 150k-row cumulative sum reaches ~2e10 where ulp
+    (~4e-6) can cross a 2dp round boundary — so both engines sum exact
+    integer CENTS over the frame and divide once, bit-identically."""
     o = tables.load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_ma3 = w.rowsBetween(-2, 0)
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(
-            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
-        ).alias("running_total"),
-        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 6).alias("ma3"),
+        (F.sum(cents).over(w_cum).cast("double") / F.lit(100.0)).alias(
+            "running_total"
+        ),
+        (
+            F.sum(cents).over(w_ma3).cast("double")
+            / (F.count(F.lit(1)).over(w_ma3) * 100).cast("double")
+        ).alias("ma3"),
         F.lag("o_totalprice", 1).over(w).alias("prev_total"),
         F.lead("o_totalprice", 1).over(w).alias("next_total"),
     )
@@ -394,9 +444,9 @@ def win_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "topk_revenue_q3",
     "D12",
-    oracle="""
+    oracle=f"""
     SELECT o.o_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           {duck_usum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
            strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS order_day
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -412,8 +462,9 @@ def topk_revenue_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: segment filter pushes below the join; the final ORDER BY+LIMIT
     compiles to TakeOrderedAndProject (per-partition top-k then merge of
-    10-row heaps — no global sort). Ordering is on the ROUNDED revenue
-    with an orderkey tiebreak so both engines pick identical top-10 sets.
+    10-row heaps — no global sort). Ordering is on the exact-unit revenue
+    (bit-identical across engines, r5) with an orderkey tiebreak so both
+    engines pick identical top-10 sets.
     """
     c = tables.load(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
@@ -425,7 +476,9 @@ def topk_revenue_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            rsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
+            usum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
         )
         .select(
             "o_orderkey",
@@ -482,8 +535,9 @@ def setop_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "subq_above_avg_price",
     "D14",
-    oracle="""
-    SELECT p.p_brand, count(*) AS n_small, round(sum(l.l_extendedprice), 2) AS sum_price
+    oracle=f"""
+    SELECT p.p_brand, count(*) AS n_small,
+           {duck_usum("l.l_extendedprice", 2)} AS sum_price
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
                           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
@@ -496,14 +550,16 @@ def subq_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity note: l_quantity is integer-valued (verified), so the
     0.5*avg threshold is IEEE-exact on both engines and the comparison
-    cannot flip on float noise.
+    cannot flip on float noise. sum_price is an exact cents sum (r5,
+    order-free — mirrors parity.usum in SQL form).
     """
     for t in ("lineitem", "part"):
         tables.load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(
         """
         SELECT p.p_brand, count(*) AS n_small,
-               round(sum(l.l_extendedprice), 2) AS sum_price
+               CAST(sum(CAST(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                             AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_price
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
                               FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
@@ -605,17 +661,17 @@ def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "D17",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice / l_quantity, 6)  AS unit_price,
+           l_extendedprice / l_quantity            AS unit_price,
            CAST(floor(l_extendedprice) AS BIGINT)  AS price_floor,
            CAST(ceil(l_extendedprice) AS BIGINT)   AS price_ceil,
-           round(abs(l_discount - 0.05), 6)        AS disc_dev,
+           abs(l_discount - 0.05)                  AS disc_dev,
            round(pow(l_quantity, 2), 4)            AS qty_sq,
-           round(sqrt(l_extendedprice), 6)         AS price_root,
+           sqrt(l_extendedprice)                   AS price_root,
            round(ln(l_extendedprice), 6)           AS price_ln,
            l_orderkey // 100                       AS okey_div100,
            l_orderkey % 7                          AS okey_mod7,
-           round(greatest(l_tax, l_discount), 6)   AS max_rate,
-           round(least(l_tax, l_discount), 6)      AS min_rate,
+           greatest(l_tax, l_discount)             AS max_rate,
+           least(l_tax, l_discount)                AS min_rate,
            coalesce(nullif(l_tax, 0.0), -1.0)      AS tax_or_neg
     FROM lineitem WHERE l_linenumber = 1
     """,
@@ -625,22 +681,31 @@ def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Division: Spark ``/`` is always double-division — DuckDB 1.0 matches;
     integer division is explicit (`div` / `//`) on both sides.
+
+    Parity (r5): operations that are DETERMINISTIC on bit-identical
+    inputs — division, subtraction/abs, IEEE-correctly-rounded sqrt,
+    greatest/least selection — are emitted RAW: both engines produce the
+    same double, and rounding them only ADDS risk (the sf0.1 mirror
+    caught round(p/q, 6) landing in the window where Spark's
+    exact-decimal HALF_UP and DuckDB's scaled-multiply round disagree).
+    Only transcendentals whose libm may differ by an ulp across engines
+    (ln, pow) keep a parity round.
     """
     li = tables.load(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_price"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
         F.floor("l_extendedprice").cast("long").alias("price_floor"),
         F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
-        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("price_root"),
+        F.sqrt("l_extendedprice").alias("price_root"),
         F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
         F.expr("l_orderkey div 100").alias("okey_div100"),
         (F.col("l_orderkey") % 7).alias("okey_mod7"),
-        F.round(F.greatest("l_tax", "l_discount"), 6).alias("max_rate"),
-        F.round(F.least("l_tax", "l_discount"), 6).alias("min_rate"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
         F.coalesce(F.nullif("l_tax", F.lit(0.0)), F.lit(-1.0)).alias("tax_or_neg"),
     )
 
@@ -743,8 +808,8 @@ def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_q5_local_supplier",
     "D3",
-    oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    oracle=f"""
+    SELECT n_name, {duck_usum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -789,7 +854,7 @@ def join_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r_name") == "ASIA")
     )
     return j.groupBy("n_name").agg(
-        rsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
+        usum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
     )
 
 
@@ -896,8 +961,8 @@ def fn_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_nationkey,
            CAST(ntile(4) OVER w AS BIGINT)    AS quartile,
            CAST(dense_rank() OVER w AS BIGINT) AS drnk,
-           round(percent_rank() OVER w, 6)     AS prank,
-           round(cume_dist() OVER w, 6)        AS cdist
+           percent_rank() OVER w               AS prank,
+           cume_dist() OVER w                  AS cdist
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
     """,
@@ -906,9 +971,13 @@ def win_ntile_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution ranking windows (SURVEY.md §2-D10): ntile / dense_rank
     / percent_rank / cume_dist of customers by balance within nation.
 
-    percent_rank and cume_dist are exact rationals (k/n) — IEEE-identical
-    across engines; rounded anyway per parity rule #3. One shuffle on
-    c_nationkey serves all four functions (shared window spec).
+    percent_rank and cume_dist are exact rationals (k/n) — one IEEE
+    division of identical integers, bit-identical across engines — and
+    are emitted RAW (r5: rounding them is what BROKE parity; at sf0.1 a
+    nation partition hit cume_dist = 333/640 = 0.5203125, a real
+    6-decimal tie that Spark's HALF_UP and DuckDB's scaled-multiply
+    round broke differently). One shuffle on c_nationkey serves all
+    four functions (shared window spec).
     """
     c = tables.load(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
@@ -919,8 +988,8 @@ def win_ntile_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
     )
 
 
@@ -929,9 +998,9 @@ def win_ntile_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_skew_salted",
     "D3",
-    oracle="""
+    oracle=f"""
     SELECT s_name, count(*) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           {duck_usum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_name
     """,
@@ -963,7 +1032,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            rsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            usum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             ),
         )
@@ -1036,13 +1105,10 @@ def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_q7_nation_pairs",
     "D3",
-    oracle="""
+    oracle=f"""
     SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
            count(*) AS n_items,
-           -- scale 4: price(2dp) x discount-complement(2dp) sums have
-           -- EXACTLY 4 decimals, so rounding there can never tie; scale
-           -- 2 ties on real .xx5 values and engines break them apart
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           {duck_usum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -1086,7 +1152,7 @@ def join_q7_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("cust_nation", "supp_nation").agg(
         F.count(F.lit(1)).alias("n_items"),
-        rsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+        usum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
             "revenue"
         ),
     )
@@ -1097,8 +1163,9 @@ def join_q7_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_q19_disjunctive",
     "D2",
-    oracle="""
-    SELECT count(*) AS n, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    oracle=f"""
+    SELECT count(*) AS n,
+           {duck_usum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 1 AND 20)
@@ -1131,7 +1198,7 @@ def join_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            rsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            usum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             ),
         )
@@ -1418,9 +1485,9 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_q10_returned_revenue",
     "D3",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           {duck_usum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1439,8 +1506,9 @@ def join_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: lineitem (fact) filters on l_returnflag at the scan
     (pushed), joins orders (filtered by date, pushed) then broadcasts
     customer-side dims; top-20 is TakeOrderedAndProject, never a global
-    sort. Revenue rounds at 4 = the decimal-exact scale of
-    price(2dp) x (1-discount)(2dp) (parity rule #3).
+    sort. Revenue is an exact 1e-4-unit sum (r5 usum — order-free,
+    bit-identical across engines), so the DESC order + LIMIT can never
+    flip on float noise.
     """
     c = tables.load(spark, sf_dir, "customer")
     o = tables.load(spark, sf_dir, "orders").where(
@@ -1453,7 +1521,11 @@ def join_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(rsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .agg(
+            usum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -1503,29 +1575,31 @@ def agg_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_q14_promo_share",
     "D7",
-    oracle="""
-    SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
-                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4)
-               AS promo_rev,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev,
-           round(100.0 * round(sum(CASE WHEN p_type LIKE 'PROMO%'
-                                        THEN l_extendedprice * (1 - l_discount)
-                                        ELSE 0 END), 4)
-                       / round(sum(l_extendedprice * (1 - l_discount)), 4), 6)
-               AS promo_pct
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    oracle=f"""
+    WITH agg AS (
+        SELECT
+            {duck_usum(
+                "CASE WHEN p_type LIKE 'PROMO%' "
+                "THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4
+            )} AS promo_rev,
+            {duck_usum("l_extendedprice * (1 - l_discount)", 4)} AS total_rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00')
+    SELECT promo_rev, total_rev,
+           100.0 * promo_rev / total_rev AS promo_pct
+    FROM agg
     """,
 )
 def join_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-aggregate revenue share of PROMO
     parts in one ship-month.
 
-    Parity: the percentage divides the two ALREADY-ROUNDED (decimal-
-    exact, rule #3) sums, so both engines divide bit-identical doubles
-    and round(.,6) agrees. Scale: date filter pushes to the fact scan;
-    part is broadcast; single-row result via partial aggregation.
+    Parity (r5): both sums are exact 1e-4-unit sums (usum — order-free),
+    and the percentage is arithmetic on those bit-identical doubles in
+    the same operation order, so it needs no round at all. Scale: date
+    filter pushes to the fact scan; part is broadcast; single-row
+    result via partial aggregation.
     """
     li = tables.load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1997-06-01") & (F.col("l_shipdate") < "1997-07-01")
@@ -1534,13 +1608,13 @@ def join_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
     out = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
-        rsum(promo, 4).alias("promo_rev"),
-        rsum(rev, 4).alias("total_rev"),
+        usum(promo, 4).alias("promo_rev"),
+        usum(rev, 4).alias("total_rev"),
     )
     return out.select(
         "promo_rev",
         "total_rev",
-        F.round(100.0 * F.col("promo_rev") / F.col("total_rev"), 6).alias("promo_pct"),
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_pct"),
     )
 
 
@@ -1596,10 +1670,10 @@ def agg_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "subq_q22_idle_wealthy",
     "D14",
-    oracle="""
+    oracle=f"""
     SELECT c_nationkey,
            CAST(count(*) AS BIGINT) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           {duck_usum("c_acctbal", 2)} AS totacctbal
     FROM customer
     WHERE c_acctbal > (
             SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0.0
@@ -1635,7 +1709,7 @@ def subq_q22_idle_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).cast("long").alias("numcust"),
-            rsum("c_acctbal", 2).alias("totacctbal"),
+            usum(F.col("c_acctbal"), 2).alias("totacctbal"),
         )
     )
 
@@ -1645,11 +1719,12 @@ def subq_q22_idle_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_q9_profit_by_nation",
     "D3",
-    oracle="""
+    oracle=f"""
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - p_retailprice * l_quantity), 4) AS profit
+           {duck_usum(
+               "l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity", 4
+           )} AS profit
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN part     ON l_partkey = p_partkey
@@ -1686,7 +1761,7 @@ def join_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(rsum(profit, 4).alias("profit"))
+        .agg(usum(profit, 4).alias("profit"))
     )
 
 
@@ -1695,17 +1770,16 @@ def join_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_q8_market_share",
     "D7",
-    oracle="""
-    SELECT o_year,
-           round(nation_rev, 4) AS nation_rev,
-           round(total_rev, 4)  AS total_rev,
-           round(round(nation_rev, 4) / round(total_rev, 4), 6) AS mkt_share
+    oracle=f"""
+    SELECT o_year, nation_rev, total_rev,
+           nation_rev / total_rev AS mkt_share
     FROM (
         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-               sum(CASE WHEN sn.n_name = 'NATION_5'
-                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                   AS nation_rev,
-               sum(l_extendedprice * (1 - l_discount)) AS total_rev
+               {duck_usum(
+                   "CASE WHEN sn.n_name = 'NATION_5' "
+                   "THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4
+               )} AS nation_rev,
+               {duck_usum("l_extendedprice * (1 - l_discount)", 4)} AS total_rev
         FROM lineitem
         JOIN orders    ON l_orderkey = o_orderkey
         JOIN customer  ON o_custkey = c_custkey
@@ -1725,7 +1799,8 @@ def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join-of-a-dim pattern.
 
     Scale: one pass over the fact; every dim broadcasts; the share
-    divides two already-rounded decimal-exact sums (rule #3).
+    divides two exact 1e-4-unit sums (r5 usum — order-free and
+    bit-identical across engines), so it needs no round.
     """
     li = tables.load(spark, sf_dir, "lineitem")
     o = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
@@ -1748,16 +1823,16 @@ def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            rsum(F.when(F.col("sn_name") == "NATION_5", rev).otherwise(0.0), 4)
+            usum(F.when(F.col("sn_name") == "NATION_5", rev).otherwise(0.0), 4)
                 .alias("nation_rev"),
-            rsum(rev, 4).alias("total_rev"),
+            usum(rev, 4).alias("total_rev"),
         )
     )
     return base.select(
         "o_year",
         "nation_rev",
         "total_rev",
-        F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+        (F.col("nation_rev") / F.col("total_rev")).alias("mkt_share"),
     )
 
 
@@ -1766,10 +1841,10 @@ def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "subq_q15_top_supplier",
     "D14",
-    oracle="""
+    oracle=f"""
     WITH rev AS (
         SELECT l_suppkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+               {duck_usum("l_extendedprice * (1 - l_discount)", 4)} AS total_rev
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -1783,8 +1858,8 @@ def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def subq_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with maximum quarterly revenue —
     the view + scalar-max-subquery pattern (NOT a LIMIT 1: ties must
-    all surface, which is also why equality on the rounded revenue is
-    cross-engine safe).
+    all surface, which is also why equality on the exact-unit revenue
+    (r5 usum — bit-identical across engines) is cross-engine safe).
 
     Scale: revenue agg is one partial-agg pass over the date-pruned
     fact; the max is a 1-row broadcast back onto the tiny agg result.
@@ -1794,7 +1869,9 @@ def subq_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = tables.load(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
-        rsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_rev")
+        usum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "total_rev"
+        )
     )
     mx = rev.agg(F.max("total_rev").alias("mx"))
     return (
@@ -1810,8 +1887,8 @@ def subq_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_q6_forecast_revenue",
     "D7",
-    oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+    oracle=f"""
+    SELECT {duck_usum("l_extendedprice * l_discount", 4)} AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1837,7 +1914,7 @@ def agg_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        rsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+        usum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
 
@@ -2746,8 +2823,8 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "D10",
     oracle="""
     SELECT c_nationkey, c_custkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
@@ -2757,18 +2834,19 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     D10 distribution ranks). Order key includes c_custkey so ranks are
     total-order deterministic.
 
-    Parity: both are small-integer ratios (rank-1)/(n-1), rank_le/n;
-    6dp rounding only ties when the partition size has a 2^7 factor
-    (n-1 or n divisible by 128) -- nation partitions here are ~60 rows,
-    checked by the mirror test at both SFs.
+    Parity: both are small-integer ratios (rank-1)/(n-1), rank_le/n —
+    one IEEE division, bit-identical across engines — emitted RAW (r5:
+    the old 6dp rounding HIT a real tie at sf0.1, where nation
+    partitions reach 640 = 2^7*5 rows and 41/640 = 0.0640625 rounds
+    differently under Spark's HALF_UP vs DuckDB's scaled multiply).
     """
     c = tables.load(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_nationkey",
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 

@@ -175,8 +175,12 @@ def ts_series_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "C1",
     oracle=_cte("""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
-           metric, count(*) AS n, round(avg(value), 6) AS avg_v,
-           round(sum(value), 2) AS sum_v, min(value) AS min_v, max(value) AS max_v
+           metric, count(*) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+               / CAST(100 * count(*) AS DOUBLE)                      AS avg_v,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100.0                                               AS sum_v,
+           min(value) AS min_v, max(value) AS max_v
     FROM s GROUP BY 1, 2
     """),
 )
@@ -184,10 +188,17 @@ def ts_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window downsample to 1h buckets per metric (SURVEY.md
     §2-C1; BENCH headline `events_resample_1h`).
 
+    Parity (r5 hardening — sf0.1 mirror caught 1391.13/32 = 43.4728125,
+    a REAL 6-decimal tie the engines' round() broke differently): value
+    is 2-decimal-exact, so sum/avg run in exact BIGINT cents — order-free
+    — with one final division producing bit-identical doubles; no round.
+
     Scale: pure hash aggregate — partial aggregation collapses each
     map partition to |hours x metrics| rows before the shuffle.
     """
     s = _series(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cnt = F.count(F.lit(1))
     # group directly on the formatted bucket: partial aggregation means
     # only |groups| rows reach the shuffle either way, and A/B medians
     # at sf0.1 put this form ~18% ahead of group-on-timestamp + post-agg
@@ -200,9 +211,9 @@ def ts_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "metric",
         )
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_v"),
-            F.round(F.sum("value"), 2).alias("sum_v"),
+            cnt.alias("n"),
+            (F.sum(cents).cast("double") / (cnt * 100).cast("double")).alias("avg_v"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("sum_v"),
             F.min("value").alias("min_v"),
             F.max("value").alias("max_v"),
         )
@@ -216,12 +227,21 @@ def ts_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "C2",
     oracle=_cte("""
     SELECT source, metric, ts_us, value,
-           round(avg(value) OVER (PARTITION BY source, metric
-                                  ORDER BY ts_us, value
-                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS ma4,
-           round(avg(value) OVER (PARTITION BY source, metric
-                                  ORDER BY ts_us
-                                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6) AS ma_1h
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER
+                    (PARTITION BY source, metric ORDER BY ts_us, value
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(100 * count(*) OVER
+                          (PARTITION BY source, metric ORDER BY ts_us, value
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) AS ma4,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER
+                    (PARTITION BY source, metric ORDER BY ts_us
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE)
+               / CAST(100 * count(*) OVER
+                          (PARTITION BY source, metric ORDER BY ts_us
+                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) AS ma_1h
     FROM s
     """),
 )
@@ -229,10 +249,16 @@ def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving averages per series: last-4-rows and trailing-1-hour
     (time-range frame over exact integer µs — SURVEY.md §2-C2).
 
+    Parity (r5): windowed float sums are not order-identical across
+    engines (DuckDB frames aggregate via segment trees), so both sides
+    average exact integer CENTS over the frame — sum/(100*count), one
+    bit-identical division, no round.
+
     Scale: both windows share one (source, metric) shuffle; frames are
     bounded so state per row is O(frame), not O(partition).
     """
     s = _series(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     w_rows = (
         Window.partitionBy("source", "metric")
         .orderBy("ts_us", "value")
@@ -248,8 +274,14 @@ def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "ts_us",
         "value",
-        F.round(F.avg("value").over(w_rows), 6).alias("ma4"),
-        F.round(F.avg("value").over(w_range), 6).alias("ma_1h"),
+        (
+            F.sum(cents).over(w_rows).cast("double")
+            / (F.count(F.lit(1)).over(w_rows) * 100).cast("double")
+        ).alias("ma4"),
+        (
+            F.sum(cents).over(w_range).cast("double")
+            / (F.count(F.lit(1)).over(w_range) * 100).cast("double")
+        ).alias("ma_1h"),
     )
 
 
@@ -312,7 +344,8 @@ def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "C4",
     oracle=_cte("""
     , b AS (SELECT source, metric, date_trunc('hour', ts) AS h,
-                   round(avg(value), 6) AS v
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                       / CAST(100 * count(*) AS DOUBLE) AS v
             FROM s GROUP BY 1, 2, 3),
     bounds AS (SELECT source, metric, min(h) AS mn, max(h) AS mx
                FROM b GROUP BY 1, 2),
@@ -342,9 +375,16 @@ def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the existing (source, metric) partitioning.
     """
     s = _series(spark, sf_dir)
+    _cents = F.round(F.col("value") * 100, 0).cast("long")
+    # exact cents avg (r5): order-free, bit-identical across engines
     b = s.groupBy(
         "source", "metric", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    ).agg(
+        (
+            F.sum(_cents).cast("double")
+            / (F.count(F.lit(1)) * 100).cast("double")
+        ).alias("v")
+    )
     bounds = b.groupBy("source", "metric").agg(
         F.min("h").alias("mn"), F.max("h").alias("mx")
     )
@@ -376,19 +416,24 @@ def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_topk_series",
     "C5",
     oracle=_cte("""
-    SELECT source, metric, round(sum(value), 2) AS total, count(*) AS n
+    SELECT source, metric,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total,
+           count(*) AS n
     FROM s GROUP BY source, metric
     ORDER BY total DESC, source, metric LIMIT 5
     """),
 )
 def ts_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 series by total value (SURVEY.md §2-C5). Aggregate then
-    TakeOrderedAndProject on the rounded total with key tiebreaks."""
+    TakeOrderedAndProject on the exact cents total (r5, order-free)
+    with key tiebreaks."""
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     return (
         _series(spark, sf_dir)
         .groupBy("source", "metric")
         .agg(
-            F.round(F.sum("value"), 2).alias("total"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("total"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy(F.col("total").desc(), "source", "metric")
@@ -700,9 +745,10 @@ def ts_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s WHERE metric IN ('click', 'view')
     )
     SELECT source, metric, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s,
-           round(sum(CASE WHEN delta IS NULL THEN 0
-                          WHEN delta < 0 THEN value
-                          ELSE delta END), 6) AS increase
+           CAST(sum(CAST(round((CASE WHEN delta IS NULL THEN 0
+                                     WHEN delta < 0 THEN value
+                                     ELSE delta END) * 100, 0) AS BIGINT))
+                AS DOUBLE) / 100.0 AS increase
     FROM d GROUP BY source, metric, h
     """),
 )
@@ -723,9 +769,12 @@ def ts_increase_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("delta") < 0, F.col("value"))
         .otherwise(F.col("delta"))
     )
+    # exact cents sum (r5): deltas of 2-dec values are 2-dec exact, so
+    # the hourly increase is an order-free integer sum in both engines
+    inc_cents = F.round(inc * 100, 0).cast("long")
     return (
         d.groupBy("source", "metric", F.date_trunc("hour", "ts").alias("h"))
-        .agg(F.round(F.sum(inc), 6).alias("increase"))
+        .agg((F.sum(inc_cents).cast("double") / F.lit(100.0)).alias("increase"))
         .select(
             "source",
             "metric",
@@ -742,7 +791,8 @@ def ts_increase_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "C1",
     oracle=_cte("""
     SELECT metric, CAST(extract(hour FROM ts) AS BIGINT) AS hod,
-           round(avg(value), 6) AS avg_v,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+               / CAST(100 * count(*) AS DOUBLE) AS avg_v,
            count(*) AS n
     FROM s GROUP BY metric, hod
     """),
@@ -755,9 +805,12 @@ def ts_hod_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries 120 rows regardless of input size.
     """
     s = _series(spark, sf_dir)
-    return (
-        s.groupBy("metric", F.hour("ts").cast("long").alias("hod"))
-        .agg(F.round(F.avg("value"), 6).alias("avg_v"), F.count(F.lit(1)).alias("n"))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return s.groupBy("metric", F.hour("ts").cast("long").alias("hod")).agg(
+        (
+            F.sum(cents).cast("double") / (F.count(F.lit(1)) * 100).cast("double")
+        ).alias("avg_v"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
@@ -768,7 +821,8 @@ def ts_hod_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "C4",
     oracle=_cte("""
     , b AS (SELECT source, metric, date_trunc('hour', ts) AS h,
-                   round(avg(value), 6) AS v
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                       / CAST(100 * count(*) AS DOUBLE) AS v
             FROM s GROUP BY 1, 2, 3),
     bounds AS (SELECT source, metric, min(h) AS mn, max(h) AS mx
                FROM b GROUP BY 1, 2),
@@ -826,9 +880,16 @@ def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     no extra exchange.
     """
     s = _series(spark, sf_dir)
+    _cents = F.round(F.col("value") * 100, 0).cast("long")
+    # exact cents avg (r5): order-free, bit-identical across engines
     b = s.groupBy(
         "source", "metric", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    ).agg(
+        (
+            F.sum(_cents).cast("double")
+            / (F.count(F.lit(1)) * 100).cast("double")
+        ).alias("v")
+    )
     bounds = b.groupBy("source", "metric").agg(
         F.min("h").alias("mn"), F.max("h").alias("mx")
     )

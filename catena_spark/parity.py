@@ -36,13 +36,66 @@ def duck_ts(expr: str) -> str:
 
 
 def rsum(col: Column, scale: int = 2) -> Column:
-    """round(sum(x), 2) — parity rule #3."""
+    """round(sum(x), 2) — parity rule #3 (LEGACY — see usum).
+
+    r5 finding: rounding a FLOAT sum is order-sensitive once
+    |sum| * 2^-52 approaches the round grid — Spark's partial-agg
+    accumulation order varies with task scheduling, so a near-tie key
+    can flake run-to-run. Kept only for callers whose group sums are
+    provably far from the grid (small groups of decimal-exact values);
+    new money aggregates use usum/uavg.
+    """
     return F.round(F.sum(col), scale)
 
 
 def ravg(col: Column, scale: int = 6) -> Column:
-    """round(avg(x), 6) — parity rule #3."""
+    """round(avg(x), 6) — parity rule #3 (LEGACY — see uavg)."""
     return F.round(F.avg(col), scale)
+
+
+def usum(col: Column, scale: int) -> Column:
+    """ORDER-FREE exact sum of a decimal-exact expression (r5).
+
+    ``col``'s true value must be decimal-exact at ``scale`` (e.g. a
+    2-dec price at 2; price*(1-disc) at 4; *(1+tax) at 6). Rounding
+    col*10^scale to integer units is unambiguous (float noise ~1e-9 ulp
+    vs a 0.5 margin), the unit sum in decimal(38,0) is exact in ANY
+    accumulation order (no long wraparound at 1e-6-unit 100 TB sums;
+    DuckDB's BIGINT sum auto-promotes to HUGEINT), and the single final
+    cast+division is correctly rounded in both engines — bit-identical
+    doubles with no round() tie to break. SQL twin: duck_usum.
+    """
+    u = F.round(col * F.lit(float(10**scale)), 0).cast("long")
+    return F.sum(u.cast("decimal(38,0)")).cast("double") / F.lit(float(10**scale))
+
+
+def duck_usum(expr: str, scale: int) -> str:
+    """DuckDB twin of usum — identical unit/divide structure."""
+    m = 10**scale
+    return (
+        f"CAST(sum(CAST(round(({expr}) * {m}, 0) AS BIGINT)) AS DOUBLE)"
+        f" / {m}.0"
+    )
+
+
+def uavg(col: Column, scale: int) -> Column:
+    """ORDER-FREE exact average of a decimal-exact expression (r5):
+    exact integer-unit sum, ONE division by (10^scale * count) — both
+    factors exact — yielding the bit-identical unrounded double in both
+    engines. SQL twin: duck_uavg."""
+    u = F.round(col * F.lit(float(10**scale)), 0).cast("long")
+    return F.sum(u.cast("decimal(38,0)")).cast("double") / (
+        F.count(F.lit(1)) * (10**scale)
+    ).cast("double")
+
+
+def duck_uavg(expr: str, scale: int) -> str:
+    """DuckDB twin of uavg — identical unit/divide structure."""
+    m = 10**scale
+    return (
+        f"CAST(sum(CAST(round(({expr}) * {m}, 0) AS BIGINT)) AS DOUBLE)"
+        f" / CAST({m} * count(*) AS DOUBLE)"
+    )
 
 
 def norm_cell(v):

@@ -19,16 +19,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..parity import ravg, rsum, ts_str
+from ..parity import ts_str
 
 
 def windowed_counts(events: DataFrame, width: str = "6 hours") -> DataFrame:
-    """F2 tumbling windows: per (window, event_type) count + value sum."""
+    """F2 tumbling windows: per (window, event_type) count + value sum.
+
+    Parity (r5): the sum runs in exact integer CENTS (value is
+    2-decimal-exact) so state-store accumulation order — which differs
+    from both batch Spark and DuckDB — can never flip a rounding tie;
+    one final division yields the bit-identical double."""
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     return (
         events.groupBy(F.window("ts", width), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            rsum(F.col("value")).alias("sum_v"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("sum_v"),
         )
         .select(
             ts_str("window.start").alias("win_start"),
@@ -40,10 +46,18 @@ def windowed_counts(events: DataFrame, width: str = "6 hours") -> DataFrame:
 
 
 def sliding_avg(events: DataFrame, width: str = "2 hours", slide: str = "1 hour") -> DataFrame:
-    """F2 sliding windows: overlapping per-type averages."""
+    """F2 sliding windows: overlapping per-type averages (exact integer
+    cents / (100*n) — order-free, r5; see windowed_counts)."""
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cnt = F.count(F.lit(1))
     return (
         events.groupBy(F.window("ts", width, slide), "event_type")
-        .agg(ravg(F.col("value")).alias("avg_v"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            (F.sum(cents).cast("double") / (cnt * 100).cast("double")).alias(
+                "avg_v"
+            ),
+            cnt.alias("n"),
+        )
         .select(
             ts_str("window.start").alias("win_start"),
             "event_type",
@@ -208,7 +222,9 @@ from ..registry import query  # noqa: E402
     oracle="""
     SELECT strftime(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000),
                     '%Y-%m-%d %H:%M:%S') AS win_start,
-           event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+           event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_v
     FROM events GROUP BY 1, 2
     """,
 )
@@ -226,7 +242,10 @@ def stream_windowed_counts(spark, sf_dir):
         SELECT e.*, date_trunc('hour', e.ts) - INTERVAL (o.o) HOUR AS win_start
         FROM events e, (SELECT unnest(generate_series(0, 1)) AS o) o)
     SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
-           event_type, round(avg(value), 6) AS avg_v, count(*) AS n
+           event_type,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+               / CAST(100 * count(*) AS DOUBLE) AS avg_v,
+           count(*) AS n
     FROM cand GROUP BY 1, 2
     """,
 )

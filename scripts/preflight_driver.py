@@ -16,7 +16,10 @@ import time
 from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-SF = "/root/testdata/sf0.01"
+#: CATENA_TEST_SF override (r5): point the rehearsal at another scale
+#: factor, e.g. sf0.1 where larger row counts surface round-boundary
+#: float ties that sf0.01 never hits.
+SF = os.environ.get("CATENA_TEST_SF", "/root/testdata/sf0.01")
 
 
 def first_diff(rows, orows):
