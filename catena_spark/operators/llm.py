@@ -135,15 +135,15 @@ def _minhash_pairs_oracle() -> str:
         ON a.doc_id < b.doc_id AND ({band_or})
     )
     SELECT doc_a, doc_b,
-           round(CAST(len(list_filter(ta, x -> list_contains(tb, x))) AS DOUBLE)
-                 / CAST(len(ta) + len(tb)
-                        - len(list_filter(ta, x -> list_contains(tb, x)))
-                   AS DOUBLE), 6) AS jaccard
-    FROM cand
-    WHERE round(CAST(len(list_filter(ta, x -> list_contains(tb, x))) AS DOUBLE)
-                / CAST(len(ta) + len(tb)
-                       - len(list_filter(ta, x -> list_contains(tb, x)))
-                  AS DOUBLE), 6) >= 0.9
+           CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+    FROM (
+      SELECT doc_a, doc_b,
+             len(list_filter(ta, x -> list_contains(tb, x))) AS i,
+             len(ta) + len(tb)
+                 - len(list_filter(ta, x -> list_contains(tb, x))) AS u
+      FROM cand
+    )
+    WHERE 10 * i >= 9 * u
     """
 
 
@@ -210,18 +210,17 @@ def llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     tok_arr = d.select("doc_id", doc_tokens(F.col("t"), distinct=True).alias("toks"))
+    # exact integer threshold (r5): J >= 0.9 <=> 10*inter >= 9*union —
+    # no float round can tie (the old round(J, 6) ties exactly when the
+    # union size has a 2^7 factor, e.g. 115/128); the emitted jaccard is
+    # one division of identical integers, bit-identical across engines
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size(F.array_union("ta", "tb"))
     verified = (
         cand.join(tok_arr.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "ta"), "doc_a")
         .join(tok_arr.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "tb"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("ta", "tb"))
-                / F.size(F.array_union("ta", "tb")).cast("double"),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= 0.9)
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .where(inter * 10 >= union * 9)
     )
     return verified.select("doc_a", "doc_b", "jaccard")
 
@@ -304,7 +303,7 @@ def llm_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ON a.gram = b.gram AND b.doc_id = a.doc_id + 1
               GROUP BY 1, 2)
     SELECT i.doc_a, i.doc_b,
-           round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+           CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
     FROM inter i
     JOIN sz sa ON sa.doc_id = i.doc_a
     JOIN sz sb ON sb.doc_id = i.doc_b
@@ -330,7 +329,9 @@ def llm_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             inter.alias("i"),
-            F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+            # raw integer ratio (r5): bit-identical division; round(.,6)
+            # could tie when the union has a 2^7 factor
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
         .where(F.col("i") > 0)
         .drop("i")
@@ -679,8 +680,8 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) AS BIGINT) AS n_chars_calc,
            (CAST(length(text) AS BIGINT) = n_chars) AS chars_ok,
            CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_tokens,
-           round(CAST(length(text) AS DOUBLE)
-                 / len(string_split(text, ' ')), 6) AS chars_per_token
+           CAST(length(text) AS DOUBLE)
+               / len(string_split(text, ' ')) AS chars_per_token
     FROM documents
     """,
 )
@@ -702,7 +703,9 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0))
         .cast("long")
         .alias("n_bpe_tokens"),
-        F.round(F.length("text").cast("double") / F.size(toks), 6).alias(
+        # raw integer ratio (r5): bit-identical division needs no round,
+        # and round(.,6) ties exactly when the token count is 2^7*k
+        (F.length("text").cast("double") / F.size(toks)).alias(
             "chars_per_token"
         ),
     )
@@ -921,7 +924,7 @@ def mm_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 AS (SELECT vec_id, label, CAST(sum(xi * xi) AS BIGINT) AS n2
            FROM ix GROUP BY vec_id, label)
     SELECT d.doc_id, d.lang, n2.label, d.n_chars,
-           round(sqrt(CAST(n2.n2 AS DOUBLE)) / 1000000.0, 6) AS emb_norm
+           sqrt(CAST(n2.n2 AS DOUBLE)) / 1000000.0 AS emb_norm
     FROM documents d JOIN n2 ON n2.vec_id = d.doc_id
     """,
 )
@@ -941,9 +944,11 @@ def llm_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "label",
         "n_chars",
-        F.round(
-            F.sqrt(dot_long("iv", "iv").cast("double")) / F.lit(1000000.0), 6
-        ).alias("emb_norm"),
+        # raw (r5): IEEE sqrt of an exact integer + one division is
+        # bit-identical in both engines; rounding it only added risk
+        (F.sqrt(dot_long("iv", "iv").cast("double")) / F.lit(1000000.0)).alias(
+            "emb_norm"
+        ),
     )
 
 
@@ -1271,15 +1276,15 @@ def _portable_minhash_sigs(d: DataFrame, n_hashes: int = 12) -> DataFrame:
        AND (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2)
     )
     SELECT doc_a, doc_b,
-           round(CAST(len(list_filter(ta, x -> list_contains(tb, x))) AS DOUBLE)
-                 / CAST(len(ta) + len(tb)
-                        - len(list_filter(ta, x -> list_contains(tb, x)))
-                   AS DOUBLE), 6) AS jaccard
-    FROM cand
-    WHERE round(CAST(len(list_filter(ta, x -> list_contains(tb, x))) AS DOUBLE)
-                / CAST(len(ta) + len(tb)
-                       - len(list_filter(ta, x -> list_contains(tb, x)))
-                  AS DOUBLE), 6) >= 0.9
+           CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+    FROM (
+      SELECT doc_a, doc_b,
+             len(list_filter(ta, x -> list_contains(tb, x))) AS i,
+             len(ta) + len(tb)
+                 - len(list_filter(ta, x -> list_contains(tb, x))) AS u
+      FROM cand
+    )
+    WHERE 10 * i >= 9 * u
     """,
 )
 def llm_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1329,13 +1334,17 @@ def llm_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = sigs.select("doc_id", "toks")
     ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
-    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
-    union = (F.size("ta") + F.size("tb")).cast("double") - inter
+    # exact integer threshold (r5): 10*i >= 9*u replaces round(J,6) >= .9,
+    # which ties exactly when the union size has a 2^7 factor
+    inter_i = F.size(F.array_intersect("ta", "tb"))
+    union_i = F.size("ta") + F.size("tb") - inter_i
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
-        .where(F.col("jaccard") >= 0.9)
+        .withColumn(
+            "jaccard", inter_i.cast("double") / union_i.cast("double")
+        )
+        .where(inter_i * 10 >= union_i * 9)
         .select("doc_a", "doc_b", "jaccard")
     )
 
