@@ -8,13 +8,23 @@ follows these rules — on BOTH sides:
    **leave query outputs as strings** (``ts_str``/``DUCK_TS``) or epoch
    BIGINT — sidesteps Spark-µs vs DuckDB-ns representation entirely.
 2. Alias every computed column identically in Spark and SQL.
-3. Aggregated doubles are rounded before hashing — AT THE SCALE WHERE
-   THE TRUE QUANTITY IS DECIMAL-EXACT, never coarser: a sum of 2dp
-   values rounds at 2, price(2dp) x discount-complement(2dp) products
-   at 4, x tax-complement at 6. Coarser scales hit REAL half-way ties
-   (e.g. a true revenue of 753930.795 rounded at 2) that engines break
-   differently; at the exact scale, float noise (~1e-9) can never reach
-   a boundary and both engines land on the bit-identical double.
+3. Aggregates of decimal-exact quantities run in EXACT INTEGER UNITS
+   (usum/uavg + duck_usum/duck_uavg): quantize to cents / 1e-4 / 1e-6
+   units, sum exactly (order-free), ONE final correctly-rounded
+   cast+division — bit-identical doubles with no round() at all.
+   r5 superseded the old round-at-the-exact-scale rule, which breaks
+   two ways at scale: (a) once |sum| * 2^-52 approaches the round grid
+   (a 2.8e9 sum has ulp 4.8e-7, above half of 1e-6), engines summing
+   floats in different orders round to different values — and Spark's
+   partial-agg order varies run-to-run with scheduling; (b) integer
+   ratios tie EXACTLY at the grid when the denominator has a 2^7
+   factor (333/640 = .5203125) and Spark's HALF_UP disagrees with
+   DuckDB's scaled-multiply round. Corollaries: deterministic
+   arithmetic on bit-identical inputs (division, subtraction, IEEE
+   sqrt, greatest/least) is emitted RAW — rounding it only adds risk;
+   thresholds on ratios are pure-integer predicates (10*i >= 9*u, not
+   round(i/u, 6) >= 0.9); only engine-divergent transcendentals
+   (ln, pow) keep a parity round.
 4. Division: Spark ``/`` is always double; DuckDB 1.0 ``/`` likewise, but
    integer-result intent must use explicit casts on both sides.
 5. Any LIMIT/top-k carries a deterministic total ORDER BY (key tiebreaks).
