@@ -1408,31 +1408,91 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats_suite",
     "D7",
     oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(CAST(l_quantity AS BIGINT)) AS sq,
+               sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sq2,
+               sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS sdc,
+               sum(CAST(round(l_discount * 100, 0) AS BIGINT)
+                   * CAST(round(l_discount * 100, 0) AS BIGINT)) AS sdc2,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS spc,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                   * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS spc2,
+               sum(CAST(l_quantity AS BIGINT)
+                   * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sqp
+        FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
-           round(stddev_samp(l_quantity), 6)                 AS sd_qty,
-           round(var_samp(l_quantity), 6)                    AS var_qty,
-           round(stddev_pop(l_discount), 6)                  AS sdp_disc,
-           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
-    FROM lineitem GROUP BY l_returnflag
+           sqrt(CAST(n * sq2 - sq * sq AS DOUBLE)
+                / CAST(n * (n - 1) AS DOUBLE))                 AS sd_qty,
+           CAST(n * sq2 - sq * sq AS DOUBLE)
+               / CAST(n * (n - 1) AS DOUBLE)                   AS var_qty,
+           sqrt(CAST(n * sdc2 - sdc * sdc AS DOUBLE)
+                / CAST(n * n * 10000 AS DOUBLE))               AS sdp_disc,
+           CAST(n * sqp - sq * spc AS DOUBLE)
+               / (sqrt(CAST(n * sq2 - sq * sq AS DOUBLE))
+                  * sqrt(CAST(n * spc2 - spc * spc AS DOUBLE))) AS corr_qty_price,
+           CAST(n * sqp - sq * spc AS DOUBLE)
+               / CAST(n * (n - 1) AS DOUBLE) / 100.0           AS covar_qty_price
+    FROM m
     """,
 )
 def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (SURVEY.md §2-D7 depth): sample/population
-    stddev + variance, correlation, covariance — all single-pass
-    partial-aggregatable moments (Spark and DuckDB both merge
-    (n, mean, M2)-style states, so distribution doesn't change results
-    beyond float noise absorbed by the rounding).
+    stddev + variance, correlation, covariance.
+
+    Parity (r5): NOT the engines' stddev/corr aggregates — Spark and
+    DuckDB merge (n, mean, M2) states in different orders, so their
+    results differ beyond an ulp and the old round(.,6) only masked it
+    up to the tie window. Instead both sides compute the EXACT integer
+    moment sums (quantity is integral; discount/price are 2-dec exact
+    cents — squares and cross products stay exact in decimal/HUGEINT)
+    and apply the identical closed-form expressions, so every output is
+    deterministic double arithmetic on bit-identical inputs: cast,
+    subtract, IEEE sqrt, divide — no round, no engine internals.
+
+    Scale: the moment sums are plain partial-aggregatable SUMs — same
+    single-pass shuffle shape as the built-in aggregates they replace.
     """
     li = tables.load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
-        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-        F.round(F.stddev_pop("l_discount"), 6).alias("sdp_disc"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
-            "covar_qty_price"
-        ),
+    dec = "decimal(38,0)"
+    qi = F.col("l_quantity").cast("long")
+    dc = F.round(F.col("l_discount") * 100, 0).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(qi.cast(dec)).alias("sq"),
+        F.sum((qi * qi).cast(dec)).alias("sq2"),
+        F.sum(dc.cast(dec)).alias("sdc"),
+        F.sum((dc * dc).cast(dec)).alias("sdc2"),
+        F.sum(pc.cast(dec)).alias("spc"),
+        F.sum((pc * pc).cast(dec)).alias("spc2"),
+        F.sum((qi * pc).cast(dec)).alias("sqp"),
+    )
+    n, sq, sq2 = F.col("n"), F.col("sq"), F.col("sq2")
+    sdc, sdc2 = F.col("sdc"), F.col("sdc2")
+    spc, spc2, sqp = F.col("spc"), F.col("spc2"), F.col("sqp")
+    varq = (n * sq2 - sq * sq).cast("double") / (n * (n - 1)).cast("double")
+    return m.select(
+        "l_returnflag",
+        F.sqrt(varq).alias("sd_qty"),
+        varq.alias("var_qty"),
+        F.sqrt(
+            (n * sdc2 - sdc * sdc).cast("double")
+            / (n * n * 10000).cast("double")
+        ).alias("sdp_disc"),
+        (
+            (n * sqp - sq * spc).cast("double")
+            / (
+                F.sqrt((n * sq2 - sq * sq).cast("double"))
+                * F.sqrt((n * spc2 - spc * spc).cast("double"))
+            )
+        ).alias("corr_qty_price"),
+        (
+            (n * sqp - sq * spc).cast("double")
+            / (n * (n - 1)).cast("double")
+            / F.lit(100.0)
+        ).alias("covar_qty_price"),
     )
 
 

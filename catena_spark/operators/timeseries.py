@@ -592,13 +592,25 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_cte("""
     SELECT source, metric, ts_us, value, z FROM (
         SELECT source, metric, ts_us, value,
-               round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z,
-               count(*) OVER w AS n_win,
-               stddev_samp(value) OVER w AS sd
-        FROM s
-        WINDOW w AS (PARTITION BY source, metric ORDER BY ts_us, value
-                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
-    WHERE n_win >= 5 AND sd > 0 AND abs(z) > 2.0
+               CAST(n * c - sc AS DOUBLE)
+                   / sqrt(CAST(n AS DOUBLE)
+                          * CAST(n * sc2 - sc * sc AS DOUBLE)
+                          / CAST(n - 1 AS DOUBLE)) AS z,
+               n AS n_win,
+               n * sc2 - sc * sc AS m2i,
+               (n - 1) * (n * c - sc) * (n * c - sc) AS num2,
+               4 * n * (n * sc2 - sc * sc) AS den2
+        FROM (
+            SELECT source, metric, ts_us, value,
+                   CAST(round(value * 100, 0) AS BIGINT) AS c,
+                   count(*) OVER w AS n,
+                   sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS sc,
+                   sum(CAST(round(value * 100, 0) AS BIGINT)
+                       * CAST(round(value * 100, 0) AS BIGINT)) OVER w AS sc2
+            FROM s
+            WINDOW w AS (PARTITION BY source, metric ORDER BY ts_us, value
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)))
+    WHERE n_win >= 5 AND m2i > 0 AND num2 > den2
     """),
 )
 def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -606,13 +618,15 @@ def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing-20-point mean (current point excluded so it can't mask
     itself); needs >=5 trailing points.
 
-    Parity: z is rounded to 4 before the threshold compare on both
-    engines so stddev numeric noise (~1e-12) cannot flip membership.
-    A constant trailing window (sd = 0) is excluded EXPLICITLY on both
-    sides (r5, self-review): Spark's 0-division yields NULL (row
-    dropped) while DuckDB's IEEE float ops yield +/-inf (row kept) —
-    semantically an sd=0 window has no meaningful z anyway. n_win
-    counts rows (count(*)) on both sides.
+    Parity (r5): NOT the engines' windowed stddev/avg — their moment
+    merges differ beyond an ulp, and the old round(z, 4) + float
+    thresholds carried a tie window. Both sides compute exact integer
+    cents moments over the frame (window sums of BIGINTs are exact in
+    any order), decide membership with PURE INTEGER predicates —
+    sd > 0  <=>  n*sc2 - sc^2 > 0, and |z| > 2  <=>
+    (n-1)*(n*c - sc)^2 > 4*n*(n*sc2 - sc^2) — and emit z as identical
+    deterministic double arithmetic (cast / IEEE sqrt / divide) on
+    those exact integers: bit-identical, no round, nothing can flip.
     """
     s = _series(spark, sf_dir)
     w = (
@@ -620,16 +634,30 @@ def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_us", "value")
         .rowsBetween(-20, -1)
     )
-    sd = F.stddev_samp("value").over(w)
-    z = F.round((F.col("value") - F.avg("value").over(w)) / sd, 4)
-    n_win = F.count(F.lit(1)).over(w)
+    c = F.round(F.col("value") * 100, 0).cast("long")
+    n = F.count(F.lit(1)).over(w)
+    sc = F.sum(c).over(w)
+    sc2 = F.sum(c * c).over(w)
+    m2i = n * sc2 - sc * sc
+    dev = n * c - sc
+    z = dev.cast("double") / F.sqrt(
+        n.cast("double") * m2i.cast("double") / (n - 1).cast("double")
+    )
     return (
         s.select(
             "source", "metric", "ts_us", "value",
-            z.alias("z"), n_win.alias("n_win"), sd.alias("sd"),
+            z.alias("z"),
+            n.alias("n_win"),
+            m2i.alias("m2i"),
+            ((n - 1) * dev * dev).alias("num2"),
+            (4 * n * m2i).alias("den2"),
         )
-        .where((F.col("n_win") >= 5) & (F.col("sd") > 0) & (F.abs(F.col("z")) > 2.0))
-        .drop("n_win", "sd")
+        .where(
+            (F.col("n_win") >= 5)
+            & (F.col("m2i") > 0)
+            & (F.col("num2") > F.col("den2"))
+        )
+        .drop("n_win", "m2i", "num2", "den2")
     )
 
 
