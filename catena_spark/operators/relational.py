@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import tables
-from ..parity import duck_uavg, duck_usum, ravg, rsum, uavg, usum
+from ..parity import duck_uavg, duck_usum, ravg, rsum, uavg, usum, usum_long
 from ..registry import query
 
 
@@ -214,7 +214,8 @@ def join_left_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderstatus")
         .agg(
             F.count("l_orderkey").alias("n_big_items"),
-            F.coalesce(usum(F.col("l_extendedprice"), 2), F.lit(0.0)).alias(
+            # usum_long: <= 7 lineitems per order at ANY scale factor
+            F.coalesce(usum_long(F.col("l_extendedprice"), 2), F.lit(0.0)).alias(
                 "sum_big"
             ),
         )
@@ -476,7 +477,8 @@ def topk_revenue_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            usum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            # usum_long: <= 7 lineitems per order at ANY scale factor
+            usum_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             )
         )
@@ -1582,7 +1584,10 @@ def join_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            usum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            # usum_long: returned items per customer-year is ~constant
+            # per the schema (orders/customer and items/order are both
+            # bounded), so the 1e-4-unit sum stays ~1e11 at any SF
+            usum_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             )
         )

@@ -79,6 +79,19 @@ def usum(col: Column, scale: int) -> Column:
     return F.sum(u.cast("decimal(38,0)")).cast("double") / F.lit(float(10**scale))
 
 
+def usum_long(col: Column, scale: int) -> Column:
+    """usum variant summing in BIGINT instead of decimal(38,0) — ~10%
+    cheaper per Spark row (A/B-measured on TPC-H Q3 at sf0.1). ONLY for
+    groups whose row count is schema-bounded and does not grow with
+    data volume (e.g. lineitems per order <= 7, orders per customer
+    ~constant), so the unit sum stays far from the 9.2e18 long limit at
+    ANY scale factor. Unbounded groups (per-nation, per-supplier,
+    global) must use usum. The DuckDB twin is the same duck_usum —
+    DuckDB always sums BIGINT into HUGEINT."""
+    u = F.round(col * F.lit(float(10**scale)), 0).cast("long")
+    return F.sum(u).cast("double") / F.lit(float(10**scale))
+
+
 def duck_usum(expr: str, scale: int) -> str:
     """DuckDB twin of usum — identical unit/divide structure."""
     m = 10**scale
