@@ -1725,10 +1725,10 @@ def ts_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT metric_a, metric_b, n_buckets,
            CASE WHEN (n_buckets * sxx - sx * sx) = 0
                   OR (n_buckets * syy - sy * sy) = 0 THEN NULL
-                ELSE round(
+                ELSE
                   CAST(n_buckets * sxy - sx * sy AS DOUBLE)
                   / sqrt(CAST(n_buckets * sxx - sx * sx AS DOUBLE)
-                         * CAST(n_buckets * syy - sy * sy AS DOUBLE)), 6)
+                         * CAST(n_buckets * syy - sy * sy AS DOUBLE))
            END AS pearson_r
     FROM g
     """),
@@ -1743,7 +1743,7 @@ def ts_corr_metric_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity: bucket sums are exact integer cents; all five co-moment
     sums (sx, sy, sxy, sxx, syy) stay BIGINT-exact on both engines, so
     the only float work is one identical cast/multiply/sqrt/divide
-    expression over identical integers — bit-identical, then 6dp round.
+    expression over identical integers — bit-identical, emitted raw (r5).
     BIGINT headroom: at sf0.1 the co-moments peak ~1e17 of 9.2e18; for
     petabyte-scale deployments bucket sums would be carried in larger
     units (dollars, not cents) or Decimal(38).
@@ -1789,11 +1789,10 @@ def ts_corr_metric_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_buckets",
         F.when((var_x == 0) | (var_y == 0), F.lit(None).cast("double"))
         .otherwise(
-            F.round(
-                cov.cast("double")
-                / F.sqrt(var_x.cast("double") * var_y.cast("double")),
-                6,
-            )
+            # raw (r5): one identical float expression over exact ints is
+            # bit-identical across engines; rounding it only added risk
+            cov.cast("double")
+            / F.sqrt(var_x.cast("double") * var_y.cast("double"))
         )
         .alias("pearson_r"),
     )
@@ -2113,14 +2112,14 @@ def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT metric, n AS n_buckets,
            CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
-             round(CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
            END AS slope_cents_per_hour,
            CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
-             round((CAST(sy AS DOUBLE)
-                    - (CAST(n * sxy - sx * sy AS DOUBLE)
-                       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-                   / CAST(n AS DOUBLE), 4)
+             (CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE)
            END AS intercept_cents
     FROM g
     """),
@@ -2134,7 +2133,7 @@ def ts_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: all five co-moments are BIGINT-exact; slope and intercept
     are each ONE identical float expression over identical integers
-    (cast, multiply, divide, round) — bit-identical on both engines,
+    (cast, multiply, divide) — bit-identical on both engines, raw,
     same proof as ts_corr_metric_pairs. Fixture x,y magnitudes keep
     n*sxy well inside 2^63. A single-bucket metric (zero x-variance)
     yields NULL slope/intercept EXPLICITLY on both sides (r5,
@@ -2170,8 +2169,10 @@ def ts_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "metric",
         F.col("n").alias("n_buckets"),
-        F.when(varx != 0, F.round(slope, 6)).alias("slope_cents_per_hour"),
-        F.when(varx != 0, F.round(intercept, 4)).alias("intercept_cents"),
+        # raw (r5): identical float expressions over exact integer
+        # moments are bit-identical across engines — no round needed
+        F.when(varx != 0, slope).alias("slope_cents_per_hour"),
+        F.when(varx != 0, intercept).alias("intercept_cents"),
     )
 
 
