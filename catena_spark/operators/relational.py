@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import tables
-from ..parity import duck_uavg, duck_usum, ravg, rsum, uavg, usum, usum_long
+from ..parity import det_double, duck_det_double, duck_usum, rsum, usum, usum_long
 from ..registry import query
 
 
@@ -44,7 +44,7 @@ def scan_lineitem_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_pricing_summary",
     "D7",
-    oracle="""
+    oracle=f"""
     WITH u AS (
         SELECT l_returnflag, l_linestatus,
                CAST(l_quantity AS BIGINT)                   AS qi,
@@ -54,14 +54,14 @@ def scan_lineitem_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00')
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(qi) AS DOUBLE)                              AS sum_qty,
-           CAST(sum(pc) AS DOUBLE) / 100.0                      AS sum_base,
-           CAST(sum(pc * (100 - dc)) AS DOUBLE) / 10000.0       AS sum_disc_price,
-           CAST(sum(pc * (100 - dc) * (100 + tc)) AS DOUBLE) / 1000000.0
+           {duck_det_double("sum(qi)")}                         AS sum_qty,
+           {duck_det_double("sum(pc)")} / 100.0                 AS sum_base,
+           {duck_det_double("sum(pc * (100 - dc))")} / 10000.0  AS sum_disc_price,
+           {duck_det_double("sum(pc * (100 - dc) * (100 + tc))")} / 1000000.0
                                                                 AS sum_charge,
-           CAST(sum(qi) AS DOUBLE) / CAST(count(*) AS DOUBLE)   AS avg_qty,
-           CAST(sum(pc) AS DOUBLE) / CAST(100 * count(*) AS DOUBLE) AS avg_price,
-           CAST(sum(dc) AS DOUBLE) / CAST(100 * count(*) AS DOUBLE) AS avg_disc,
+           {duck_det_double("sum(qi)")} / CAST(count(*) AS DOUBLE)   AS avg_qty,
+           {duck_det_double("sum(pc)")} / CAST(100 * count(*) AS DOUBLE) AS avg_price,
+           {duck_det_double("sum(dc)")} / CAST(100 * count(*) AS DOUBLE) AS avg_disc,
            count(*)                                             AS cnt
     FROM u GROUP BY l_returnflag, l_linestatus
     """,
@@ -76,10 +76,14 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-6), so engines summing in different orders can round to different
     values. All monetary inputs are 2-decimal-exact, so sums are exact
     BIGINT integer-unit arithmetic (cents / 1e-4 / 1e-6 units) in BOTH
-    engines — order-free — with ONE final correctly-rounded conversion +
+    engines — order-free — with ONE final deterministic conversion +
     division producing bit-identical doubles. Spark sums in decimal(38,0)
     (long would wrap around 9.2e18 — reachable for the 1e-6-unit charge
     sum near ~1e12 rows); DuckDB's BIGINT sum auto-promotes to HUGEINT.
+    r6: that final conversion is det_double/duck_det_double, so the
+    bit-identity survives past 2^63 where the engines' native big-int
+    casts round differently (ADVICE r5 item 2); below 2^53 it equals
+    the exact conversion — no value change at test scale.
 
     Scale: map-side partial aggregation, 6-group shuffle; the shipdate
     predicate reaches the Parquet scan (PushedFilters) so at 100 TB only
@@ -96,21 +100,21 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qi.cast(dec)).cast("double").alias("sum_qty"),
-            (F.sum(pc.cast(dec)).cast("double") / F.lit(100.0)).alias("sum_base"),
+            det_double(F.sum(qi.cast(dec))).alias("sum_qty"),
+            (det_double(F.sum(pc.cast(dec))) / F.lit(100.0)).alias("sum_base"),
             (
-                F.sum((pc * (100 - dc)).cast(dec)).cast("double") / F.lit(10000.0)
+                det_double(F.sum((pc * (100 - dc)).cast(dec))) / F.lit(10000.0)
             ).alias("sum_disc_price"),
             (
-                F.sum((pc * (100 - dc) * (100 + tc)).cast(dec)).cast("double")
+                det_double(F.sum((pc * (100 - dc) * (100 + tc)).cast(dec)))
                 / F.lit(1000000.0)
             ).alias("sum_charge"),
-            (F.sum(qi.cast(dec)).cast("double") / cnt.cast("double")).alias("avg_qty"),
+            (det_double(F.sum(qi.cast(dec))) / cnt.cast("double")).alias("avg_qty"),
             (
-                F.sum(pc.cast(dec)).cast("double") / (cnt * 100).cast("double")
+                det_double(F.sum(pc.cast(dec))) / (cnt * 100).cast("double")
             ).alias("avg_price"),
             (
-                F.sum(dc.cast(dec)).cast("double") / (cnt * 100).cast("double")
+                det_double(F.sum(dc.cast(dec))) / (cnt * 100).cast("double")
             ).alias("avg_disc"),
             cnt.alias("cnt"),
         )
@@ -1409,7 +1413,7 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_stats_suite",
     "D7",
-    oracle="""
+    oracle=f"""
     WITH m AS (
         SELECT l_returnflag,
                count(*) AS n,
@@ -1425,17 +1429,17 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sqp
         FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
-           sqrt(CAST(n * sq2 - sq * sq AS DOUBLE)
-                / CAST(n * (n - 1) AS DOUBLE))                 AS sd_qty,
-           CAST(n * sq2 - sq * sq AS DOUBLE)
-               / CAST(n * (n - 1) AS DOUBLE)                   AS var_qty,
-           sqrt(CAST(n * sdc2 - sdc * sdc AS DOUBLE)
-                / CAST(n * n * 10000 AS DOUBLE))               AS sdp_disc,
-           CAST(n * sqp - sq * spc AS DOUBLE)
-               / (sqrt(CAST(n * sq2 - sq * sq AS DOUBLE))
-                  * sqrt(CAST(n * spc2 - spc * spc AS DOUBLE))) AS corr_qty_price,
-           CAST(n * sqp - sq * spc AS DOUBLE)
-               / CAST(n * (n - 1) AS DOUBLE) / 100.0           AS covar_qty_price
+           sqrt({duck_det_double("n * sq2 - sq * sq")}
+                / {duck_det_double("n * (n - 1)")})             AS sd_qty,
+           {duck_det_double("n * sq2 - sq * sq")}
+               / {duck_det_double("n * (n - 1)")}               AS var_qty,
+           sqrt({duck_det_double("n * sdc2 - sdc * sdc")}
+                / {duck_det_double("n * n * 10000")})           AS sdp_disc,
+           {duck_det_double("n * sqp - sq * spc")}
+               / (sqrt({duck_det_double("n * sq2 - sq * sq")})
+                  * sqrt({duck_det_double("n * spc2 - spc * spc")})) AS corr_qty_price,
+           {duck_det_double("n * sqp - sq * spc")}
+               / {duck_det_double("n * (n - 1)")} / 100.0       AS covar_qty_price
     FROM m
     """,
 )
@@ -1452,6 +1456,13 @@ def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     and apply the identical closed-form expressions, so every output is
     deterministic double arithmetic on bit-identical inputs: cast,
     subtract, IEEE sqrt, divide — no round, no engine internals.
+
+    r6 (ADVICE r5 item 2): the moment->double casts go through
+    det_double/duck_det_double because the squared price moments reach
+    1e23–1e24 at sf0.1 — far past 2^63, where DuckDB's double-rounded
+    HUGEINT cast and Spark's correctly rounded decimal cast can differ
+    by 1 ulp near a rounding boundary. The limb-split conversion is
+    bit-identical in both engines at any magnitude.
 
     Scale: the moment sums are plain partial-aggregatable SUMs — same
     single-pass shuffle shape as the built-in aggregates they replace.
@@ -1474,25 +1485,24 @@ def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sq, sq2 = F.col("n"), F.col("sq"), F.col("sq2")
     sdc, sdc2 = F.col("sdc"), F.col("sdc2")
     spc, spc2, sqp = F.col("spc"), F.col("spc2"), F.col("sqp")
-    varq = (n * sq2 - sq * sq).cast("double") / (n * (n - 1)).cast("double")
+    varq = det_double(n * sq2 - sq * sq) / det_double(n * (n - 1))
     return m.select(
         "l_returnflag",
         F.sqrt(varq).alias("sd_qty"),
         varq.alias("var_qty"),
         F.sqrt(
-            (n * sdc2 - sdc * sdc).cast("double")
-            / (n * n * 10000).cast("double")
+            det_double(n * sdc2 - sdc * sdc) / det_double(n * n * 10000)
         ).alias("sdp_disc"),
         (
-            (n * sqp - sq * spc).cast("double")
+            det_double(n * sqp - sq * spc)
             / (
-                F.sqrt((n * sq2 - sq * sq).cast("double"))
-                * F.sqrt((n * spc2 - spc * spc).cast("double"))
+                F.sqrt(det_double(n * sq2 - sq * sq))
+                * F.sqrt(det_double(n * spc2 - spc * spc))
             )
         ).alias("corr_qty_price"),
         (
-            (n * sqp - sq * spc).cast("double")
-            / (n * (n - 1)).cast("double")
+            det_double(n * sqp - sq * spc)
+            / det_double(n * (n - 1))
             / F.lit(100.0)
         ).alias("covar_qty_price"),
     )
@@ -1740,8 +1750,10 @@ def agg_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS numcust,
            {duck_usum("c_acctbal", 2)} AS totacctbal
     FROM customer
-    WHERE c_acctbal > (
-            SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0.0
+    WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) > (
+            SELECT (2 * sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+                    + count(*)) // (2 * count(*))
+            FROM customer WHERE c_acctbal > 0.0
           )
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
@@ -1754,22 +1766,34 @@ def subq_q22_idle_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (none since 2000-01-01), by nation. Scalar subquery (global
     avg) + anti join with a pushed-down date predicate on the anti side.
 
-    Parity: the avg threshold is rounded to the 2dp balance scale
-    before comparison, so boundary customers can't flip on float noise.
-    Scale: the scalar avg is a 1-row broadcast; the NOT EXISTS is a
-    left_anti shuffle join on custkey; both sides prune to 2 columns.
+    Parity (r6, ADVICE r5 item 3): the old round(avg(..), 2) threshold
+    was a float-sum round — accumulation-order-sensitive, and an exact
+    .xx5 tie breaks differently under Spark's HALF_UP vs DuckDB's
+    scaled-multiply round, flipping boundary customers. Now the
+    threshold is derived in exact integer cents on both sides —
+    HALF_UP(sum_cents / n) as the pure-integer ``(2s + n) div (2n)``
+    (sound for the positive-balance filter) — and membership is the
+    integer predicate balance_cents > t_cents. No float touches the
+    decision.
+    Scale: the scalar threshold is a 1-row broadcast; the NOT EXISTS is
+    a left_anti shuffle join on custkey; both sides prune to 2 columns.
     """
     c = tables.load(spark, sf_dir, "customer")
     o = tables.load(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= "2000-01-01"
     )
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
     threshold = (
         c.where(F.col("c_acctbal") > 0.0)
-        .agg(F.round(F.avg("c_acctbal"), 2).alias("t"))
+        .agg(
+            F.sum(cents.cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.expr("(2 * s + n) div (2 * n)").alias("t_cents"))
     )
     return (
         c.join(F.broadcast(threshold))
-        .where(F.col("c_acctbal") > F.col("t"))
+        .where(cents > F.col("t_cents"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(

@@ -72,11 +72,18 @@ def usum(col: Column, scale: int) -> Column:
     vs a 0.5 margin), the unit sum in decimal(38,0) is exact in ANY
     accumulation order (no long wraparound at 1e-6-unit 100 TB sums;
     DuckDB's BIGINT sum auto-promotes to HUGEINT), and the single final
-    cast+division is correctly rounded in both engines — bit-identical
+    cast+division is deterministic in both engines — bit-identical
     doubles with no round() tie to break. SQL twin: duck_usum.
+
+    r6: the final cast goes through det_double, so the bit-identity
+    claim holds even once the unit sum passes 2^63 (the 100 TB regime
+    where DuckDB's double-rounded HUGEINT cast and Spark's correctly
+    rounded decimal cast can differ by 1 ulp near a boundary); below
+    2^53 det_double equals the exact conversion, so values at every
+    test scale factor are unchanged from r5.
     """
     u = F.round(col * F.lit(float(10**scale)), 0).cast("long")
-    return F.sum(u.cast("decimal(38,0)")).cast("double") / F.lit(float(10**scale))
+    return det_double(F.sum(u.cast("decimal(38,0)"))) / F.lit(float(10**scale))
 
 
 def usum_long(col: Column, scale: int) -> Column:
@@ -93,12 +100,14 @@ def usum_long(col: Column, scale: int) -> Column:
 
 
 def duck_usum(expr: str, scale: int) -> str:
-    """DuckDB twin of usum — identical unit/divide structure."""
+    """DuckDB twin of usum — identical unit/divide structure; the final
+    cast goes through duck_det_double (r6), matching usum bit-for-bit at
+    any magnitude. Also the twin of usum_long, whose documented domain
+    (unit sums far below 2^53) is exactly where det_double and the
+    native BIGINT cast agree exactly."""
     m = 10**scale
-    return (
-        f"CAST(sum(CAST(round(({expr}) * {m}, 0) AS BIGINT)) AS DOUBLE)"
-        f" / {m}.0"
-    )
+    s = f"sum(CAST(round(({expr}) * {m}, 0) AS BIGINT))"
+    return f"({duck_det_double(s)} / {m}.0)"
 
 
 def uavg(col: Column, scale: int) -> Column:
@@ -107,18 +116,77 @@ def uavg(col: Column, scale: int) -> Column:
     factors exact — yielding the bit-identical unrounded double in both
     engines. SQL twin: duck_uavg."""
     u = F.round(col * F.lit(float(10**scale)), 0).cast("long")
-    return F.sum(u.cast("decimal(38,0)")).cast("double") / (
-        F.count(F.lit(1)) * (10**scale)
-    ).cast("double")
+    return det_double(F.sum(u.cast("decimal(38,0)"))) / det_double(
+        F.count(F.lit(1)).cast("decimal(38,0)") * (10**scale)
+    )
 
 
 def duck_uavg(expr: str, scale: int) -> str:
-    """DuckDB twin of uavg — identical unit/divide structure."""
+    """DuckDB twin of uavg — identical unit/divide structure; both the
+    numerator sum and the count*10^scale denominator go through
+    duck_det_double (r6 — the denominator also passes 2^53 around the
+    100 TB row-count mark)."""
     m = 10**scale
-    return (
-        f"CAST(sum(CAST(round(({expr}) * {m}, 0) AS BIGINT)) AS DOUBLE)"
-        f" / CAST({m} * count(*) AS DOUBLE)"
-    )
+    s = f"sum(CAST(round(({expr}) * {m}, 0) AS BIGINT))"
+    d = f"CAST({m} AS HUGEINT) * count(*)"
+    return f"({duck_det_double(s)} / {duck_det_double(d)})"
+
+
+def det_double(x: Column) -> Column:
+    """Deterministic exact-integer -> DOUBLE conversion, bit-identical in
+    Spark and DuckDB over the FULL decimal(38,0)/HUGEINT range (r6,
+    ADVICE r5 item 2).
+
+    Why: beyond 2^63 the engines' native big-integer->double casts round
+    differently — DuckDB converts HUGEINT as (double)lower +
+    (double)upper*2^64 (double rounding), Spark's decimal(38,0)->double
+    is correctly rounded — so near a rounding boundary they can differ
+    by 1 ulp. That is exactly the rare-systematic divergence class the
+    r5 integer-unit doctrine eliminates, reintroduced at the very last
+    cast. (The squared price moments in agg_stats_suite reach 1e23–1e24
+    at sf0.1; 1e-6-unit money sums pass 2^63 around the 100 TB mark.)
+
+    How: split |x| into four base-1e9 limbs (11+9+9+9 = 38 digits; every
+    limb < 2^53 so each limb->double cast is EXACT in any engine), then
+    recombine with the identical IEEE-754 multiply/add sequence
+    ``((l3*1e9 + l2)*1e9 + l1)*1e9 + l0`` — correctly-rounded primitives
+    on bit-identical inputs, hence bit-identical results. For |x| < 2^53
+    every intermediate is exact, so the result equals the mathematically
+    exact conversion (no value change at test scale factors). Beyond
+    2^53 the result may differ from the correctly-rounded conversion by
+    ~1 ulp but is the SAME double in both engines — determinism is the
+    parity requirement, not last-ulp accuracy. SQL twin: duck_det_double
+    (arithmetic limb extraction — same limb values, same combine).
+
+    Spark side extracts limbs by lpad/substring over the decimal's digit
+    string (decimal(38,0) renders as plain digits) because Column-level
+    integral division isn't expressible inside an unnamed aggregate
+    expression; this runs post-aggregation, one row per group. The
+    absolute value is taken by stripping the '-' from the digit string,
+    NOT F.abs: Spark's decimal negate/abs round through a 34-digit
+    DECIMAL128 MathContext, which mangles (or ANSI-errors on) wider
+    values — string abs keeps the helper exact over the full range.
+    """
+    xd = x.cast("decimal(38,0)")
+    digits = F.lpad(F.regexp_replace(xd.cast("string"), "^-", ""), 38, "0")
+    l3 = F.substring(digits, 1, 11).cast("long").cast("double")
+    l2 = F.substring(digits, 12, 9).cast("long").cast("double")
+    l1 = F.substring(digits, 21, 9).cast("long").cast("double")
+    l0 = F.substring(digits, 30, 9).cast("long").cast("double")
+    mag = ((l3 * F.lit(1.0e9) + l2) * F.lit(1.0e9) + l1) * F.lit(1.0e9) + l0
+    return F.when(x < 0, -mag).otherwise(mag)
+
+
+def duck_det_double(expr: str) -> str:
+    """DuckDB twin of det_double — same limbs via HUGEINT ``//``/``%``,
+    same IEEE combine sequence. Valid over the full HUGEINT range."""
+    a = f"abs(CAST(({expr}) AS HUGEINT))"
+    l3 = f"CAST(({a} // 1000000000000000000000000000) AS DOUBLE)"
+    l2 = f"CAST((({a} % 1000000000000000000000000000) // 1000000000000000000) AS DOUBLE)"
+    l1 = f"CAST((({a} % 1000000000000000000) // 1000000000) AS DOUBLE)"
+    l0 = f"CAST(({a} % 1000000000) AS DOUBLE)"
+    mag = f"((({l3} * 1e9 + {l2}) * 1e9 + {l1}) * 1e9 + {l0})"
+    return f"(CASE WHEN ({expr}) < 0 THEN -{mag} ELSE {mag} END)"
 
 
 def norm_cell(v):

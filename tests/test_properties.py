@@ -524,3 +524,56 @@ def test_decimal_threshold_predicate_exact_within_envelope(spark):
     for dot, n2a, n2b in cases:
         exact = dot > 0 and 25 * dot * dot >= 4 * n2a * n2b
         assert got[(dot, n2a, n2b)] == exact, (dot, n2a, n2b)
+
+
+def test_det_double_bit_identical_across_engines(spark, duck):
+    """det_double/duck_det_double (r6, ADVICE r5 item 2): the limb-split
+    big-integer->double conversion must produce the SAME double in
+    Spark, DuckDB, and a pure-Python reference at every magnitude of the
+    decimal(38,0)/HUGEINT range — and the mathematically exact value
+    below 2^53. This is what lets usum/uavg/agg_stats_suite keep their
+    bit-identity claim past 2^63, where the engines' native casts
+    (DuckDB's double-rounded HUGEINT path vs Spark's correctly rounded
+    decimal path) can differ by 1 ulp."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from catena_spark.parity import det_double, duck_det_double
+
+    def py_det(x: int) -> float:
+        a = abs(x)
+        l3, l2 = a // 10**27, (a % 10**27) // 10**18
+        l1, l0 = (a % 10**18) // 10**9, a % 10**9
+        mag = ((float(l3) * 1e9 + float(l2)) * 1e9 + float(l1)) * 1e9 + float(l0)
+        return -mag if x < 0 else mag
+
+    rng = random.Random(20260814)
+    cases = [0, 1, -1, 2**53 - 1, 2**53, 2**53 + 1, 2**63 - 1, 2**63,
+             2**63 + 2**11, -(2**63), 10**24, -(10**24), 10**38 - 1,
+             -(10**38) + 1]
+    for bits in (40, 52, 53, 54, 62, 63, 64, 70, 80, 100, 126):
+        cases += [rng.randrange(-(2**bits), 2**bits) for _ in range(20)]
+
+    # inject full-width decimals directly (casts and decimal arithmetic
+    # in Spark round through a 34-digit DECIMAL128 context, so a string
+    # cast or limb composition could not build an exact 38-digit value)
+    import decimal as _d
+
+    sdf = spark.createDataFrame(
+        [(_d.Decimal(x),) for x in cases], "v decimal(38,0)"
+    )
+    got_spark = [
+        r["d"] for r in sdf.select(det_double(F.col("v")).alias("d")).collect()
+    ]
+    got_duck = [
+        duck.execute(
+            "SELECT " + duck_det_double(f"CAST('{x}' AS HUGEINT)")
+        ).fetchone()[0]
+        for x in cases
+    ]
+    for x, ds, dd in zip(cases, got_spark, got_duck):
+        want = py_det(x)
+        assert ds == dd == want, (x, ds, dd, want)
+        if abs(x) < 2**53:
+            assert ds == float(x), (x, ds)
