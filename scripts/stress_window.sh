@@ -8,7 +8,11 @@
 # shuffle=1 exercises single-partition exchanges.
 #
 #   scripts/stress_window.sh          # ~10-15 min
-set -e
+#
+# pipefail matters (ADVICE r5 item 1): every run pipes through
+# `| tail -1`, and without it a parity MISMATCH exits 0 (tail's status)
+# and the ALL GREEN banner lies.
+set -eo pipefail
 cd "$(dirname "$0")/.."
 
 WINDOW=$(python - <<'EOF'
