@@ -10,10 +10,16 @@ box happens to run UTC. Fixed to the naive ``make_timestamp(µs)``;
 these tests make the whole class of bug impossible to reintroduce:
 
 1. a static lint over every registered oracle banning TZ-dependent
-   DuckDB constructs (TIMESTAMPTZ producers and clock reads), and
-2. a dynamic sweep executing every oracle under ``TimeZone='UTC'`` vs
-   ``'Asia/Kolkata'`` (the +05:30 half-hour offset) and requiring
-   exact-equal results.
+   DuckDB constructs (TIMESTAMPTZ producers and clock reads),
+2. a static lint banning locale-sensitive strftime directives (%a/%b
+   month/day names etc. — r6, VERDICT r5 item 4: the stress matrix's
+   tr_TR axis found nothing, but nothing structurally prevented an
+   oracle from adding a month-name rendering later), and
+3. a dynamic sweep executing every oracle under ``TimeZone='UTC'`` +
+   ``Calendar='gregorian'`` vs ``TimeZone='Asia/Kolkata'`` (the +05:30
+   half-hour offset) + ``Calendar='japanese'`` (a non-Gregorian ICU
+   calendar — flips era/year handling for any expression that consults
+   the session calendar) and requiring exact-equal results.
 
 The Spark side needs no twin test: the session-TZ axis of the stress
 matrix (CATENA_SIM_TZ) plus the fixtures' NTZ timestamps already pin
@@ -58,10 +64,32 @@ def test_oracle_has_no_tz_dependent_constructs(key):
     )
 
 
-def _run_all(tz: str) -> dict[str, tuple]:
+#: strftime/strptime directives whose output follows the host locale in
+#: ICU/libc implementations: abbreviated/full day+month names, locale
+#: date/time renderings, AM/PM markers. Only meaningful inside an
+#: strftime call — bare LIKE '%b%' patterns must not trip the lint.
+_LOCALE_DIRECTIVE = re.compile(r"%-?([aAbBcpxX])")
+
+
+@pytest.mark.parametrize("key", _WITH_ORACLE)
+def test_oracle_has_no_locale_sensitive_strftime(key):
+    sql = _SPECS[key].oracle
+    if not re.search(r"\bstrf?time\s*\(", sql, re.IGNORECASE):
+        return
+    for m in re.finditer(r"'[^']*'", sql):
+        hit = _LOCALE_DIRECTIVE.search(m.group(0))
+        assert hit is None, (
+            f"{key}: oracle strftime uses locale-sensitive directive "
+            f"{hit.group(0)!r} in {m.group(0)} — render month/day names "
+            f"numerically so results don't follow the driver host locale"
+        )
+
+
+def _run_all(tz: str, calendar: str = "gregorian") -> dict[str, tuple]:
     duck = duckdb.connect()
     try:
         duck.execute(f"SET TimeZone='{tz}'")
+        duck.execute(f"SET Calendar='{calendar}'")
         for t in tables.TABLES:
             duck.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
@@ -86,3 +114,14 @@ def test_every_oracle_is_timezone_invariant():
     ist = _run_all("Asia/Kolkata")
     diff = [k for k in _WITH_ORACLE if utc[k] != ist[k]]
     assert not diff, f"oracles change with DuckDB TimeZone: {diff}"
+
+
+def test_every_oracle_is_calendar_invariant():
+    """r6 (VERDICT r5 item 4): flip the ICU Calendar together with the
+    timezone — a combined-hostile session config no driver box would
+    ever run, catching any oracle expression that consults the session
+    calendar (era-based year extraction etc.)."""
+    base = _run_all("UTC", "gregorian")
+    hostile = _run_all("Asia/Kolkata", "japanese")
+    diff = [k for k in _WITH_ORACLE if base[k] != hostile[k]]
+    assert not diff, f"oracles change with DuckDB Calendar/TimeZone: {diff}"
