@@ -34,6 +34,12 @@ from pyspark.sql import SparkSession
 #: post-start and is only applied in get_spark().
 _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
+    # fail-loud arithmetic (r6): the integer-unit parity doctrine proves
+    # its domains never overflow — but only ANSI mode turns a violated
+    # domain assumption into an error instead of a silent NULL/wrap that
+    # would corrupt a hash with no signal. Spark 4 defaults true; pin it
+    # so a driver session that flipped it cannot change semantics.
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -10,7 +10,8 @@ real driver's session conf is unknown, so the rehearsal must pass under
 ANY reasonable conf, not just one. CATENA_SIM_TZ (session timezone,
 default America/New_York; Asia/Kolkata exercises the +05:30 half-hour
 offset), CATENA_SIM_MASTER (default local[8]), CATENA_SIM_SHUFFLE
-(default 8).
+(default 8), CATENA_SIM_ANSI (spark.sql.ansi.enabled, default false —
+hostile on purpose: ensure_runtime_conf must repin true).
 """
 import hashlib
 import os
@@ -54,6 +55,10 @@ def main():
         .config(
             "spark.sql.shuffle.partitions",
             os.environ.get("CATENA_SIM_SHUFFLE", "8"),
+        )
+        .config(
+            "spark.sql.ansi.enabled",
+            os.environ.get("CATENA_SIM_ANSI", "false"),
         )
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -42,4 +42,11 @@ run UTC              "local[32]" 64   # combined hostile, high parallelism
 echo "== process TZ=Asia/Kolkata"
 (cd /tmp && TZ=Asia/Kolkata CATENA_SIM_TZ=Asia/Kolkata \
   python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+
+# ANSI axis (r6): the sim's default session is hostile (ansi=false,
+# relying on ensure_runtime_conf to repin true); this run covers a
+# driver that sets ansi=true itself — both states must hash-match
+echo "== ANSI=true session"
+(cd /tmp && CATENA_SIM_ANSI=true \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
 echo "== STRESS MATRIX ALL GREEN"
