@@ -10,8 +10,11 @@ follows these rules — on BOTH sides:
 2. Alias every computed column identically in Spark and SQL.
 3. Aggregates of decimal-exact quantities run in EXACT INTEGER UNITS
    (usum/uavg + duck_usum/duck_uavg): quantize to cents / 1e-4 / 1e-6
-   units, sum exactly (order-free), ONE final correctly-rounded
+   units, sum exactly (order-free), ONE final deterministic
    cast+division — bit-identical doubles with no round() at all.
+   r6: the final cast is det_double/duck_det_double (limb-split), so
+   bit-identity survives past 2^63 where the engines' native
+   big-integer casts round differently.
    r5 superseded the old round-at-the-exact-scale rule, which breaks
    two ways at scale: (a) once |sum| * 2^-52 approaches the round grid
    (a 2.8e9 sum has ulp 4.8e-7, above half of 1e-6), engines summing
