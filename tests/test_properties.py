@@ -577,3 +577,31 @@ def test_det_double_bit_identical_across_engines(spark, duck):
         assert ds == dd == want, (x, ds, dd, want)
         if abs(x) < 2**53:
             assert ds == float(x), (x, ds)
+
+
+def test_integer_halfup_avg_threshold_matches_reference(duck):
+    """subq_q22_idle_wealthy's threshold (r6): HALF_UP(sum_cents/n) as
+    the pure-integer ``(2s + n) // (2n)`` must equal decimal HALF_UP
+    rounding for every positive (sum, n) — including exact .5 ties,
+    where the old float round(avg, 2) could flip per engine. Pinned
+    against Python's Fraction-exact reference in both the Python formula
+    and DuckDB's `//` rendering used by the oracle."""
+    import random
+    from fractions import Fraction
+
+    rng = random.Random(20260814)
+    cases = [(1, 2), (3, 2), (5, 2), (7, 2), (1, 3), (2, 3), (10**18, 7)]
+    cases += [(rng.randrange(0, 10**12), rng.randrange(1, 10**6)) for _ in range(500)]
+    # forced .5 ties: s = k*n + n/2 for even n
+    for k in (0, 1, 17, 10**9):
+        cases.append((k * 4 + 2, 4))
+    for s, n in cases:
+        want_fr = Fraction(s, n)
+        floor = want_fr.numerator // want_fr.denominator
+        frac = want_fr - floor
+        want = floor + (1 if frac >= Fraction(1, 2) else 0)  # HALF_UP, s >= 0
+        got_py = (2 * s + n) // (2 * n)
+        got_duck = duck.execute(
+            f"SELECT (2 * CAST({s} AS HUGEINT) + {n}) // (2 * CAST({n} AS HUGEINT))"
+        ).fetchone()[0]
+        assert got_py == want == got_duck, (s, n, got_py, got_duck, want)
