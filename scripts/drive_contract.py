@@ -11,7 +11,10 @@ ANY reasonable conf, not just one. CATENA_SIM_TZ (session timezone,
 default America/New_York; Asia/Kolkata exercises the +05:30 half-hour
 offset), CATENA_SIM_MASTER (default local[8]), CATENA_SIM_SHUFFLE
 (default 8), CATENA_SIM_ANSI (spark.sql.ansi.enabled, default false —
-hostile on purpose: ensure_runtime_conf must repin true).
+hostile on purpose: ensure_runtime_conf must repin true),
+CATENA_SIM_EXTRA (comma-separated k=v pairs applied to the session
+builder verbatim — the open-ended hostile axis, e.g.
+"spark.sql.caseSensitive=true,spark.sql.decimalOperations.allowPrecisionLoss=false").
 """
 import hashlib
 import os
@@ -61,8 +64,11 @@ def main():
             os.environ.get("CATENA_SIM_ANSI", "false"),
         )
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    for kv in filter(None, os.environ.get("CATENA_SIM_EXTRA", "").split(",")):
+        k, _, v = kv.partition("=")
+        spark = spark.config(k.strip(), v.strip())
+    spark = spark.getOrCreate()
     import __spark_entry__ as E
 
     # entry smoke

@@ -49,4 +49,10 @@ echo "== process TZ=Asia/Kolkata"
 echo "== ANSI=true session"
 (cd /tmp && CATENA_SIM_ANSI=true \
   python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+
+# open-ended extras axis (r6): case-sensitive resolution + strict
+# decimal typing — two more semantics knobs a driver session could set
+echo "== caseSensitive=true, allowPrecisionLoss=false"
+(cd /tmp && CATENA_SIM_EXTRA="spark.sql.caseSensitive=true,spark.sql.decimalOperations.allowPrecisionLoss=false" \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
 echo "== STRESS MATRIX ALL GREEN"
