@@ -55,4 +55,17 @@ echo "== ANSI=true session"
 echo "== caseSensitive=true, allowPrecisionLoss=false"
 (cd /tmp && CATENA_SIM_EXTRA="spark.sql.caseSensitive=true,spark.sql.decimalOperations.allowPrecisionLoss=false" \
   python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+
+# JVM default-timezone axis (r6): user.timezone shifts java.util defaults
+# UNDER the pinned session timeZone — verified to actually reach the JVM
+# in local mode (TimeZone.getDefault() reads Asia/Kolkata)
+echo "== JVM user.timezone=Asia/Kolkata"
+(cd /tmp && CATENA_SIM_EXTRA="spark.driver.extraJavaOptions=-Duser.timezone=Asia/Kolkata" \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+
+# Turkish process locale (r6): the lower/upper dotless-i trap for any
+# locale-sensitive case-folding in Python/pandas/DuckDB rendering
+echo "== LC_ALL=tr_TR.UTF-8"
+(cd /tmp && LANG=tr_TR.UTF-8 LC_ALL=tr_TR.UTF-8 \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
 echo "== STRESS MATRIX ALL GREEN"
