@@ -85,11 +85,15 @@ def test_oracle_has_no_locale_sensitive_strftime(key):
         )
 
 
-def _run_all(tz: str, calendar: str = "gregorian") -> dict[str, tuple]:
+def _run_all(
+    tz: str, calendar: str = "gregorian", threads: int | None = None
+) -> dict[str, tuple]:
     duck = duckdb.connect()
     try:
         duck.execute(f"SET TimeZone='{tz}'")
         duck.execute(f"SET Calendar='{calendar}'")
+        if threads is not None:
+            duck.execute(f"SET threads={threads}")
         for t in tables.TABLES:
             duck.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
@@ -114,6 +118,19 @@ def test_every_oracle_is_timezone_invariant():
     ist = _run_all("Asia/Kolkata")
     diff = [k for k in _WITH_ORACLE if utc[k] != ist[k]]
     assert not diff, f"oracles change with DuckDB TimeZone: {diff}"
+
+
+def test_every_oracle_is_thread_count_invariant():
+    """r6: the integer-unit doctrine claims the oracles are
+    accumulation-order-free — this pins it on the DuckDB side, where
+    the driver box's thread default is unknown and parallel aggregation
+    merges partials in nondeterministic order. threads=1 (fully
+    sequential) vs threads=8 must produce exact-equal results for every
+    oracle; a float-sum oracle would be the thing that breaks here."""
+    seq = _run_all("UTC", threads=1)
+    par = _run_all("UTC", threads=8)
+    diff = [k for k in _WITH_ORACLE if seq[k] != par[k]]
+    assert not diff, f"oracles change with DuckDB thread count: {diff}"
 
 
 def test_every_oracle_is_calendar_invariant():
