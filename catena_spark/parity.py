@@ -9,7 +9,7 @@ follows these rules — on BOTH sides:
    BIGINT — sidesteps Spark-µs vs DuckDB-ns representation entirely.
 2. Alias every computed column identically in Spark and SQL.
 3. Aggregates of decimal-exact quantities run in EXACT INTEGER UNITS
-   (usum/uavg + duck_usum/duck_uavg): quantize to cents / 1e-4 / 1e-6
+   (usum/usum_long + duck_usum): quantize to cents / 1e-4 / 1e-6
    units, sum exactly (order-free), ONE final deterministic
    cast+division — bit-identical doubles with no round() at all.
    r6: the final cast is det_double/duck_det_double (limb-split), so
@@ -56,14 +56,9 @@ def rsum(col: Column, scale: int = 2) -> Column:
     accumulation order varies with task scheduling, so a near-tie key
     can flake run-to-run. Kept only for callers whose group sums are
     provably far from the grid (small groups of decimal-exact values);
-    new money aggregates use usum/uavg.
+    new money aggregates use usum/usum_long.
     """
     return F.round(F.sum(col), scale)
-
-
-def ravg(col: Column, scale: int = 6) -> Column:
-    """round(avg(x), 6) — parity rule #3 (LEGACY — see uavg)."""
-    return F.round(F.avg(col), scale)
 
 
 def usum(col: Column, scale: int) -> Column:
@@ -90,49 +85,35 @@ def usum(col: Column, scale: int) -> Column:
 
 
 def usum_long(col: Column, scale: int) -> Column:
-    """usum variant summing in BIGINT instead of decimal(38,0) — ~10%
-    cheaper per Spark row (A/B-measured on TPC-H Q3 at sf0.1). ONLY for
-    groups whose row count is schema-bounded and does not grow with
-    data volume (e.g. lineitems per order <= 7, orders per customer
+    """usum variant ACCUMULATING in BIGINT instead of decimal(38,0) —
+    ~10% cheaper per Spark row (A/B-measured on TPC-H Q3 at sf0.1).
+    ONLY for groups whose row count is schema-bounded and does not grow
+    with data volume (e.g. lineitems per order <= 7, orders per customer
     ~constant), so the unit sum stays far from the 9.2e18 long limit at
-    ANY scale factor. Unbounded groups (per-nation, per-supplier,
-    global) must use usum. The DuckDB twin is the same duck_usum —
-    DuckDB always sums BIGINT into HUGEINT."""
+    ANY scale factor (ANSI mode makes a violated bound fail loud, not
+    wrap). Unbounded groups (per-nation, per-supplier, global) must use
+    usum. The DuckDB twin is the same duck_usum — DuckDB always sums
+    BIGINT into HUGEINT.
+
+    r7 (ADVICE r6 item 1): the final cast routes through det_double like
+    usum's, so bit-parity with duck_usum holds over the FULL long range
+    — previously a unit sum landing in [2^53, 2^63) would have drifted
+    ~1 ulp from the oracle's duck_det_double path. det_double runs
+    post-aggregation on one row per group, so the per-row BIGINT
+    accumulation (the reason this variant exists) is unchanged."""
     u = F.round(col * F.lit(float(10**scale)), 0).cast("long")
-    return F.sum(u).cast("double") / F.lit(float(10**scale))
+    return det_double(F.sum(u).cast("decimal(38,0)")) / F.lit(float(10**scale))
 
 
 def duck_usum(expr: str, scale: int) -> str:
     """DuckDB twin of usum — identical unit/divide structure; the final
     cast goes through duck_det_double (r6), matching usum bit-for-bit at
-    any magnitude. Also the twin of usum_long, whose documented domain
-    (unit sums far below 2^53) is exactly where det_double and the
-    native BIGINT cast agree exactly."""
+    any magnitude. Also the twin of usum_long, whose final cast routes
+    through det_double as of r7, so the twins agree over the full BIGINT
+    range, not just below 2^53."""
     m = 10**scale
     s = f"sum(CAST(round(({expr}) * {m}, 0) AS BIGINT))"
     return f"({duck_det_double(s)} / {m}.0)"
-
-
-def uavg(col: Column, scale: int) -> Column:
-    """ORDER-FREE exact average of a decimal-exact expression (r5):
-    exact integer-unit sum, ONE division by (10^scale * count) — both
-    factors exact — yielding the bit-identical unrounded double in both
-    engines. SQL twin: duck_uavg."""
-    u = F.round(col * F.lit(float(10**scale)), 0).cast("long")
-    return det_double(F.sum(u.cast("decimal(38,0)"))) / det_double(
-        F.count(F.lit(1)).cast("decimal(38,0)") * (10**scale)
-    )
-
-
-def duck_uavg(expr: str, scale: int) -> str:
-    """DuckDB twin of uavg — identical unit/divide structure; both the
-    numerator sum and the count*10^scale denominator go through
-    duck_det_double (r6 — the denominator also passes 2^53 around the
-    100 TB row-count mark)."""
-    m = 10**scale
-    s = f"sum(CAST(round(({expr}) * {m}, 0) AS BIGINT))"
-    d = f"CAST({m} AS HUGEINT) * count(*)"
-    return f"({duck_det_double(s)} / {duck_det_double(d)})"
 
 
 def det_double(x: Column) -> Column:

@@ -12,9 +12,13 @@ default America/New_York; Asia/Kolkata exercises the +05:30 half-hour
 offset), CATENA_SIM_MASTER (default local[8]), CATENA_SIM_SHUFFLE
 (default 8), CATENA_SIM_ANSI (spark.sql.ansi.enabled, default false —
 hostile on purpose: ensure_runtime_conf must repin true),
-CATENA_SIM_EXTRA (comma-separated k=v pairs applied to the session
-builder verbatim — the open-ended hostile axis, e.g.
+CATENA_SIM_EXTRA (k=v pairs applied to the session builder verbatim —
+the open-ended hostile axis, e.g.
 "spark.sql.caseSensitive=true,spark.sql.decimalOperations.allowPrecisionLoss=false").
+Pairs split on ';' when one is present, else ',' — use ';' when a VALUE
+itself contains a comma (e.g. extraJavaOptions with two -D flags); a
+fragment without '=' aborts loudly instead of becoming a garbage conf
+(r7, ADVICE r6 item 4).
 """
 import hashlib
 import os
@@ -65,8 +69,14 @@ def main():
         )
         .config("spark.ui.enabled", "false")
     )
-    for kv in filter(None, os.environ.get("CATENA_SIM_EXTRA", "").split(",")):
-        k, _, v = kv.partition("=")
+    extra = os.environ.get("CATENA_SIM_EXTRA", "")
+    for kv in filter(None, extra.split(";" if ";" in extra else ",")):
+        k, eq, v = kv.partition("=")
+        if not eq or not k.strip():
+            sys.exit(
+                f"CATENA_SIM_EXTRA fragment {kv!r} lacks 'key=value' — "
+                "if a value contains commas, separate pairs with ';'"
+            )
         spark = spark.config(k.strip(), v.strip())
     spark = spark.getOrCreate()
     import __spark_entry__ as E

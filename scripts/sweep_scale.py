@@ -29,6 +29,7 @@ failures list and the exit code.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -56,6 +57,9 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF_DIR
+    # r7 (ADVICE r6 item 3): gate the growth guard on the RESOLVED path,
+    # so 'sf0.1/' or a relative spelling can't silently skip the pins
+    guard = os.path.realpath(sf_dir) == os.path.realpath(DEFAULT_SF_DIR)
     focus = set(sys.argv[2:])
     spark = get_spark(app_name="sweep-scale", master="local[32]")
     specs = registry.specs()
@@ -72,7 +76,7 @@ def main() -> None:
             times.append((dt, key))
             by_key[key] = dt
             print(f"{dt:8.2f}s  {key}  rows={n}", flush=True)
-            if sf_dir == DEFAULT_SF_DIR and PAIR_ROW_PINS.get(key, n) != n:
+            if guard and PAIR_ROW_PINS.get(key, n) != n:
                 failed.append(key)
                 print(
                     f"  GROWTH-GUARD FAIL {key}: rows={n} != pinned "
@@ -82,7 +86,7 @@ def main() -> None:
         except Exception as ex:
             failed.append(key)
             print(f"  FAIL    {key}  {type(ex).__name__}: {ex}", flush=True)
-    if sf_dir == DEFAULT_SF_DIR:
+    if guard:
         for banded, twin, cap in BANDING_SPEEDUP:
             if banded in by_key and twin in by_key:
                 ratio = by_key[banded] / by_key[twin]
@@ -96,6 +100,8 @@ def main() -> None:
     times.sort(reverse=True)
     total = sum(t for t, _ in times)
     under10 = sum(1 for t, _ in times if t < 10)
+    # a key can fail both the row pin and the banding check — report once
+    failed = sorted(set(failed))
     print("\n== slowest 10 ==")
     for t, k in times[:10]:
         print(f"{t:8.2f}s  {k}")

@@ -71,16 +71,62 @@ def test_oracle_has_no_tz_dependent_constructs(key):
 _LOCALE_DIRECTIVE = re.compile(r"%-?([aAbBcpxX])")
 
 
+def _strftime_arg_literals(sql: str) -> list[str]:
+    """String literals appearing at argument depth of an strftime /
+    strptime call (r7, ADVICE r6 item 2: the lint previously scanned
+    EVERY literal in an oracle that contained strftime anywhere, so an
+    unrelated ``LIKE '%brand%'`` in the same SQL false-positived on %b).
+    Walks each call with a paren/quote-aware scan ('' is the SQL quote
+    escape); literals nested inside a deeper call (e.g. an inner
+    strftime's own argument) are picked up by that call's own scan."""
+    out: list[str] = []
+    for m in re.finditer(r"\bstr[fp]time\s*\(", sql, re.IGNORECASE):
+        i, depth = m.end(), 1
+        while i < len(sql) and depth:
+            c = sql[i]
+            if c == "'":
+                j = i + 1
+                while j < len(sql):
+                    if sql[j] == "'":
+                        if j + 1 < len(sql) and sql[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                if depth == 1:
+                    out.append(sql[i : j + 1])
+                i = j + 1
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+    return out
+
+
+def test_strftime_lint_scopes_to_format_argument():
+    """Pin the ADVICE r6 item 2 fix: a LIKE '%brand%'/'%avg%' pattern
+    elsewhere in an strftime-bearing oracle must NOT reach the lint,
+    while literals inside the call (either argument position) must."""
+    sql = (
+        "SELECT strftime(CAST(make_timestamp(us) AS TIMESTAMP), '%Y-%m') "
+        "FROM part WHERE p_type LIKE '%brand%' AND p_name LIKE '%avg%'"
+    )
+    assert _strftime_arg_literals(sql) == ["'%Y-%m'"]
+    assert _strftime_arg_literals("strftime(ts, '%a %b')") == ["'%a %b'"]
+    assert _strftime_arg_literals("strptime('it''s %B', fmt)") == ["'it''s %B'"]
+    assert _strftime_arg_literals("x LIKE '%b%'") == []
+
+
 @pytest.mark.parametrize("key", _WITH_ORACLE)
 def test_oracle_has_no_locale_sensitive_strftime(key):
     sql = _SPECS[key].oracle
-    if not re.search(r"\bstrf?time\s*\(", sql, re.IGNORECASE):
-        return
-    for m in re.finditer(r"'[^']*'", sql):
-        hit = _LOCALE_DIRECTIVE.search(m.group(0))
+    for lit in _strftime_arg_literals(sql):
+        hit = _LOCALE_DIRECTIVE.search(lit)
         assert hit is None, (
             f"{key}: oracle strftime uses locale-sensitive directive "
-            f"{hit.group(0)!r} in {m.group(0)} — render month/day names "
+            f"{hit.group(0)!r} in {lit} — render month/day names "
             f"numerically so results don't follow the driver host locale"
         )
 

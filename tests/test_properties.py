@@ -531,7 +531,7 @@ def test_det_double_bit_identical_across_engines(spark, duck):
     big-integer->double conversion must produce the SAME double in
     Spark, DuckDB, and a pure-Python reference at every magnitude of the
     decimal(38,0)/HUGEINT range — and the mathematically exact value
-    below 2^53. This is what lets usum/uavg/agg_stats_suite keep their
+    below 2^53. This is what lets usum/usum_long/agg_stats_suite keep their
     bit-identity claim past 2^63, where the engines' native casts
     (DuckDB's double-rounded HUGEINT path vs Spark's correctly rounded
     decimal path) can differ by 1 ulp."""
