@@ -605,3 +605,72 @@ def test_integer_halfup_avg_threshold_matches_reference(duck):
             f"SELECT (2 * CAST({s} AS HUGEINT) + {n}) // (2 * CAST({n} AS HUGEINT))"
         ).fetchone()[0]
         assert got_py == want == got_duck, (s, n, got_py, got_duck, want)
+
+
+def test_usum_long_matches_duck_usum_past_2pow53(spark, duck):
+    """usum_long ≡ duck_usum over the FULL BIGINT unit-sum range (r7,
+    ADVICE r6 item 1): before r7 usum_long's final cast was Spark's
+    native long->double, which only matches the oracle's duck_det_double
+    path below 2^53 — a unit sum in [2^53, 2^63) would drift ~1 ulp.
+    Now both route through det_double, so the twins must be
+    bit-identical (and equal to the pure-Python limb reference) at every
+    magnitude. Inputs are multiples of 10^13 so value*10^scale
+    round-trips exactly through double in both engines."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from catena_spark.parity import duck_usum, usum_long
+
+    rng = random.Random(20260814)
+
+    def py_det(x: int) -> float:
+        a = abs(x)
+        l3, l2 = a // 10**27, (a % 10**27) // 10**18
+        l1, l0 = (a % 10**18) // 10**9, a % 10**9
+        mag = ((float(l3) * 1e9 + float(l2)) * 1e9 + float(l1)) * 1e9 + float(l0)
+        return -mag if x < 0 else mag
+
+    # per-group lists of scale-2 UNIT integers; value = u / 100. Each
+    # gap-range group pairs one huge multiple-of-10^16 unit (value a
+    # multiple of 10^14 — an exact double) with one cents-scale unit
+    # (< 2^53; value/100 round-trips through round(v*100) like every
+    # production money column), so the group sum lands in [2^53, 2^63)
+    # WITH non-zero low limbs — exactly where limb recombination and
+    # the old native long->double cast disagree (asserted below).
+    groups = {
+        "below53": [100, 250, 512345, 2**52],
+        "gap_a": [5040000000000000000, 7190709584],
+        "gap_b": [5290000000000000000, 73734014884],
+        "gap_c": [6930000000000000000, 63652167133],
+        "gap_many": [8000000000000000000]
+        + [rng.randrange(10**8, 10**11) for _ in range(40)],
+    }
+    rows = [(g, u / 100.0) for g, items in groups.items() for u in items]
+    assert sum(py_det(sum(u)) != float(sum(u)) for u in
+               (groups["gap_a"], groups["gap_b"], groups["gap_c"])) == 3, (
+        "fixture lost its teeth: gap sums no longer hit the 1-ulp "
+        "limb-vs-native-cast divergence the old code had"
+    )
+    sdf = spark.createDataFrame(rows, "g string, v double")
+    got_spark = {
+        r["g"]: r["s"]
+        for r in sdf.groupBy("g").agg(usum_long(F.col("v"), 2).alias("s")).collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE t_usum_long(g VARCHAR, v DOUBLE)")
+    duck.executemany("INSERT INTO t_usum_long VALUES (?, ?)", rows)
+    got_duck = {
+        g: s
+        for g, s in duck.execute(
+            f"SELECT g, {duck_usum('v', 2)} AS s FROM t_usum_long GROUP BY g"
+        ).fetchall()
+    }
+    for g, items in groups.items():
+        unit_sum = sum(items)
+        assert unit_sum < 2**63, (g, unit_sum)  # stays a valid BIGINT
+        want = py_det(unit_sum) / 100.0
+        assert got_spark[g] == got_duck[g] == want, (
+            g, unit_sum, got_spark[g], got_duck[g], want,
+        )
+        if unit_sum < 2**53:
+            assert got_spark[g] == unit_sum / 100.0, (g, got_spark[g])
