@@ -8,7 +8,8 @@ parity-rule change can never make this rehearsal diverge from the gate
 it rehearses.
 
 Usage: python scripts/preflight_driver.py [key ...]   (default: all keys
-with zero prior driver CORRECTNESS records)
+with zero prior driver CORRECTNESS records; when none exist — true
+since r6 — the driver's next 50-key rotation window)
 """
 import os
 import sys
@@ -54,6 +55,11 @@ def main():
     if not want:
         counts = registry._settled_counts()
         want = [k for k in qs if counts.get(k, 0) == 0]
+    if not want:
+        # every key has a settled record (true since r6): rehearse the
+        # driver's NEXT 50-key rotation window instead — queries() is
+        # already in least-verified-first order (r7)
+        want = list(qs)[:50]
     con = duckdb.connect()
     for t in tables.TABLES:
         con.execute(
