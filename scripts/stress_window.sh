@@ -68,4 +68,14 @@ echo "== JVM user.timezone=Asia/Kolkata"
 echo "== LC_ALL=tr_TR.UTF-8"
 (cd /tmp && LANG=tr_TR.UTF-8 LC_ALL=tr_TR.UTF-8 \
   python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+
+# ';'-separated extras with a comma INSIDE a value (r7, ADVICE r6
+# item 4): two Catalyst rules disabled via a comma-separated
+# excludedRules list — results must be plan-invariant, so hash-parity
+# must hold even with constant folding and null propagation off — plus
+# a space-separated two-flag extraJavaOptions shifting the JVM default
+# TZ and country in the same session
+echo "== ';' extras: excludedRules=ConstantFolding,NullPropagation + JVM tz+country"
+(cd /tmp && CATENA_SIM_EXTRA="spark.sql.optimizer.excludedRules=org.apache.spark.sql.catalyst.optimizer.ConstantFolding,org.apache.spark.sql.catalyst.optimizer.NullPropagation;spark.driver.extraJavaOptions=-Duser.timezone=Asia/Kolkata -Duser.country=TR" \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
 echo "== STRESS MATRIX ALL GREEN"
