@@ -7,7 +7,7 @@
 # exercises low parallelism (different partition counts, merge orders),
 # shuffle=1 exercises single-partition exchanges.
 #
-#   scripts/stress_window.sh          # ~10-15 min
+#   scripts/stress_window.sh          # ~15-20 min (16 confs)
 #
 # pipefail matters (ADVICE r5 item 1): every run pipes through
 # `| tail -1`, and without it a parity MISMATCH exits 0 (tail's status)
@@ -77,5 +77,24 @@ echo "== LC_ALL=tr_TR.UTF-8"
 # TZ and country in the same session
 echo "== ';' extras: excludedRules=ConstantFolding,NullPropagation + JVM tz+country"
 (cd /tmp && CATENA_SIM_EXTRA="spark.sql.optimizer.excludedRules=org.apache.spark.sql.catalyst.optimizer.ConstantFolding,org.apache.spark.sql.catalyst.optimizer.NullPropagation;spark.driver.extraJavaOptions=-Duser.timezone=Asia/Kolkata -Duser.country=TR" \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+# Arrow batch-boundary axis (r7): 7-row Arrow batches force every
+# mapInPandas/applyInPandas operator through many tiny batches — output
+# must be batch-size-invariant (a cross-batch stateful bug shows here)
+echo "== arrow maxRecordsPerBatch=7"
+(cd /tmp && CATENA_SIM_EXTRA="spark.sql.execution.arrow.maxRecordsPerBatch=7" \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+
+# AQE axis (r7): adaptive re-planning OFF — correctness must never
+# depend on AQE's coalescing/skew-splitting (they are speed paths)
+echo "== adaptive.enabled=false"
+(cd /tmp && CATENA_SIM_EXTRA="spark.sql.adaptive.enabled=false" \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+
+# 45-minute-offset process TZ (r7): Pacific/Chatham (+12:45/+13:45 DST)
+# — the only named 45-minute zone; catches any remaining sub-hour
+# TZ-grid assumption the +05:30 axis might alias
+echo "== process TZ=Pacific/Chatham"
+(cd /tmp && TZ=Pacific/Chatham CATENA_SIM_TZ=Pacific/Chatham \
   python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
 echo "== STRESS MATRIX ALL GREEN"
