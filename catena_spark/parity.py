@@ -150,6 +150,18 @@ def det_double(x: Column) -> Column:
     NOT F.abs: Spark's decimal negate/abs round through a 34-digit
     DECIMAL128 MathContext, which mangles (or ANSI-errors on) wider
     values — string abs keeps the helper exact over the full range.
+
+    r9 (VERDICT r7/r8 item 1): values with |x| <= 2^53 take the native
+    decimal->double cast instead of the string-limb kernel. Parity-safe
+    by the exactness argument above — below 2^53 BOTH the native cast
+    and the limb combine equal the mathematically exact conversion, so
+    the branch cannot change any result; duck_det_double branches on the
+    identical predicate so the twins stay structurally matched. This
+    undoes the A/B-measured 1.75x q3_join_topk regression from routing
+    usum_long through the limb kernel (r7): per-group money sums at test
+    scale factors are far below 2^53, so the hot path is again a single
+    native cast, and the limb kernel runs only in the >2^53 regime it
+    exists for.
     """
     xd = x.cast("decimal(38,0)")
     digits = F.lpad(F.regexp_replace(xd.cast("string"), "^-", ""), 38, "0")
@@ -158,19 +170,31 @@ def det_double(x: Column) -> Column:
     l1 = F.substring(digits, 21, 9).cast("long").cast("double")
     l0 = F.substring(digits, 30, 9).cast("long").cast("double")
     mag = ((l3 * F.lit(1.0e9) + l2) * F.lit(1.0e9) + l1) * F.lit(1.0e9) + l0
-    return F.when(x < 0, -mag).otherwise(mag)
+    limb = F.when(x < 0, -mag).otherwise(mag)
+    return F.when(
+        xd.between(F.lit(-(2**53)), F.lit(2**53)), xd.cast("double")
+    ).otherwise(limb)
 
 
 def duck_det_double(expr: str) -> str:
     """DuckDB twin of det_double — same limbs via HUGEINT ``//``/``%``,
-    same IEEE combine sequence. Valid over the full HUGEINT range."""
+    same IEEE combine sequence. Valid over the full HUGEINT range.
+
+    r9: branches on the identical |x| <= 2^53 predicate as det_double's
+    fast path; DuckDB's HUGEINT->DOUBLE cast is exact below 2^53, so
+    both twins' fast branches equal the exact conversion and parity is
+    preserved by construction."""
     a = f"abs(CAST(({expr}) AS HUGEINT))"
     l3 = f"CAST(({a} // 1000000000000000000000000000) AS DOUBLE)"
     l2 = f"CAST((({a} % 1000000000000000000000000000) // 1000000000000000000) AS DOUBLE)"
     l1 = f"CAST((({a} % 1000000000000000000) // 1000000000) AS DOUBLE)"
     l0 = f"CAST(({a} % 1000000000) AS DOUBLE)"
     mag = f"((({l3} * 1e9 + {l2}) * 1e9 + {l1}) * 1e9 + {l0})"
-    return f"(CASE WHEN ({expr}) < 0 THEN -{mag} ELSE {mag} END)"
+    limb = f"(CASE WHEN ({expr}) < 0 THEN -{mag} ELSE {mag} END)"
+    return (
+        f"(CASE WHEN {a} <= 9007199254740992 "
+        f"THEN CAST(CAST(({expr}) AS HUGEINT) AS DOUBLE) ELSE {limb} END)"
+    )
 
 
 def norm_cell(v):

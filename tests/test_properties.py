@@ -674,3 +674,57 @@ def test_usum_long_matches_duck_usum_past_2pow53(spark, duck):
         )
         if unit_sum < 2**53:
             assert got_spark[g] == unit_sum / 100.0, (g, got_spark[g])
+
+
+def test_det_double_fast_path_straddles_2pow53(spark, duck):
+    """r9 (VERDICT r7/r8 item 1): det_double's sub-2^53 native-cast fast
+    path must be invisible at the value level — for every integer, the
+    Spark kernel, the DuckDB twin, and a pure-Python limb/native
+    reference that branches on the identical predicate produce the SAME
+    double, including exactly at 2^53 +/- 1 where the branch flips.
+    Inputs are fed as exact decimal(38,0)/HUGEINT literals (no float
+    round-trip), so this pins the cast kernel itself, not usum's
+    quantization."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from catena_spark.parity import det_double, duck_det_double
+
+    P = 2**53  # 9007199254740992
+
+    def py_ref(x: int) -> float:
+        if abs(x) <= P:
+            return float(x)  # exact: |x| <= 2^53
+        a = abs(x)
+        l3, l2 = a // 10**27, (a % 10**27) // 10**18
+        l1, l0 = (a % 10**18) // 10**9, a % 10**9
+        mag = ((float(l3) * 1e9 + float(l2)) * 1e9 + float(l1)) * 1e9 + float(l0)
+        return -mag if x < 0 else mag
+
+    rng = random.Random(20260814)
+    vals = [0, 1, -1, 42, P - 3, P - 1, P, P + 1, P + 2, P + 111,
+            -(P - 1), -P, -(P + 1), -(P + 2),
+            2**62 + 12345, -(2**62 + 12345), 10**30 + 7, -(10**30 + 7),
+            10**37 + 999999999]
+    vals += [rng.randrange(P - 50, P + 50) * s for _ in range(100)
+             for s in (1, -1)]
+    vals += [rng.randrange(10**20, 10**24) for _ in range(50)]
+    # both branches must be exercised
+    assert any(abs(v) <= P for v in vals) and any(abs(v) > P for v in vals)
+
+    sdf = spark.createDataFrame(
+        [(str(v),) for v in vals], "v_str string"
+    ).select(det_double(F.col("v_str").cast("decimal(38,0)")).alias("d"),
+             F.col("v_str"))
+    got_spark = {r["v_str"]: r["d"] for r in sdf.collect()}
+    for v in vals:
+        got_duck = duck.execute(
+            f"SELECT {duck_det_double(f'CAST({v!r} AS HUGEINT)')}"
+        ).fetchone()[0]
+        want = py_ref(v)
+        assert got_spark[str(v)] == got_duck == want, (
+            v, got_spark[str(v)], got_duck, want,
+        )
+        if abs(v) <= P:
+            assert got_spark[str(v)] == float(v), v
