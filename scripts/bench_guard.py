@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Per-query bench regression guard (VERDICT r7 item 2 / r8 item 2).
+
+The aggregate bench gate ("sum within the 0.17-0.21 s band") let the r7
+q3_join_topk regression (42 -> 74 ms, 1.75x) sit for two rounds because
+the other four queries absorbed it. This guard checks EACH headline
+query against the median of its trailing driver records
+(BENCH_r*.json), failing loud at > REGRESSION_FACTOR x.
+
+Usage:
+    python scripts/bench_guard.py <file-with-bench-json-line>
+    python bench.py | tee /tmp/b.txt && python scripts/bench_guard.py /tmp/b.txt
+
+The input may contain arbitrary log noise; the LAST line whose JSON
+parse yields a {"queries": {...}} object is taken as the current run.
+Trailing history is the per-query values from the newest HISTORY
+BENCH_r*.json artifacts in the repo root. The median (not mean) is used
+so one already-regressed round in the window cannot drag the reference
+up and mask a persistent regression — exactly the q3 r7/r8 shape.
+Queries with no history (newly added to bench.py) are skipped with a
+note rather than failed. Exit 0 = all queries within budget.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import statistics
+import sys
+
+REGRESSION_FACTOR = 1.4
+HISTORY = 5
+#: sub-25 ms queries live inside the ~20-40 ms scheduler/collect quantum
+#: (measured r6, bench.py); a ratio there is noise-dominated, so small
+#: absolute drifts get an absolute floor before the factor gate fires.
+ABS_FLOOR_SEC = 0.015
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_bench_line(path: str) -> dict[str, float]:
+    queries = None
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(obj, dict) and isinstance(obj.get("queries"), dict):
+                queries = obj["queries"]
+    if queries is None:
+        sys.exit(f"bench_guard: no bench JSON line with 'queries' found in {path}")
+    return {k: float(v) for k, v in queries.items()}
+
+
+def trailing_history() -> dict[str, list[float]]:
+    def round_no(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")), key=round_no)
+    hist: dict[str, list[float]] = {}
+    for p in paths[-HISTORY:]:
+        try:
+            with open(p, encoding="utf-8") as f:
+                parsed = json.load(f).get("parsed") or {}
+            for k, v in (parsed.get("queries") or {}).items():
+                hist.setdefault(k, []).append(float(v))
+        except (OSError, json.JSONDecodeError, TypeError, ValueError) as e:
+            print(f"bench_guard: skipping unreadable {os.path.basename(p)}: {e}")
+    return hist
+
+
+def check(current: dict[str, float], hist: dict[str, list[float]]) -> list[str]:
+    """Pure gate logic (unit-tested in tests/test_registry.py)."""
+    failures = []
+    for q, now in sorted(current.items()):
+        past = hist.get(q)
+        if not past:
+            print(f"bench_guard: {q}: no trailing history, skipped")
+            continue
+        med = statistics.median(past)
+        budget = max(med * REGRESSION_FACTOR, med + ABS_FLOOR_SEC)
+        verdict = "FAIL" if now > budget else "ok"
+        print(
+            f"bench_guard: {q}: now={now * 1e3:.1f}ms trailing-median="
+            f"{med * 1e3:.1f}ms budget={budget * 1e3:.1f}ms {verdict}"
+        )
+        if now > budget:
+            failures.append(
+                f"{q}: {now * 1e3:.1f}ms > {budget * 1e3:.1f}ms "
+                f"({now / med:.2f}x trailing median {med * 1e3:.1f}ms)"
+            )
+    return failures
+
+
+def main() -> None:
+    if len(sys.argv) != 2:
+        sys.exit(__doc__)
+    current = parse_bench_line(sys.argv[1])
+    failures = check(current, trailing_history())
+    if failures:
+        print("bench_guard: PER-QUERY REGRESSION DETECTED:")
+        for f in failures:
+            print(f"  {f}")
+        sys.exit(1)
+    print("bench_guard: all queries within per-query budget")
+
+
+if __name__ == "__main__":
+    main()

@@ -8,18 +8,22 @@
 #   cd /tmp && python /root/repo/scripts/drive_contract.py (hostile-session driver sim)
 #   python bench.py                                       (headline perf JSON)
 set -e
+set -o pipefail
 cd "$(dirname "$0")/.."
 
-echo "== 1/4 full test suite"
+echo "== 1/5 full test suite"
 python -m pytest tests/ -x -q
 
-echo "== 2/4 sf0.01 exact-parity mirror"
+echo "== 2/5 sf0.01 exact-parity mirror"
 CATENA_TEST_SF=/root/testdata/sf0.01 python -m pytest tests/test_driver_parity.py -q
 
-echo "== 3/4 driver-contract simulation (hostile session, foreign cwd)"
+echo "== 3/5 driver-contract simulation (hostile session, foreign cwd)"
 (cd /tmp && python /root/repo/scripts/drive_contract.py)
 
-echo "== 4/4 bench"
-SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" python bench.py
+echo "== 4/5 bench"
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" python bench.py | tee /tmp/catena_bench_out.txt
+
+echo "== 5/5 per-query regression guard (vs trailing BENCH_r*.json medians)"
+python scripts/bench_guard.py /tmp/catena_bench_out.txt
 
 echo "== ALL GREEN"

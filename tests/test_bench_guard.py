@@ -1,0 +1,55 @@
+"""Unit tests for the per-query bench regression guard (VERDICT r8
+item 2): the gate must catch a q3-style single-query regression that
+the aggregate sum-band gate absorbed for two rounds, while tolerating
+quantum-scale drift on sub-25 ms queries and never failing a query
+with no trailing history."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "bench_guard",
+    os.path.join(os.path.dirname(__file__), "..", "scripts", "bench_guard.py"),
+)
+bench_guard = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_spec and bench_guard)
+
+HIST = {
+    # r4..r8 shape: q3 already regressed in the last two records; the
+    # MEDIAN reference must still sit at the healthy ~42 ms level.
+    "q3_join_topk": [0.0409, 0.0408, 0.0420, 0.0737, 0.0717],
+    "q1_pricing_summary": [0.0311, 0.0320, 0.0421, 0.0424, 0.0421],
+    "doc_exact_dedup": [0.0193, 0.0190, 0.0201, 0.0189, 0.0189],
+}
+
+
+def test_planted_q3_regression_fails():
+    failures = bench_guard.check({"q3_join_topk": 0.0737}, HIST)
+    assert len(failures) == 1 and failures[0].startswith("q3_join_topk")
+
+
+def test_recovered_q3_passes():
+    assert bench_guard.check({"q3_join_topk": 0.0455}, HIST) == []
+
+
+def test_median_not_dragged_by_regressed_rounds():
+    # mean of q3 history is ~53.8 ms -> a 1.4x mean gate would pass
+    # 73.7 ms; the median gate must not.
+    import statistics
+
+    assert statistics.mean(HIST["q3_join_topk"]) * 1.4 > 0.0737
+    assert bench_guard.check({"q3_join_topk": 0.0737}, HIST)
+
+
+def test_absolute_floor_shields_quantum_noise():
+    # 19 -> 28 ms is 1.47x but only +9 ms — inside the measured
+    # scheduler/collect quantum; must NOT fail.
+    assert bench_guard.check({"doc_exact_dedup": 0.0280}, HIST) == []
+    # but a real blowup on a small query still fails
+    assert bench_guard.check({"doc_exact_dedup": 0.0450}, HIST)
+
+
+def test_no_history_is_skipped_not_failed():
+    assert bench_guard.check({"brand_new_query": 9.9}, HIST) == []
