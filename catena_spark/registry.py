@@ -130,5 +130,14 @@ def queries() -> dict[str, QueryFn]:
     return {k: s.fn for k, s in specs().items()}
 
 
+def next_window(n: int = 50) -> list[str]:
+    """The driver's NEXT n-key rotation window — the prefix of the
+    least-verified-first ordering. r9 (ADVICE r7 item 3): the single
+    definition shared by scripts/preflight_driver.py (gate rehearsal)
+    and scripts/stress_window.sh (hostile-conf matrix), so the two can
+    never silently cover different windows."""
+    return list(specs())[:n]
+
+
 def oracles() -> dict[str, str]:
     return {k: s.oracle for k, s in specs().items() if s.oracle is not None}

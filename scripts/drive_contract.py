@@ -69,13 +69,24 @@ def main():
         )
         .config("spark.ui.enabled", "false")
     )
+    # CATENA_SIM_EXTRA: extra spark confs as separator-joined key=value
+    # pairs. r9 (ADVICE r7 item 1): a LEADING ';' or ',' explicitly
+    # declares the pair separator (and is stripped), so a value may
+    # contain the other character — e.g. ";a=b;c=x,y" or ",a=b,c=x;y".
+    # Without a declaration the old heuristic stands: ';' anywhere
+    # selects ';', else ','.
     extra = os.environ.get("CATENA_SIM_EXTRA", "")
-    for kv in filter(None, extra.split(";" if ";" in extra else ",")):
+    if extra[:1] in (";", ","):
+        sep, extra = extra[0], extra[1:]
+    else:
+        sep = ";" if ";" in extra else ","
+    for kv in filter(None, extra.split(sep)):
         k, eq, v = kv.partition("=")
         if not eq or not k.strip():
             sys.exit(
                 f"CATENA_SIM_EXTRA fragment {kv!r} lacks 'key=value' — "
-                "if a value contains commas, separate pairs with ';'"
+                f"pairs split on {sep!r}; lead with ';' or ',' to pick "
+                "the separator when a value contains the other"
             )
         spark = spark.config(k.strip(), v.strip())
     spark = spark.getOrCreate()

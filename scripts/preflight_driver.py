@@ -57,9 +57,11 @@ def main():
         want = [k for k in qs if counts.get(k, 0) == 0]
     if not want:
         # every key has a settled record (true since r6): rehearse the
-        # driver's NEXT 50-key rotation window instead — queries() is
-        # already in least-verified-first order (r7)
-        want = list(qs)[:50]
+        # driver's NEXT 50-key rotation window instead. r9 (ADVICE r7
+        # item 3): the window comes from registry.next_window, the
+        # SAME helper stress_window.sh uses, so rehearsal and stress
+        # matrix cover an identical window by construction.
+        want = registry.next_window(50)
     con = duckdb.connect()
     for t in tables.TABLES:
         con.execute(

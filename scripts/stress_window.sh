@@ -17,7 +17,7 @@ cd "$(dirname "$0")/.."
 
 WINDOW=$(python - <<'EOF'
 from catena_spark import registry
-print(" ".join(list(registry.specs())[:50]))
+print(" ".join(registry.next_window(50)))
 EOF
 )
 echo "window: $WINDOW"

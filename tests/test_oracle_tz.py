@@ -78,22 +78,31 @@ def _strftime_arg_literals(sql: str) -> list[str]:
     unrelated ``LIKE '%brand%'`` in the same SQL false-positived on %b).
     Walks each call with a paren/quote-aware scan ('' is the SQL quote
     escape); literals nested inside a deeper call (e.g. an inner
-    strftime's own argument) are picked up by that call's own scan."""
+    strftime's own argument) are picked up by that call's own scan.
+
+    r9 (ADVICE r7 item 2): the walk also skips double-quoted
+    identifiers ("" is the identifier-quote escape), so a '(' or a
+    single quote inside a quoted column name can no longer corrupt the
+    depth/literal tracking. The other half of that advice (a relaxed
+    whole-SQL fallback for format strings assembled outside the call)
+    is deliberately declined: every registry oracle passes its format
+    as an in-call literal, and the old whole-SQL scan is exactly what
+    produced the LIKE '%brand%' false positives the r7 rewrite removed."""
     out: list[str] = []
     for m in re.finditer(r"\bstr[fp]time\s*\(", sql, re.IGNORECASE):
         i, depth = m.end(), 1
         while i < len(sql) and depth:
             c = sql[i]
-            if c == "'":
+            if c in "'\"":
                 j = i + 1
                 while j < len(sql):
-                    if sql[j] == "'":
-                        if j + 1 < len(sql) and sql[j + 1] == "'":
+                    if sql[j] == c:
+                        if j + 1 < len(sql) and sql[j + 1] == c:
                             j += 2
                             continue
                         break
                     j += 1
-                if depth == 1:
+                if c == "'" and depth == 1:
                     out.append(sql[i : j + 1])
                 i = j + 1
                 continue
@@ -117,6 +126,13 @@ def test_strftime_lint_scopes_to_format_argument():
     assert _strftime_arg_literals("strftime(ts, '%a %b')") == ["'%a %b'"]
     assert _strftime_arg_literals("strptime('it''s %B', fmt)") == ["'it''s %B'"]
     assert _strftime_arg_literals("x LIKE '%b%'") == []
+    # r9: double-quoted identifiers must not corrupt the walk — a '('
+    # or a single quote inside one previously desynced depth/literal
+    # tracking; the identifier itself is never linted as a format.
+    assert _strftime_arg_literals('strftime("weird(col", \'%Y\')') == ["'%Y'"]
+    assert _strftime_arg_literals('strftime("it\'s a col", \'%m\')') == ["'%m'"]
+    assert _strftime_arg_literals('strftime("a""b(", \'%d\') || \'%a\'') == ["'%d'"]
+    assert _strftime_arg_literals('SELECT "no(strftime here"') == []
 
 
 @pytest.mark.parametrize("key", _WITH_ORACLE)
