@@ -77,7 +77,7 @@ def trailing_history() -> dict[str, list[float]]:
 
 
 def check(current: dict[str, float], hist: dict[str, list[float]]) -> list[str]:
-    """Pure gate logic (unit-tested in tests/test_registry.py)."""
+    """Pure gate logic (unit-tested in tests/test_bench_guard.py)."""
     failures = []
     for q, now in sorted(current.items()):
         past = hist.get(q)
