@@ -7,7 +7,7 @@
 # exercises low parallelism (different partition counts, merge orders),
 # shuffle=1 exercises single-partition exchanges.
 #
-#   scripts/stress_window.sh          # ~15-20 min (16 confs)
+#   scripts/stress_window.sh          # ~15-25 min (17 confs)
 #
 # pipefail matters (ADVICE r5 item 1): every run pipes through
 # `| tail -1`, and without it a parity MISMATCH exits 0 (tail's status)
@@ -96,5 +96,20 @@ echo "== adaptive.enabled=false"
 # TZ-grid assumption the +05:30 axis might alias
 echo "== process TZ=Pacific/Chatham"
 (cd /tmp && TZ=Pacific/Chatham CATENA_SIM_TZ=Pacific/Chatham \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+
+# everything-at-once axis (r9): all sixteen hostile knobs in ONE
+# session — Chatham process+session TZ, Turkish locale, ANSI on,
+# local[2]/shuffle=1, case-sensitive resolution, strict decimals,
+# 7-row Arrow batches, AQE off, JVM default TZ Kolkata + country TR.
+# Single-axis greens can mask a two-knob interaction (e.g. a
+# locale-sensitive fold that only misrenders under a fractional-offset
+# TZ); this conf closes that gap. First run r9 covered the FULL
+# 166-key contract under this profile: ALL-MATCH.
+echo "== combined max-hostile (all axes at once)"
+(cd /tmp && TZ=Pacific/Chatham LANG=tr_TR.UTF-8 LC_ALL=tr_TR.UTF-8 \
+  CATENA_SIM_TZ=Pacific/Chatham CATENA_SIM_MASTER="local[2]" \
+  CATENA_SIM_SHUFFLE=1 CATENA_SIM_ANSI=true \
+  CATENA_SIM_EXTRA=";spark.sql.caseSensitive=true;spark.sql.decimalOperations.allowPrecisionLoss=false;spark.sql.execution.arrow.maxRecordsPerBatch=7;spark.sql.adaptive.enabled=false;spark.driver.extraJavaOptions=-Duser.timezone=Asia/Kolkata -Duser.country=TR" \
   python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
 echo "== STRESS MATRIX ALL GREEN"
