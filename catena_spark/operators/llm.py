@@ -17,6 +17,8 @@ every result set non-degenerate.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -416,6 +418,14 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ================================================================ E3: near-dup by cosine
 
+#: llm_embedding_near_dup refuses inputs above this many vectors unless
+#: overridden — the operator is the declared O(n^2) recall oracle, not a
+#: scale path (VERDICT r9 item 5). 10^4 vectors = 5*10^7 candidate pairs,
+#: the practical ceiling for "fixture-scale" on one node; production
+#: traffic belongs on llm_ann_lsh (same verify kernel, banded shuffle).
+NEAR_DUP_MAX_ROWS = 10_000
+
+
 @query(
     "llm_embedding_near_dup",
     "E3",
@@ -447,7 +457,9 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           >= 4 * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)
     """,
 )
-def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_embedding_near_dup(
+    spark: SparkSession, sf_dir: str, max_rows: int | None = None
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact all-pairs at
     threshold 0.4 (fixture max sim ~0.51 — see module calibration note).
     Integer-exact since r5 (same hardening as llm_ann_lsh): BIGINT
@@ -457,8 +469,26 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: exact all-pairs is the CORRECTNESS oracle only; the
     production path is llm_ann_lsh (hyperplane-banded candidates ->
     exact verify) — same verify kernel, shuffle bounded by bucket
-    collisions instead of n^2.
+    collisions instead of n^2. Inputs above ``max_rows`` vectors
+    (default NEAR_DUP_MAX_ROWS, env CATENA_NEAR_DUP_MAX_ROWS; 0
+    disables) fail loud with a pointer to llm_ann_lsh — the guard probe
+    is ``limit(cap+1).count()``, so it never full-scans a big table.
     """
+    cap = (
+        max_rows
+        if max_rows is not None
+        else int(os.environ.get("CATENA_NEAR_DUP_MAX_ROWS", NEAR_DUP_MAX_ROWS))
+    )
+    if cap:
+        probed = tables.load(spark, sf_dir, "embeddings").limit(cap + 1).count()
+        if probed > cap:
+            raise ValueError(
+                f"llm_embedding_near_dup is the exact all-pairs recall "
+                f"oracle (O(n^2) candidate pairs); input exceeds {cap} "
+                f"vectors. Use llm_ann_lsh (hyperplane-banded candidates, "
+                f"identical exact verify kernel) at scale, or override "
+                f"with max_rows=0 / CATENA_NEAR_DUP_MAX_ROWS."
+            )
     e = (
         tables.load(spark, sf_dir, "embeddings")
         .select("vec_id", "label", micro_ints("embedding").alias("iv"))

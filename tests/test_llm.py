@@ -133,3 +133,35 @@ def test_token_packing_sharded_form_matches_global(spark):
     s = {r["doc_id"]: (r["n_tok"], r["seq_id"], r["seq_offset"])
          for r in sharded.collect()}
     assert g == s
+
+
+def test_embedding_near_dup_size_guard(spark):
+    """VERDICT r9 item 5: the declared O(n^2) recall oracle must fail
+    loud above its vector cap (pointing callers at llm_ann_lsh), accept
+    an explicit override, and leave the default fixture-scale path — and
+    hence the driver hash — untouched."""
+    import pytest
+
+    # fixture (500 vectors) is far below a cap of 10: must raise with a
+    # pointer to the banded twin, BEFORE any pair computation runs
+    with pytest.raises(ValueError, match="llm_ann_lsh"):
+        llm.llm_embedding_near_dup(spark, SF_SMALL, max_rows=10)
+    # cap=0 disables the guard entirely
+    assert llm.llm_embedding_near_dup(spark, SF_SMALL, max_rows=0).count() > 0
+    # default cap (10^4) passes fixture scale — same rows as ungated
+    gated = llm.llm_embedding_near_dup(spark, SF_SMALL)
+    ungated = llm.llm_embedding_near_dup(spark, SF_SMALL, max_rows=0)
+    assert sorted(map(tuple, gated.collect())) == sorted(
+        map(tuple, ungated.collect())
+    )
+
+
+def test_embedding_near_dup_env_cap(spark, monkeypatch):
+    """Env override path: CATENA_NEAR_DUP_MAX_ROWS gates like max_rows."""
+    import pytest
+
+    monkeypatch.setenv("CATENA_NEAR_DUP_MAX_ROWS", "10")
+    with pytest.raises(ValueError, match="exceeds 10 "):
+        llm.llm_embedding_near_dup(spark, SF_SMALL)
+    monkeypatch.setenv("CATENA_NEAR_DUP_MAX_ROWS", "0")
+    assert llm.llm_embedding_near_dup(spark, SF_SMALL).count() > 0
