@@ -116,6 +116,14 @@ def duck_usum(expr: str, scale: int) -> str:
     return f"({duck_det_double(s)} / {m}.0)"
 
 
+#: |x| <= 2^53 is exactly representable in an IEEE double, so BOTH
+#: engines' native integer->double casts equal the mathematically exact
+#: conversion below it — the shared fast-path predicate of det_double
+#: and duck_det_double (r10, ADVICE r9 item 4: one constant interpolated
+#: into both twins so the branch predicates can never drift apart).
+DOUBLE_EXACT_MAX = 2**53
+
+
 def det_double(x: Column) -> Column:
     """Deterministic exact-integer -> DOUBLE conversion, bit-identical in
     Spark and DuckDB over the FULL decimal(38,0)/HUGEINT range (r6,
@@ -172,7 +180,8 @@ def det_double(x: Column) -> Column:
     mag = ((l3 * F.lit(1.0e9) + l2) * F.lit(1.0e9) + l1) * F.lit(1.0e9) + l0
     limb = F.when(x < 0, -mag).otherwise(mag)
     return F.when(
-        xd.between(F.lit(-(2**53)), F.lit(2**53)), xd.cast("double")
+        xd.between(F.lit(-DOUBLE_EXACT_MAX), F.lit(DOUBLE_EXACT_MAX)),
+        xd.cast("double"),
     ).otherwise(limb)
 
 
@@ -192,7 +201,7 @@ def duck_det_double(expr: str) -> str:
     mag = f"((({l3} * 1e9 + {l2}) * 1e9 + {l1}) * 1e9 + {l0})"
     limb = f"(CASE WHEN ({expr}) < 0 THEN -{mag} ELSE {mag} END)"
     return (
-        f"(CASE WHEN {a} <= 9007199254740992 "
+        f"(CASE WHEN {a} <= {DOUBLE_EXACT_MAX} "
         f"THEN CAST(CAST(({expr}) AS HUGEINT) AS DOUBLE) ELSE {limb} END)"
     )
 

@@ -728,3 +728,18 @@ def test_det_double_fast_path_straddles_2pow53(spark, duck):
         )
         if abs(v) <= P:
             assert got_spark[str(v)] == float(v), v
+
+
+def test_det_double_twins_share_fast_path_constant():
+    """ADVICE r9 item 4: the twins' fast-path branch predicates must be
+    derived from the SAME module constant — the Spark Column literal and
+    the DuckDB SQL text both carry DOUBLE_EXACT_MAX, so one edit moves
+    both branches (or neither)."""
+    from catena_spark.parity import DOUBLE_EXACT_MAX, det_double, duck_det_double
+    from pyspark.sql import functions as F
+
+    assert DOUBLE_EXACT_MAX == 2**53
+    # SQL twin interpolates the constant verbatim
+    assert f"<= {DOUBLE_EXACT_MAX} " in duck_det_double("x")
+    # Spark twin renders the same literal in its expression tree
+    assert str(DOUBLE_EXACT_MAX) in repr(det_double(F.col("x").cast("decimal(38,0)")))
