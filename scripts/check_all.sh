@@ -21,9 +21,14 @@ echo "== 3/5 driver-contract simulation (hostile session, foreign cwd)"
 (cd /tmp && python /root/repo/scripts/drive_contract.py)
 
 echo "== 4/5 bench"
-SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" python bench.py | tee /tmp/catena_bench_out.txt
+# mktemp per run (ADVICE r9 item 2): a fixed path let two concurrent
+# gate runs — or a stale file from an aborted one — feed bench_guard
+# another run's numbers.
+BENCH_OUT="$(mktemp /tmp/catena_bench_out.XXXXXX)"
+trap 'rm -f "$BENCH_OUT"' EXIT
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" python bench.py | tee "$BENCH_OUT"
 
 echo "== 5/5 per-query regression guard (vs trailing BENCH_r*.json medians)"
-python scripts/bench_guard.py /tmp/catena_bench_out.txt
+python scripts/bench_guard.py "$BENCH_OUT"
 
 echo "== ALL GREEN"

@@ -14,7 +14,7 @@ _spec = importlib.util.spec_from_file_location(
     os.path.join(os.path.dirname(__file__), "..", "scripts", "bench_guard.py"),
 )
 bench_guard = importlib.util.module_from_spec(_spec)
-_spec.loader.exec_module(_spec and bench_guard)
+_spec.loader.exec_module(bench_guard)
 
 HIST = {
     # r4..r8 shape: q3 already regressed in the last two records; the
@@ -53,3 +53,31 @@ def test_absolute_floor_shields_quantum_noise():
 
 def test_no_history_is_skipped_not_failed():
     assert bench_guard.check({"brand_new_query": 9.9}, HIST) == []
+
+
+RATCHETED_HIST = {
+    # 3 of 5 records regressed: the median (72 ms) has ratcheted to the
+    # regressed level — exactly the blind spot ADVICE r9 item 1 named
+    # (the r7/r8 q3 shape was caught only because just 2 of 5 records
+    # were regressed).
+    "q3_join_topk": [0.0409, 0.0420, 0.0720, 0.0730, 0.0737],
+}
+
+
+def test_ratcheted_median_warns_but_does_not_fail(capsys):
+    # the median gate passes the regressed value (documented blind spot)
+    assert bench_guard.check({"q3_join_topk": 0.0737}, RATCHETED_HIST) == []
+    out = capsys.readouterr().out
+    assert "RATCHET-WARNING" in out and "q3_join_topk" in out
+
+
+def test_healthy_history_emits_no_ratchet_warning(capsys):
+    assert bench_guard.check({"q3_join_topk": 0.0420}, HIST) == []
+    assert "RATCHET-WARNING" not in capsys.readouterr().out
+
+
+def test_quantum_drift_on_small_query_no_ratchet_warning(capsys):
+    # median 19.0 vs min 18.9 ms on doc_exact_dedup: well inside the
+    # absolute floor — the sentinel must stay quiet on VM drift
+    assert bench_guard.check({"doc_exact_dedup": 0.0190}, HIST) == []
+    assert "RATCHET-WARNING" not in capsys.readouterr().out
