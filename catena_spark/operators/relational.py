@@ -1331,7 +1331,17 @@ def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null semantics (SURVEY.md §2-D21 depth): null-safe equality
     (Spark ``<=>`` == SQL IS NOT DISTINCT FROM), NULL-generating CASE,
     null-skipping count — the three-valued-logic corners that silently
-    corrupt pipelines when engines disagree."""
+    corrupt pipelines when engines disagree.
+
+    Scale (r10): the oracle's ``count(big_price) OVER ()`` was first
+    expressed as an unpartitioned Spark window — WindowExec then moves
+    the ENTIRE orders table to one partition (the lone row-scale
+    single-partition window the r9 audit missed, since it greps
+    ``Window.orderBy``, not ``Window.partitionBy()``). Re-expressed as
+    the house pattern for global scalars: a 1-row aggregate
+    broadcast-crossJoined onto the rows — two jobs' metadata, zero
+    extra shuffle of row-scale data, identical result (count is exact
+    either way)."""
     o = tables.load(spark, sf_dir, "orders")
     x = o.select(
         "o_orderkey",
@@ -1340,13 +1350,13 @@ def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "big_price"
         ),
     )
-    w_all = Window.partitionBy()
-    return x.select(
+    tot = x.agg(F.count("big_price").alias("n_big_nonnull"))
+    return x.crossJoin(F.broadcast(tot)).select(
         "o_orderkey",
         F.col("maybe_status").eqNullSafe(F.lit("F")).alias("nsafe_eq_f"),
         F.col("maybe_status").isNull().alias("is_pending"),
         F.coalesce("big_price", F.lit(-1.0)).alias("big_or_sentinel"),
-        F.count("big_price").over(w_all).alias("n_big_nonnull"),
+        "n_big_nonnull",
     )
 
 

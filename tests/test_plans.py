@@ -194,3 +194,14 @@ def test_q3_det_double_fast_path_survives_optimizer(spark):
     )
     # the limb escape hatch must also survive (exactness past 2^53)
     assert "lpad" in plan, plan[:3000]
+
+
+def test_null_semantics_no_single_partition_window(spark):
+    """r10: fn_null_semantics's global count must be the broadcast
+    1-row-scalar pattern, NOT an unpartitioned WindowExec — the latter
+    moves the entire row-scale orders table to one partition (the shape
+    the r9 'no Window.orderBy()' audit missed because the offender was
+    Window.partitionBy() with no keys)."""
+    df = rel.fn_null_semantics(spark, SF_SMALL)
+    assert_not_in_plan(df, "Window")
+    assert_in_plan(df, "BroadcastNestedLoopJoin")
