@@ -2154,22 +2154,30 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: all shares carried as integer ppm with floor-div; no floats.
 
-    Scale: one groupBy shuffle on (source, lang); the window totals run
-    over the tiny aggregated table (domains, not documents), so the
-    single-partition window is safe at any corpus size.
+    Scale (r10): one groupBy shuffle on (source, lang). The corpus
+    totals were first expressed as unpartitioned windows over the
+    aggregated domain table — "tiny" only while source is a handful of
+    fixture values; at web scale source is a registrable domain and the
+    mix table runs to millions of rows, all of which WindowExec would
+    move to ONE partition. Re-expressed as the house global-scalar
+    pattern (1-row aggregate broadcast-crossJoined), which is
+    cardinality-independent; the totals are exact integers either way,
+    so the result is bit-identical.
     """
     d = tables.load(spark, sf_dir, "documents")
     g = d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens"),
     )
-    w = Window.partitionBy()
+    tot = g.agg(
+        F.sum("docs").alias("total_docs"),
+        F.sum("tokens").alias("total_toks"),
+        F.count(F.lit(1)).alias("n_domains"),
+    )
     doc_share = F.expr("(docs * 1000000) div total_docs")
     tok_share = F.expr("(tokens * 1000000) div total_toks")
     return (
-        g.withColumn("total_docs", F.sum("docs").over(w))
-        .withColumn("total_toks", F.sum("tokens").over(w))
-        .withColumn("n_domains", F.count(F.lit(1)).over(w))
+        g.crossJoin(F.broadcast(tot))
         .select(
             "source",
             "lang",
@@ -2307,7 +2315,13 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — tiny, map-side combined); the scored join is an explicit
     broadcast of that model table against the exploded bigram stream
     (no shuffle of the big side); pass 2 re-aggregates per doc_id. Two
-    exchanges total regardless of corpus size.
+    exchanges total regardless of corpus size. The corpus total rides
+    the house global-scalar pattern (1-row aggregate
+    broadcast-crossJoined onto the model) rather than an unpartitioned
+    window — the vocabulary is charset-bounded so the window was safe,
+    but the scalar form keeps the repo free of `WindowExec: No
+    Partition Defined` plans entirely, which scripts/plan_lint.py
+    enforces with no allowlist.
     """
     d = _docs_norm(spark, sf_dir).where(F.length("t") >= 2)
     big = d.select(
@@ -2320,8 +2334,8 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bg"),
     )
     model = big.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    model = model.withColumn(
-        "total", F.sum("c").over(Window.partitionBy()).cast("long")
+    model = model.crossJoin(
+        F.broadcast(model.agg(F.sum("c").cast("long").alias("total")))
     )
     term = F.round(
         F.log(F.col("total").cast("double") / F.col("c").cast("double")) * 1_000_000,
