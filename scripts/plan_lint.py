@@ -78,6 +78,15 @@ def main() -> int:
     keys = args or list(registry.queries())
 
     spark = get_spark()
+    # Hostile broadcast threshold, always: with auto-broadcast ON, an
+    # unhinted crossJoin over two small tables planizes as a benign
+    # BroadcastNestedLoopJoin and the cartesian check can't see it; with
+    # the threshold at -1 only EXPLICIT F.broadcast hints survive, so
+    # any join that would degrade to CartesianProduct on a real cluster
+    # (where "small" stops being true) is flagged at lint time. Runtime
+    # conf — scoped to this lint process, never the test session.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     qs = registry.queries()
     failures: list[tuple[str, list[str]]] = []
     for key in keys:
