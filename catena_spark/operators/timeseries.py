@@ -21,6 +21,8 @@ Scale invariants across this module:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -339,6 +341,60 @@ def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- C4: gap-fill
 
+#: Gap-fill grid guard: ``sequence(mn, mx, 1h)`` materializes a series'
+#: WHOLE span as one in-memory array on one executor before explode —
+#: per-series spans are small for healthy data, but a single corrupt
+#: timestamp (an epoch-0 sensor reset, a year-9999 parse artifact) makes
+#: that one row's array 0.5 GB+ (1970→9999 ≈ 70M hourly buckets) and
+#: OOMs the executor. 10^6 buckets ≈ 114 years hourly ≈ 8 MB — only
+#: corrupt data crosses it. Same contract shape as llm.NEAR_DUP_MAX_ROWS
+#: (VERDICT r9 item 5): env CATENA_GAPFILL_MAX_BUCKETS overrides, 0
+#: disables.
+GAPFILL_MAX_BUCKETS = 1_000_000
+
+
+def _hourly_grid(bounds: DataFrame) -> DataFrame:
+    """Explode per-series ``[mn, mx]`` hourly grids from a
+    (source, metric, mn, mx) bounds frame, failing loud on any series
+    whose span exceeds the bucket cap (see GAPFILL_MAX_BUCKETS).
+
+    The guard is an inline CASE on the bounds row — no extra job, no
+    extra scan, and the grid is bit-identical whenever every span is
+    within the cap, so the driver hash cannot change on healthy data.
+    """
+    cap = int(os.environ.get("CATENA_GAPFILL_MAX_BUCKETS", GAPFILL_MAX_BUCKETS))
+    mn = F.col("mn")
+    if cap:
+        span = (
+            (F.unix_micros("mx") - F.unix_micros("mn")) / F.lit(HOUR_US) + 1
+        ).cast("long")
+        mn = F.when(
+            span > cap,
+            F.raise_error(
+                F.concat_ws(
+                    " ",
+                    F.lit("ts_gapfill: series"),
+                    F.col("source"),
+                    F.col("metric"),
+                    F.lit("spans"),
+                    span.cast("string"),
+                    F.lit(
+                        f"hourly buckets > cap {cap} — likely corrupt "
+                        "timestamps; clean the series or raise "
+                        "CATENA_GAPFILL_MAX_BUCKETS (0 disables)"
+                    ),
+                )
+            ).cast("timestamp"),
+        ).otherwise(mn)
+    return bounds.select(
+        "source",
+        "metric",
+        F.explode(F.sequence(mn, F.col("mx"), F.expr("INTERVAL 1 HOUR"))).alias(
+            "h"
+        ),
+    )
+
+
 @query(
     "ts_gapfill_ffill",
     "C4",
@@ -372,7 +428,8 @@ def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the grid is built per series from its bounds via
     ``sequence()`` + explode — output size is sum of per-series spans,
     never |series| x |global span|; the ffill is one bounded-state window
-    over the existing (source, metric) partitioning.
+    over the existing (source, metric) partitioning. Corrupt-timestamp
+    span blowups fail loud via the _hourly_grid bucket cap.
     """
     s = _series(spark, sf_dir)
     _cents = F.round(F.col("value") * 100, 0).cast("long")
@@ -388,13 +445,7 @@ def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = b.groupBy("source", "metric").agg(
         F.min("h").alias("mn"), F.max("h").alias("mx")
     )
-    grid = bounds.select(
-        "source",
-        "metric",
-        F.explode(
-            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
-        ).alias("h"),
-    )
+    grid = _hourly_grid(bounds)
     j = grid.join(b, ["source", "metric", "h"], "left")
     w = (
         Window.partitionBy("source", "metric")
@@ -905,7 +956,8 @@ def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: same single (source, metric) shuffle as the ffill variant;
     the two directional fills are two frames over one sorted partition,
-    no extra exchange.
+    no extra exchange. Corrupt-timestamp span blowups fail loud via the
+    _hourly_grid bucket cap.
     """
     s = _series(spark, sf_dir)
     _cents = F.round(F.col("value") * 100, 0).cast("long")
@@ -921,11 +973,7 @@ def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = b.groupBy("source", "metric").agg(
         F.min("h").alias("mn"), F.max("h").alias("mx")
     )
-    grid = bounds.select(
-        "source",
-        "metric",
-        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
-    )
+    grid = _hourly_grid(bounds)
     j = grid.join(b, ["source", "metric", "h"], "left")
     wp = (
         Window.partitionBy("source", "metric")

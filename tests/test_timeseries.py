@@ -224,3 +224,46 @@ def test_degenerate_inputs_cross_engine_parity(spark, tmp_path):
         assert sorted(names) == cols, key
         assert got == exp, f"{key}: spark={got[:4]} oracle={exp[:4]}"
     con.close()
+
+
+def test_gapfill_grid_span_guard(spark, monkeypatch):
+    """Grid-explosion guard (r10, the corrupt-timestamp hazard class):
+    one epoch-0 outlier in a series must fail loud at the configured
+    bucket cap instead of materializing a decades-long sequence() array
+    on one executor — and healthy spans must be untouched by the guard."""
+    import datetime
+
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    bounds = spark.createDataFrame(
+        [
+            (
+                "web",
+                "cpu",
+                datetime.datetime(1970, 1, 1),
+                datetime.datetime(2026, 1, 1),
+            )
+        ],
+        "source string, metric string, mn timestamp, mx timestamp",
+    )
+    monkeypatch.setenv("CATENA_GAPFILL_MAX_BUCKETS", "1000")
+    with pytest.raises(SparkRuntimeException, match="CATENA_GAPFILL_MAX_BUCKETS"):
+        ts._hourly_grid(bounds).count()
+    # cap=0 disables the guard: the same pathological span explodes fine
+    monkeypatch.setenv("CATENA_GAPFILL_MAX_BUCKETS", "0")
+    assert ts._hourly_grid(bounds).count() == 490_897
+    # healthy span under the default cap: exact grid, guard invisible
+    monkeypatch.delenv("CATENA_GAPFILL_MAX_BUCKETS")
+    small = spark.createDataFrame(
+        [
+            (
+                "web",
+                "cpu",
+                datetime.datetime(2024, 1, 1, 0),
+                datetime.datetime(2024, 1, 2, 23),
+            )
+        ],
+        "source string, metric string, mn timestamp, mx timestamp",
+    )
+    assert ts._hourly_grid(small).count() == 48
