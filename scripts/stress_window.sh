@@ -7,7 +7,7 @@
 # exercises low parallelism (different partition counts, merge orders),
 # shuffle=1 exercises single-partition exchanges.
 #
-#   scripts/stress_window.sh          # ~15-25 min (17 confs)
+#   scripts/stress_window.sh          # ~20-30 min (21 confs)
 #
 # pipefail matters (ADVICE r5 item 1): every run pipes through
 # `| tail -1`, and without it a parity MISMATCH exits 0 (tail's status)
@@ -112,4 +112,35 @@ echo "== combined max-hostile (all axes at once)"
   CATENA_SIM_SHUFFLE=1 CATENA_SIM_ANSI=true \
   CATENA_SIM_EXTRA=";spark.sql.caseSensitive=true;spark.sql.decimalOperations.allowPrecisionLoss=false;spark.sql.execution.arrow.maxRecordsPerBatch=7;spark.sql.adaptive.enabled=false;spark.driver.extraJavaOptions=-Duser.timezone=Asia/Kolkata -Duser.country=TR" \
   python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+# Parquet decode-path axis (r10): the vectorized columnar reader and
+# the row-at-a-time fallback are separate decode implementations
+# (decimals, timestamps, dictionary pages) — results must not depend on
+# which one the scan picks
+echo "== parquet.enableVectorizedReader=false"
+(cd /tmp && CATENA_SIM_EXTRA="spark.sql.parquet.enableVectorizedReader=false" \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+
+# Codegen axis (r10): interpreted expression eval vs whole-stage
+# codegen are two evaluators for every expression tree — the classic
+# upstream-Spark divergence class (codegen-only folding bugs)
+echo "== codegen.wholeStage=false"
+(cd /tmp && CATENA_SIM_EXTRA="spark.sql.codegen.wholeStage=false" \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+
+# Input-split axis (r10): 64 KiB maxPartitionBytes shatters every
+# parquet file into many tiny scan splits — different scan
+# parallelism, partial-agg boundaries, and merge orders than the
+# one-split-per-file default (the SHUFFLE axis varies post-shuffle
+# partitioning; this varies the scan side)
+echo "== files.maxPartitionBytes=65536"
+(cd /tmp && CATENA_SIM_EXTRA="spark.sql.files.maxPartitionBytes=65536" \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+
+# Temporal-types axis (r10): java8API off swaps java.time.* for legacy
+# java.sql.* in collected rows — the py4j/Arrow conversion boundary the
+# TZ axes exercise semantically, here exercised at the type level
+echo "== datetime.java8API.enabled=false"
+(cd /tmp && CATENA_SIM_EXTRA="spark.sql.datetime.java8API.enabled=false" \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+
 echo "== STRESS MATRIX ALL GREEN"
