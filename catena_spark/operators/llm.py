@@ -767,8 +767,12 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations (tf, df) + a broadcast of the tiny df/N side, ranked on
     the rounded score with term tiebreak.
 
-    Scale: df and N are |vocab|- and 1-row results — broadcast joins;
-    the only large shuffle is the (doc, term) tf aggregate.
+    Scale: N is a 1-row broadcast. df is VOCAB-sized — it scales with
+    the corpus (billions of distinct terms at 100 TB), so the tf-df
+    join carries NO hint: Catalyst auto-broadcasts it when small and a
+    term-keyed shuffle join takes over at scale, where a pinned
+    broadcast of the vocabulary would OOM the driver. The large shuffle
+    is the (doc, term) tf aggregate.
     """
     d = _docs_norm(spark, sf_dir)
     toks = d.select("doc_id", F.explode(doc_tokens(F.col("t"))).alias("term"))
@@ -776,7 +780,7 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -832,8 +832,11 @@ def join_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join (2 facts + 4 dims) with the
     "local supplier" theta condition c_nationkey = s_nationkey.
 
-    Scale: supplier/nation/region broadcast at any SF (<=10k rows);
-    customer broadcasts below ~1 GB and otherwise shuffles on custkey;
+    Scale: nation/region broadcast at any SF (25/5 rows, hinted);
+    supplier and customer carry NO hint — they grow with SF (1B+ rows
+    at 100 TB, where a forced broadcast is a driver OOM), so Catalyst
+    auto-broadcasts them under the threshold and AQE keeps them on
+    shuffle joins at scale;
     the only unavoidable big shuffle is orders<->lineitem on orderkey —
     bucketing both facts on orderkey at write time removes even that.
     The date filter pushes to the orders scan before the join.
@@ -852,7 +855,7 @@ def join_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -1151,7 +1154,7 @@ def join_q7_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
         .where(F.col("n1_region") != F.col("n2_region"))
@@ -1190,7 +1193,7 @@ def join_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = tables.load(spark, sf_dir, "lineitem")
     p = tables.load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     branch = lambda brand, s1, s2, q1, q2: (  # noqa: E731
         (F.col("p_brand") == brand)
         & F.col("p_size").between(s1, s2)
@@ -1683,7 +1686,8 @@ def join_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity (r5): both sums are exact 1e-4-unit sums (usum — order-free),
     and the percentage is arithmetic on those bit-identical doubles in
     the same operation order, so it needs no round at all. Scale: date
-    filter pushes to the fact scan; part is broadcast; single-row
+    filter pushes to the fact scan; part joins unhinted (auto-broadcast when small, shuffle at the
+    100 TB SF where part is 20B rows); single-row
     result via partial aggregation.
     """
     li = tables.load(spark, sf_dir, "lineitem").where(
@@ -1839,7 +1843,9 @@ def join_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-year over a part-name pattern.
 
     Scale: the 5-way join keeps lineitem as the single streamed fact;
-    part/supplier/nation broadcast (explicitly hinted), orders arrives
+    nation broadcasts (hinted, 25 rows at any SF); part/supplier join
+    unhinted — both scale with SF, so the join strategy must be
+    Catalyst/AQE's size-based choice, not a pinned hint; orders arrives
     pre-projected to (key, year). profit is decimal-exact at 4dp
     (2dp x 2dp products), parity rule #3.
     """
@@ -1852,8 +1858,8 @@ def join_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -1897,7 +1903,8 @@ def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     different sides (customer's vs supplier's) — the classic
     self-join-of-a-dim pattern.
 
-    Scale: one pass over the fact; every dim broadcasts; the share
+    Scale: one pass over the fact; nation/region broadcast (hinted,
+    domain-bounded); supplier joins unhinted (SF-scaling); the share
     divides two exact 1e-4-unit sums (r5 usum — order-free and
     bit-identical across engines), so it needs no round.
     """
@@ -1918,7 +1925,7 @@ def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -1976,7 +1983,7 @@ def subq_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .where(F.col("total_rev") == F.col("mx"))
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(s, rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
 
@@ -2132,7 +2139,8 @@ def join_q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both EXISTS branches key on l_orderkey, so Catalyst plans
     them as LeftSemi/LeftAnti joins sharing the orderkey shuffle
     partitioning of l1 — three co-partitioned passes over lineitem,
-    no row blow-up, then a supplier broadcast and a top-20
+    no row blow-up, then an unhinted supplier name join (SF-scaling
+    side — auto-broadcast when small) and a top-20
     TakeOrderedAndProject.
     """
     li = tables.load(spark, sf_dir, "lineitem").select(
@@ -2154,7 +2162,7 @@ def join_q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        blamed.join(s, blamed.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -2631,7 +2639,8 @@ def agg_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: lineitem is projected to 2 columns at the scan, the distinct
     and the count-distinct share one shuffle keyed on l_partkey-group
-    attrs; part and the tiny complaint list broadcast. The NOT IN is a
+    attrs; part and the complaint list join unhinted (both scale with
+    SF — size-based strategy, not a pinned hint). The NOT IN is a
     left_anti join (fixture keys are non-null, so semantics coincide).
     """
     ps = (
@@ -2648,8 +2657,8 @@ def agg_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, ps.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
@@ -2690,7 +2699,8 @@ def agg_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain), and the 0.1% threshold is integer arithmetic
     (val*1000 > total), so no float tie can flip membership.
 
-    Scale: the nation-bloc supplier list broadcasts into a semi join at
+    Scale: the nation-bloc supplier list semi-joins at the scan
+    (unhinted: it is ~40% of supplier, an SF-scaling table),
     the scan, one shuffle aggregates per-part value, and the grand total
     is a 1-row broadcast joined back — no second pass over lineitem.
     """
@@ -2703,7 +2713,7 @@ def agg_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
     v = (
-        li.join(F.broadcast(nsup), li.l_suppkey == nsup.s_suppkey, "left_semi")
+        li.join(nsup, li.l_suppkey == nsup.s_suppkey, "left_semi")
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
             F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
@@ -2759,8 +2769,9 @@ def join_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     never round, either integer units or bit-identical floats).
 
     Scale: one shuffle aggregates the (part, supplier) cost table;
-    supplier-nation-region broadcasts. The per-part min is a second
-    aggregation over the already-reduced cost table, broadcast back —
+    nation/region broadcast (hinted); supplier and the per-part min
+    table join unhinted — both scale with SF (the min table has one row
+    PER PART), so their strategy stays size-based —
     lineitem is scanned once.
     """
     li = tables.load(spark, sf_dir, "lineitem").select(
@@ -2777,7 +2788,7 @@ def join_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    ec = cost.join(F.broadcast(eur), cost.l_suppkey == eur.s_suppkey)
+    ec = cost.join(eur, cost.l_suppkey == eur.s_suppkey)
     best = ec.groupBy(F.col("l_partkey").alias("bk")).agg(
         F.min("unit_cost").alias("best_cost")
     )
@@ -2786,10 +2797,10 @@ def join_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ec.join(
-            F.broadcast(best),
+            best,
             (ec.l_partkey == F.col("bk")) & (ec.unit_cost == F.col("best_cost")),
         )
-        .join(F.broadcast(p), ec.l_partkey == p.p_partkey)
+        .join(p, ec.l_partkey == p.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_cost")
     )
 
@@ -2827,8 +2838,9 @@ def join_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     as BIGINT, and the half test is qty*2 > tot — pure integer
     arithmetic on both engines.
 
-    Scale: the red-part key list broadcasts as a semi join under the
-    date-pruned scan; one shuffle keys (partkey, suppkey); the per-part
+    Scale: the red-part key list semi-joins under the
+    date-pruned scan (unhinted: ~1/9 of part, an SF-scaling table);
+    one shuffle keys (partkey, suppkey); the per-part
     total is a windowed sum over the already-aggregated (tiny) table, so
     lineitem is read once and shuffled once.
     """
@@ -2841,7 +2853,7 @@ def join_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
     w = (
-        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        li.join(red, li.l_partkey == red.p_partkey, "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.round("l_quantity", 0).cast("long")).alias("qty"))
     )
@@ -2854,7 +2866,7 @@ def join_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = tables.load(spark, sf_dir, "supplier")
     return (
-        s.join(F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "left_semi")
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
     )
 
