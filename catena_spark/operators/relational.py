@@ -1696,7 +1696,7 @@ def join_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = tables.load(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
-    out = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    out = li.join(p, li.l_partkey == p.p_partkey).agg(
         usum(promo, 4).alias("promo_rev"),
         usum(rev, 4).alias("total_rev"),
     )

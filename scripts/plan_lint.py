@@ -1,5 +1,7 @@
 """Plan lint: machine-audit EVERY registry key's query plan for the
-scale anti-patterns this project bans (SCALE.md), with NO allowlist.
+scale anti-patterns this project bans (SCALE.md). The window and
+cartesian checks have NO allowlist; the pinned-broadcast check names
+its domain-bounded exceptions inline (_PINNED_BROADCAST_ALLOW).
 
 Flags, per key:
   * unpartitioned-window  -- a logical Window node whose partitionSpec
@@ -15,6 +17,19 @@ Flags, per key:
     intentional cross join in this repo is a broadcast 1-row scalar
     (BroadcastNestedLoopJoin), which is the pattern's point; a true
     cartesian means a join lost its keys or its broadcast hint.
+  * pinned-broadcast-of-scaling-side (r10) -- with auto-broadcast
+    disabled (both thresholds -1), any BroadcastExchange left in the
+    physical plan is an EXPLICIT F.broadcast hint. If its subtree scans
+    an SF-scaling table (everything but nation/region) and contains no
+    mechanical cardinality bound (global aggregate, limit, top-k), the
+    hint pins a broadcast that fits at fixture scale and is a driver
+    OOM at 100 TB — the defect class the r10 broadcast audit removed
+    from 18 join sites (and which this check caught LIVE in
+    join_q14_promo_share, a 19th site the manual sweep missed). Unlike
+    the other two checks this one carries an allowlist: bounded-by-
+    domain sides (K centroids, a 25-nation group, a benchmark set, a
+    capped declared oracle) are not mechanically decidable, so each
+    exception is named with its boundedness argument.
 
 Detection walks the JVM plan trees (logical for Window, physical
 string for CartesianProduct) rather than grepping source: it sees
@@ -43,8 +58,60 @@ from catena_spark import registry
 from catena_spark.session import get_spark
 
 
+#: Scan-location tokens of the SF-scaling tables: a pinned broadcast
+#: whose subtree reads one of these grows with the data. nation/region
+#: (25/5 rows at any SF) are the only base tables NOT listed.
+_SCALING_TABLES = (
+    "part.parquet",
+    "supplier.parquet",
+    "customer.parquet",
+    "orders.parquet",
+    "lineitem.parquet",
+    "events.parquet",
+    "documents.parquet",
+    "embeddings.parquet",
+)
+
+#: Subtree markers that mechanically bound a broadcast side's
+#: cardinality regardless of input size: a GLOBAL aggregate (keys=[] —
+#: grouped aggregates do NOT qualify; Q2's min-cost-per-part taught
+#: that a grouped agg can scale with its grouping key) or a limit/top-k.
+_BOUNDED_MARKERS = (
+    "HashAggregate(keys=[], ",
+    "SortAggregate(keys=[], ",
+    "ObjectHashAggregate(keys=[], ",
+    "GlobalLimit",
+    "CollectLimit",
+    "TakeOrderedAndProject",
+)
+
+#: Hinted broadcasts of scaling-table subtrees whose boundedness is a
+#: DOMAIN argument the plan tree cannot express. Every entry must name
+#: it. Anything not listed here that trips the check is a bug.
+_PINNED_BROADCAST_ALLOW = {
+    "subq_corr_above_nation_avg": "per-nation averages: grouped on the 25-value nation domain",
+    "stream_static_enrich": "caller-provided static dim; stream-static broadcast is the operator's documented contract",
+    "llm_ann_ivf": "K coarse-quantizer centroids (grouped on cid <= K)",
+    "llm_cosine_topk": "declared tiny query side (fixed query-id set)",
+    "llm_embedding_near_dup": "declared O(n^2) recall oracle; input capped by NEAR_DUP_MAX_ROWS",
+    "llm_contamination_check": "benchmark n-gram set: a benchmark stays small at any corpus scale",
+    "llm_kmeans_assign": "K centroids",
+    "llm_semdedup_representatives": "K centroids",
+    "llm_bm25_topk": "df restricted to the 3-term query set before aggregation",
+}
+
+
 def _iter_nodes(node):
-    """Depth-first over a Catalyst TreeNode, including subquery plans."""
+    """Depth-first over a Catalyst TreeNode, including subquery plans.
+
+    Physical trees under AQE hide everything below the
+    AdaptiveSparkPlan root (children() is empty); descend into its
+    initialPlan(), the post-EnsureRequirements tree where
+    BroadcastExchange nodes exist (inputPlan() is pre-preparation and
+    has no exchanges yet)."""
+    if node.nodeName() == "AdaptiveSparkPlan":
+        yield from _iter_nodes(node.initialPlan())
+        return
     yield node
     ch = node.children()
     for i in range(ch.length()):
@@ -57,8 +124,14 @@ def _iter_nodes(node):
         pass  # not every node type exposes subqueries()
 
 
-def lint_df(df) -> list[str]:
-    """Return the list of violations for one DataFrame's plans."""
+def lint_df(df, allow_pinned_broadcast: bool = False) -> list[str]:
+    """Return the list of violations for one DataFrame's plans.
+
+    The broadcast check requires the session to have BOTH
+    spark.sql.autoBroadcastJoinThreshold and
+    spark.sql.adaptive.autoBroadcastJoinThreshold at -1 (main() sets
+    them): only then is every surviving BroadcastExchange an explicit
+    hint rather than a size-based choice."""
     bad: list[str] = []
     qe = df._jdf.queryExecution()
     for node in _iter_nodes(qe.optimizedPlan()):
@@ -67,6 +140,15 @@ def lint_df(df) -> list[str]:
             break
     if "CartesianProduct" in qe.executedPlan().toString():
         bad.append("cartesian-product")
+    if not allow_pinned_broadcast:
+        for node in _iter_nodes(qe.executedPlan()):
+            if node.nodeName() == "BroadcastExchange":
+                s = node.toString()
+                if any(t in s for t in _SCALING_TABLES) and not any(
+                    b in s for b in _BOUNDED_MARKERS
+                ):
+                    bad.append("pinned-broadcast-of-scaling-side")
+                    break
     return bad
 
 
@@ -90,11 +172,14 @@ def main() -> int:
     qs = registry.queries()
     failures: list[tuple[str, list[str]]] = []
     for key in keys:
+        allowed = key in _PINNED_BROADCAST_ALLOW
         try:
-            bad = lint_df(qs[key](spark, sf_dir))
+            bad = lint_df(qs[key](spark, sf_dir), allow_pinned_broadcast=allowed)
         except Exception as e:  # a key that won't even build is a failure
             bad = [f"error: {type(e).__name__}: {e}"[:200]]
         status = "OK" if not bad else "FLAG " + ", ".join(bad)
+        if allowed and not bad:
+            status = "OK (broadcast allowlisted)"
         print(f"  {status:<40s} {key}", flush=True)
         if bad:
             failures.append((key, bad))

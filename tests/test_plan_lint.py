@@ -72,3 +72,74 @@ def test_bigram_lm_no_single_partition_window(spark):
     assert plan_lint.lint_df(df) == []
     assert_not_in_plan(df, "WindowExec")
     assert_in_plan(df, "BroadcastNestedLoopJoin")
+
+
+def _hostile_thresholds(spark):
+    """Both thresholds to -1 — the conf contract the broadcast check
+    documents (only explicit hints survive as BroadcastExchange)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    for k in saved:
+        spark.conf.set(k, "-1")
+    return saved
+
+
+def _restore(spark, saved):
+    for k, v in saved.items():
+        if v is None or v == "":
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_flags_pinned_broadcast_of_scaling_table(spark):
+    """r10 broadcast audit, made permanent: an explicit F.broadcast of
+    an SF-scaling table scan (here: supplier joined to lineitem) must
+    be flagged — this exact shape caught join_q14_promo_share live."""
+    saved = _hostile_thresholds(spark)
+    try:
+        from catena_spark import tables
+
+        li = tables.load(spark, SF_SMALL, "lineitem").select("l_suppkey")
+        s = tables.load(spark, SF_SMALL, "supplier").select("s_suppkey")
+        df = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        assert plan_lint.lint_df(df) == ["pinned-broadcast-of-scaling-side"]
+        # the allowlist escape hatch suppresses exactly this flag
+        assert plan_lint.lint_df(df, allow_pinned_broadcast=True) == []
+    finally:
+        _restore(spark, saved)
+
+
+def test_passes_global_aggregate_broadcast_of_scaling_table(spark):
+    """A 1-row global aggregate OF a scaling table is the house
+    global-scalar pattern — mechanically bounded, never flagged."""
+    saved = _hostile_thresholds(spark)
+    try:
+        from catena_spark import tables
+
+        li = tables.load(spark, SF_SMALL, "lineitem").select("l_suppkey")
+        tot = li.agg(F.count(F.lit(1)).alias("n"))
+        df = li.crossJoin(F.broadcast(tot))
+        assert plan_lint.lint_df(df) == []
+    finally:
+        _restore(spark, saved)
+
+
+def test_passes_hinted_nation_broadcast(spark):
+    """nation/region are domain-bounded (25/5 rows at any SF): hinting
+    them is the sanctioned pattern and must stay lint-clean."""
+    saved = _hostile_thresholds(spark)
+    try:
+        from catena_spark import tables
+
+        s = tables.load(spark, SF_SMALL, "supplier")
+        n = tables.load(spark, SF_SMALL, "nation")
+        df = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        assert plan_lint.lint_df(df) == []
+    finally:
+        _restore(spark, saved)
