@@ -7,7 +7,7 @@
 # exercises low parallelism (different partition counts, merge orders),
 # shuffle=1 exercises single-partition exchanges.
 #
-#   scripts/stress_window.sh          # ~20-30 min (21 confs)
+#   scripts/stress_window.sh          # ~25-35 min (27 confs)
 #
 # pipefail matters (ADVICE r5 item 1): every run pipes through
 # `| tail -1`, and without it a parity MISMATCH exits 0 (tail's status)
@@ -98,10 +98,13 @@ echo "== process TZ=Pacific/Chatham"
 (cd /tmp && TZ=Pacific/Chatham CATENA_SIM_TZ=Pacific/Chatham \
   python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
 
-# everything-at-once axis (r9): all sixteen hostile knobs in ONE
-# session — Chatham process+session TZ, Turkish locale, ANSI on,
-# local[2]/shuffle=1, case-sensitive resolution, strict decimals,
-# 7-row Arrow batches, AQE off, JVM default TZ Kolkata + country TR.
+# everything-at-once axis (r9, widened r10 fourth session): all the
+# hostile knobs in ONE session — Chatham process+session TZ, Turkish
+# locale, ANSI on, local[2]/shuffle=1, case-sensitive resolution,
+# strict decimals, 7-row Arrow batches + strict Arrow conversion, AQE
+# off, JVM default TZ Kolkata + country TR, no broadcast joins,
+# shuffled-hash preference, NO_CODEGEN interpreter, bucketing off,
+# parquet pushdown + vectorized reader off, legacy temporal types.
 # Single-axis greens can mask a two-knob interaction (e.g. a
 # locale-sensitive fold that only misrenders under a fractional-offset
 # TZ); this conf closes that gap. First run r9 covered the FULL
@@ -110,7 +113,7 @@ echo "== combined max-hostile (all axes at once)"
 (cd /tmp && TZ=Pacific/Chatham LANG=tr_TR.UTF-8 LC_ALL=tr_TR.UTF-8 \
   CATENA_SIM_TZ=Pacific/Chatham CATENA_SIM_MASTER="local[2]" \
   CATENA_SIM_SHUFFLE=1 CATENA_SIM_ANSI=true \
-  CATENA_SIM_EXTRA=";spark.sql.caseSensitive=true;spark.sql.decimalOperations.allowPrecisionLoss=false;spark.sql.execution.arrow.maxRecordsPerBatch=7;spark.sql.adaptive.enabled=false;spark.driver.extraJavaOptions=-Duser.timezone=Asia/Kolkata -Duser.country=TR" \
+  CATENA_SIM_EXTRA=";spark.sql.caseSensitive=true;spark.sql.decimalOperations.allowPrecisionLoss=false;spark.sql.execution.arrow.maxRecordsPerBatch=7;spark.sql.execution.pandas.convertToArrowArraySafely=true;spark.sql.adaptive.enabled=false;spark.sql.autoBroadcastJoinThreshold=-1;spark.sql.join.preferSortMergeJoin=false;spark.sql.codegen.factoryMode=NO_CODEGEN;spark.sql.codegen.wholeStage=false;spark.sql.sources.bucketing.enabled=false;spark.sql.parquet.filterPushdown=false;spark.sql.parquet.enableVectorizedReader=false;spark.sql.datetime.java8API.enabled=false;spark.driver.extraJavaOptions=-Duser.timezone=Asia/Kolkata -Duser.country=TR" \
   python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
 # Parquet decode-path axis (r10): the vectorized columnar reader and
 # the row-at-a-time fallback are separate decode implementations
@@ -141,6 +144,53 @@ echo "== files.maxPartitionBytes=65536"
 # TZ axes exercise semantically, here exercised at the type level
 echo "== datetime.java8API.enabled=false"
 (cd /tmp && CATENA_SIM_EXTRA="spark.sql.datetime.java8API.enabled=false" \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+
+# Join-strategy axes (r10, fourth session): the same logical join has
+# three physical executors — broadcast-hash, sort-merge, shuffled-hash
+# — with independent code paths for null keys, duplicate keys, and
+# build-side iteration order. autoBroadcast=-1 forbids the broadcast
+# path entirely (every broadcast-eligible join re-executes as a
+# shuffle join); preferSortMergeJoin=false steers eligible pairs onto
+# the shuffled-hash executor instead of sort-merge
+echo "== autoBroadcastJoinThreshold=-1 (no broadcast joins)"
+(cd /tmp && CATENA_SIM_EXTRA="spark.sql.autoBroadcastJoinThreshold=-1" \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+
+echo "== join.preferSortMergeJoin=false (shuffled-hash-join path)"
+(cd /tmp && CATENA_SIM_EXTRA="spark.sql.join.preferSortMergeJoin=false" \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+
+# Deep-interpreted axis (r10, fourth session): wholeStage=false still
+# codegens individual unsafe projections/predicates via the expression
+# factory; NO_CODEGEN forces the pure interpreter — the third and
+# deepest evaluator for every expression tree
+echo "== codegen.factoryMode=NO_CODEGEN (+ wholeStage off)"
+(cd /tmp && CATENA_SIM_EXTRA="spark.sql.codegen.factoryMode=NO_CODEGEN;spark.sql.codegen.wholeStage=false" \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+
+# Bucketed-scan fallback axis (r10, fourth session): with bucketing
+# disabled the pre-bucketed join ingests as plain files and re-shuffles
+# — the zero-Exchange fast path and the fallback must agree
+echo "== sources.bucketing.enabled=false"
+(cd /tmp && CATENA_SIM_EXTRA="spark.sql.sources.bucketing.enabled=false" \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+
+# Scan-predicate axis (r10, fourth session): filterPushdown=false moves
+# every predicate from the parquet reader's row-group/page pruning into
+# post-scan Filter eval — two predicate implementations that must agree
+# on nulls, NaN, and decimal comparisons
+echo "== parquet.filterPushdown=false"
+(cd /tmp && CATENA_SIM_EXTRA="spark.sql.parquet.filterPushdown=false" \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+
+# Strict-Arrow axis (r10, fourth session): convertToArrowArraySafely
+# makes every pandas-UDF return value convert under Arrow's safe=True
+# (raise on overflow/truncation instead of silently wrapping) — a
+# fail-loud tripwire on the three Python crossings, not just a
+# different-path parity check
+echo "== pandas.convertToArrowArraySafely=true"
+(cd /tmp && CATENA_SIM_EXTRA="spark.sql.execution.pandas.convertToArrowArraySafely=true" \
   python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
 
 echo "== STRESS MATRIX ALL GREEN"
