@@ -17,6 +17,21 @@ Flags, per key:
     intentional cross join in this repo is a broadcast 1-row scalar
     (BroadcastNestedLoopJoin), which is the pattern's point; a true
     cartesian means a join lost its keys or its broadcast hint.
+  * unguarded-value-dependent-explode (r10, fourth session) -- a
+    Generate node exploding a `sequence(...)` whose bounds come from
+    DATA VALUES rather than string/array lengths. A length-derived
+    sequence (`sequence(1, length(col))`) fans out linearly in bytes
+    already read — peak memory per row is proportional to the doc the
+    scan just decoded, fine at any scale. A value-derived sequence
+    (the gap-fill grid's `sequence(mn, mx, 1h)`) can expand 16 input
+    bytes into a 70M-element in-memory array on ONE executor when a
+    corrupt timestamp stretches the span, so it must carry the house
+    fail-loud cap (an inline CASE + raise_error on the bound, which
+    constant-folds INTO the generator expression and is therefore
+    visible right in the plan). Constant seed/band grids
+    (`sequence(0, 29)`) constant-fold to literal arrays and never
+    show a `sequence(` marker at all. No allowlist: length-bounded
+    and raise_error-capped generators pass mechanically.
   * pinned-broadcast-of-scaling-side (r10) -- with auto-broadcast
     disabled (both thresholds -1), any BroadcastExchange left in the
     physical plan is an EXPLICIT F.broadcast hint. If its subtree scans
@@ -138,6 +153,17 @@ def lint_df(df, allow_pinned_broadcast: bool = False) -> list[str]:
         if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
             bad.append("unpartitioned-window")
             break
+    for node in _iter_nodes(qe.optimizedPlan()):
+        if node.nodeName() == "Generate":
+            gen = node.generator().toString()
+            if (
+                "sequence(" in gen
+                and "length(" not in gen
+                and "size(" not in gen
+                and "raise_error" not in gen
+            ):
+                bad.append("unguarded-value-dependent-explode")
+                break
     if "CartesianProduct" in qe.executedPlan().toString():
         bad.append("cartesian-product")
     if not allow_pinned_broadcast:

@@ -49,6 +49,44 @@ def test_passes_partitioned_window_and_scalar_crossjoin(spark):
     assert plan_lint.lint_df(df) == []
 
 
+def test_flags_unguarded_value_dependent_explode(spark):
+    # the gap-fill hazard shape: sequence bounds from DATA VALUES (two
+    # longs can demand an arbitrarily large array), no fail-loud cap
+    df = (
+        _base(spark)
+        .withColumn("hi", F.col("id") * 10)
+        .select(F.explode(F.sequence(F.col("id"), F.col("hi"))).alias("x"))
+    )
+    assert plan_lint.lint_df(df) == ["unguarded-value-dependent-explode"]
+
+
+def test_passes_capped_value_dependent_explode(spark):
+    # the house guard: a CASE + raise_error on the bound constant-folds
+    # into the generator expression, making the cap plan-visible
+    hi = F.col("id") * 10
+    capped = F.when(hi - F.col("id") > 1000, F.raise_error(F.lit("span blowup"))).otherwise(hi)
+    df = _base(spark).select(
+        F.explode(F.sequence(F.col("id"), capped)).alias("x")
+    )
+    assert plan_lint.lint_df(df) == []
+
+
+def test_passes_length_bounded_explode(spark):
+    # byte-linear fan-out: sequence over length(col) — fine at any SF
+    df = spark.createDataFrame([("abc def",)], "t string").select(
+        F.explode(F.sequence(F.lit(1), F.length("t"))).alias("i")
+    )
+    assert plan_lint.lint_df(df) == []
+
+
+def test_passes_constant_sequence_explode(spark):
+    # constant grids fold to literal arrays — no sequence( marker left
+    df = _base(spark).select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(29))).alias("seed")
+    )
+    assert plan_lint.lint_df(df) == []
+
+
 def test_flags_cartesian_product(spark):
     thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
