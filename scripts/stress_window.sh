@@ -7,7 +7,7 @@
 # exercises low parallelism (different partition counts, merge orders),
 # shuffle=1 exercises single-partition exchanges.
 #
-#   scripts/stress_window.sh          # ~25-35 min (27 confs)
+#   scripts/stress_window.sh          # ~25-35 min (28 confs)
 #
 # pipefail matters (ADVICE r5 item 1): every run pipes through
 # `| tail -1`, and without it a parity MISMATCH exits 0 (tail's status)
@@ -191,6 +191,17 @@ echo "== parquet.filterPushdown=false"
 # different-path parity check
 echo "== pandas.convertToArrowArraySafely=true"
 (cd /tmp && CATENA_SIM_EXTRA="spark.sql.execution.pandas.convertToArrowArraySafely=true" \
+  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+
+# Forced-spill axis (r10, fourth session): window buffers, sort-merge
+# match buffers, and ObjectHashAggregate each carry a SEPARATE spill /
+# sort-fallback implementation that fixture-scale runs never enter but
+# 100 TB partitions live in — 64-row thresholds force every partition
+# through them. Do NOT set these to 1: per-row spill bookkeeping OOMs
+# the probe JVM itself (measured r10 — the probe artifact, not the
+# operator, dies).
+echo "== forced spill paths (window/SMJ buffers=64, OHA fallback=16)"
+(cd /tmp && CATENA_SIM_EXTRA="spark.sql.windowExec.buffer.spill.threshold=64;spark.sql.windowExec.buffer.in.memory.threshold=64;spark.sql.sortMergeJoinExec.buffer.spill.threshold=64;spark.sql.sortMergeJoinExec.buffer.in.memory.threshold=64;spark.sql.objectHashAggregate.sortBased.fallbackThreshold=16" \
   python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
 
 echo "== STRESS MATRIX ALL GREEN"
