@@ -192,7 +192,45 @@ def _measure_quantum(spark) -> dict[str, float]:
     return out
 
 
+def _concurrent_spark_pids(proc_root: str = "/proc") -> list[int]:
+    """PIDs of Spark JVMs already running when the bench starts.
+
+    Two 32-thread Spark JVMs on 32 CPUs inflate every query ~1.5x
+    UNIFORMLY (measured r10: a max-hostile probe overlapping check_all
+    made all five headline queries fail bench_guard at 1.4-1.6x their
+    trailing medians; the quiet re-run passed at +15%). A contended
+    sample is unreliable in BOTH directions, so the bench marks it and
+    bench_guard refuses to adjudicate it. Scanned BEFORE this process
+    launches its own JVM, so self-detection is impossible.
+    """
+    pids = []
+    try:
+        entries = os.listdir(proc_root)
+    except OSError:
+        return pids
+    for entry in entries:
+        if not entry.isdigit():
+            continue
+        try:
+            with open(os.path.join(proc_root, entry, "cmdline"), "rb") as f:
+                cmd = f.read()
+        except OSError:
+            continue  # process exited mid-scan, or not ours to read
+        argv0 = cmd.split(b"\0", 1)[0]
+        if b"java" in argv0 and b"org.apache.spark" in cmd:
+            pids.append(int(entry))
+    return pids
+
+
 def main() -> None:
+    contended = _concurrent_spark_pids()
+    if contended:
+        print(
+            f"bench: WARNING {len(contended)} concurrent Spark JVM(s) "
+            f"(pids {contended}) — timings will be contention-inflated; "
+            "re-run on an idle machine",
+            file=sys.stderr,
+        )
     spark = get_spark(
         app_name="catena-bench",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]",
@@ -250,22 +288,23 @@ def main() -> None:
     cold = {name: round(v, 4) for name, v in cold_raw.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "sum of per-query median warm latencies, prepared-plan "
-                    "execution (BASELINE.md protocol; see queries_cold_plan "
-                    "for +Catalyst-planning variant)"
-                ),
-                "value": round(sum(prepared.values()), 4),
-                "unit": "sec",
-                "queries": prepared,
-                "queries_cold_plan": cold,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": (
+            "sum of per-query median warm latencies, prepared-plan "
+            "execution (BASELINE.md protocol; see queries_cold_plan "
+            "for +Catalyst-planning variant)"
+        ),
+        "value": round(sum(prepared.values()), 4),
+        "unit": "sec",
+        "queries": prepared,
+        "queries_cold_plan": cold,
+        "sf": float(sf),
+    }
+    if contended:
+        # mark the sample so bench_guard (and any human reading
+        # BENCH_r*.json later) knows these numbers shared the CPUs
+        out["contended_with_pids"] = contended
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -40,8 +40,14 @@ ABS_FLOOR_SEC = 0.015
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def parse_bench_line(path: str) -> dict[str, float]:
-    queries = None
+def parse_bench_line(path: str) -> tuple[dict[str, float], list[int]]:
+    """(queries, contended_with_pids) from the last bench JSON line.
+
+    A non-empty pid list means bench.py saw other Spark JVMs on the
+    machine when it started (r10: that shape inflated all five queries
+    uniformly 1.4-1.6x) — the sample is unreliable in BOTH directions
+    and must not be adjudicated against the trailing medians at all."""
+    found = None
     with open(path, encoding="utf-8") as f:
         for line in f:
             line = line.strip()
@@ -52,10 +58,13 @@ def parse_bench_line(path: str) -> dict[str, float]:
             except json.JSONDecodeError:
                 continue
             if isinstance(obj, dict) and isinstance(obj.get("queries"), dict):
-                queries = obj["queries"]
-    if queries is None:
+                found = obj
+    if found is None:
         sys.exit(f"bench_guard: no bench JSON line with 'queries' found in {path}")
-    return {k: float(v) for k, v in queries.items()}
+    return (
+        {k: float(v) for k, v in found["queries"].items()},
+        list(found.get("contended_with_pids") or []),
+    )
 
 
 def trailing_history() -> dict[str, list[float]]:
@@ -121,7 +130,14 @@ def check(current: dict[str, float], hist: dict[str, list[float]]) -> list[str]:
 def main() -> None:
     if len(sys.argv) != 2:
         sys.exit(__doc__)
-    current = parse_bench_line(sys.argv[1])
+    current, contended = parse_bench_line(sys.argv[1])
+    if contended:
+        sys.exit(
+            f"bench_guard: bench ran alongside {len(contended)} other Spark "
+            f"JVM(s) (pids {contended}) — timings are contention-inflated "
+            "and unreliable in both directions; re-run bench on an idle "
+            "machine (no pass, no fail, no median adjudication)"
+        )
     failures = check(current, trailing_history())
     if failures:
         print("bench_guard: PER-QUERY REGRESSION DETECTED:")

@@ -81,3 +81,64 @@ def test_quantum_drift_on_small_query_no_ratchet_warning(capsys):
     # absolute floor — the sentinel must stay quiet on VM drift
     assert bench_guard.check({"doc_exact_dedup": 0.0190}, HIST) == []
     assert "RATCHET-WARNING" not in capsys.readouterr().out
+
+
+def _write_bench_line(tmp_path, obj):
+    import json
+
+    p = tmp_path / "bench_out.txt"
+    p.write_text("some spark log noise\n" + json.dumps(obj) + "\n")
+    return str(p)
+
+
+def test_parse_surfaces_contended_pids(tmp_path):
+    path = _write_bench_line(
+        tmp_path,
+        {"queries": {"q1": 0.05}, "contended_with_pids": [1234, 5678]},
+    )
+    queries, pids = bench_guard.parse_bench_line(path)
+    assert queries == {"q1": 0.05} and pids == [1234, 5678]
+
+
+def test_parse_clean_line_has_no_pids(tmp_path):
+    path = _write_bench_line(tmp_path, {"queries": {"q1": 0.05}})
+    assert bench_guard.parse_bench_line(path) == ({"q1": 0.05}, [])
+
+
+def test_contended_run_is_not_adjudicated(tmp_path, monkeypatch):
+    # r10: a concurrent Spark JVM inflated ALL queries 1.4-1.6x and the
+    # guard failed a healthy tree; equally, contention could mask a real
+    # regression behind "expected" inflation. Either way the sample is
+    # unreliable — the guard must refuse it outright, not pass or fail.
+    import pytest
+
+    path = _write_bench_line(
+        tmp_path,
+        {"queries": {"q3_join_topk": 0.0660}, "contended_with_pids": [99]},
+    )
+    monkeypatch.setattr(bench_guard.sys, "argv", ["bench_guard.py", path])
+    with pytest.raises(SystemExit) as ei:
+        bench_guard.main()
+    assert "contention" in str(ei.value)
+
+
+def test_bench_concurrent_jvm_scan(tmp_path):
+    import importlib.util as ilu
+    import os
+
+    spec = ilu.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    # fake /proc: one Spark JVM, one plain java, one python, one garbage
+    for pid, argv in [
+        ("101", b"/usr/lib/jvm/bin/java\x00-cp\x00x\x00org.apache.spark.deploy.SparkSubmit\x00pyspark-shell"),
+        ("102", b"java\x00-jar\x00other-app.jar"),
+        ("103", b"python\x00worker.py\x00org.apache.spark"),
+    ]:
+        d = tmp_path / pid
+        d.mkdir()
+        (d / "cmdline").write_bytes(argv)
+    (tmp_path / "not-a-pid").mkdir()
+    assert bench._concurrent_spark_pids(str(tmp_path)) == [101]
