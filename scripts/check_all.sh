@@ -30,7 +30,19 @@ trap 'rm -f "$BENCH_OUT"' EXIT
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" python bench.py | tee "$BENCH_OUT"
 
 echo "== 5/6 per-query regression guard (vs trailing BENCH_r*.json medians)"
-python scripts/bench_guard.py "$BENCH_OUT"
+# One retry on failure (r10): the guard budget (1.4x + 15 ms floor)
+# sits inside this VM's run-to-run drift band — an idle-machine sample
+# can land 1.42x on one query minutes after a green run. Transient
+# drift does not repeat; a real regression does (the r7 q3 shape
+# reproduced across independent runs). So a first failure triggers ONE
+# fresh bench run and the gate fails only if the regression persists.
+if ! python scripts/bench_guard.py "$BENCH_OUT"; then
+  echo "== 5/6 guard failed — re-running bench once (drift vs regression)"
+  BENCH_OUT2="$(mktemp /tmp/catena_bench_out.XXXXXX)"
+  trap 'rm -f "$BENCH_OUT" "$BENCH_OUT2"' EXIT
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" python bench.py | tee "$BENCH_OUT2"
+  python scripts/bench_guard.py "$BENCH_OUT2"
+fi
 
 echo "== 6/6 plan lint (no unpartitioned windows / cartesian products, all keys)"
 python scripts/plan_lint.py | tail -3
