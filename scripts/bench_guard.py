@@ -78,6 +78,15 @@ def trailing_history() -> dict[str, list[float]]:
         try:
             with open(p, encoding="utf-8") as f:
                 parsed = json.load(f).get("parsed") or {}
+            if parsed.get("contended_with_pids"):
+                # a contention-stamped round record is as unreliable as
+                # a reference as it is as a sample — keep it out of the
+                # trailing medians
+                print(
+                    f"bench_guard: excluding contended {os.path.basename(p)} "
+                    "from trailing history"
+                )
+                continue
             for k, v in (parsed.get("queries") or {}).items():
                 hist.setdefault(k, []).append(float(v))
         except (OSError, json.JSONDecodeError, TypeError, ValueError) as e:

@@ -142,3 +142,17 @@ def test_bench_concurrent_jvm_scan(tmp_path):
         (d / "cmdline").write_bytes(argv)
     (tmp_path / "not-a-pid").mkdir()
     assert bench._concurrent_spark_pids(str(tmp_path)) == [101]
+
+
+def test_contended_round_record_excluded_from_history(tmp_path, monkeypatch):
+    import json
+
+    for rn, obj in [
+        (8, {"parsed": {"queries": {"q1": 0.040}}}),
+        (9, {"parsed": {"queries": {"q1": 0.041}}}),
+        (10, {"parsed": {"queries": {"q1": 0.065}, "contended_with_pids": [7]}}),
+    ]:
+        (tmp_path / f"BENCH_r{rn:02d}.json").write_text(json.dumps(obj))
+    monkeypatch.setattr(bench_guard, "REPO", str(tmp_path))
+    hist = bench_guard.trailing_history()
+    assert hist == {"q1": [0.040, 0.041]}
