@@ -111,7 +111,10 @@ _PINNED_BROADCAST_ALLOW = {
     "llm_embedding_near_dup": "declared O(n^2) recall oracle; input capped by NEAR_DUP_MAX_ROWS",
     "llm_contamination_check": "benchmark n-gram set: a benchmark stays small at any corpus scale",
     "llm_kmeans_assign": "K centroids",
-    "llm_semdedup_representatives": "K centroids",
+    "llm_semdedup_representatives": (
+        "K centroids; plus the K-row per-cluster (size, argmin) aggregate "
+        "broadcast back onto the assignment stream (r11)"
+    ),
     "llm_bm25_topk": "df restricted to the 3-term query set before aggregation",
 }
 

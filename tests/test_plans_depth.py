@@ -109,3 +109,34 @@ def test_q16_supplier_cnt_broadcasts_part_dim(spark):
     plan = _plan(spark, "agg_q16_supplier_cnt")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_novelty_has_no_window(spark):
+    """r11 window-skew fix: gram-first-occurrence attribution must be
+    the doubly-reduced groupBy form (gram -> min(doc_id) -> count per
+    first_doc, joined to per-doc gram counts) — no WindowExec anywhere
+    (a gram-partitioned window puts a hot gram's whole posting list on
+    one task), and no join of the fat (doc_id, gram) stream: both join
+    inputs are per-doc aggregates."""
+    plan = _plan(spark, "llm_ngram_novelty")
+    assert "Window" not in plan
+    # partial aggregation on the gram reduction (map-side combine is
+    # what collapses hot grams before any exchange)
+    assert _n_ops(plan, "HashAggregate") >= 4
+
+
+def test_semdedup_argmin_has_no_window(spark):
+    """r11 window-skew fix: the per-cluster representative must come
+    from a groupBy(cluster_id) argmin broadcast back onto the
+    assignment stream — no per-cluster ordered WindowExec (skewed
+    cluster sizes would serialize on one task), and the join-back must
+    be a broadcast (K rows), not a shuffle of the vectors. The only
+    windows left are upstream llm_kmeans_assign's nearest-centroid rank
+    PARTITIONED BY vec_id (<= K rows per key, skew-free by
+    construction) — no window may partition on cluster_id."""
+    plan = _plan(spark, "llm_semdedup_representatives")
+    assert "BroadcastHashJoin" in plan
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert spec.startswith("vec_id"), spec
+        assert "cluster_id" not in spec and "cid" not in spec.split(",")[0], spec
