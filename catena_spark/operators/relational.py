@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from .. import tables
 from ..parity import det_double, duck_det_double, duck_usum, rsum, usum, usum_long
 from ..registry import query
+from ..twophase import grouped_positions
 
 
 # ---------------------------------------------------------------- A6: scan
@@ -985,20 +986,47 @@ def win_ntile_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     are emitted RAW (r5: rounding them is what BROKE parity; at sf0.1 a
     nation partition hit cume_dist = 333/640 = 0.5203125, a real
     6-decimal tie that Spark's HALF_UP and DuckDB's scaled-multiply
-    round broke differently). One shuffle on c_nationkey serves all
-    four functions (shared window spec).
+    round broke differently).
+
+    Scale (r11, closes the r10 window-skew audit): the shared
+    `PARTITION BY c_nationkey` window spec put ~1/25 of ALL customers
+    on one WindowExec task — linear-in-SF straggler (spill keeps it
+    alive, stress conf 28 proved that, but never fast). Now computed
+    via twophase.grouped_positions: range-partition on (nation,
+    balance desc, custkey), local per-(partition, nation) row numbers,
+    driver-side per-nation prefix offsets (partitions x 25 rows, never
+    data rows) broadcast back. Under the total order (custkey breaks
+    ties) dense_rank = rank = position p, and all four functions are
+    arithmetic in (p, n): ntile by Spark/DuckDB's shared
+    first-(n mod k)-buckets-get-the-extra-row rule; percent_rank =
+    (p-1)/(n-1); cume_dist = p/n — the SAME long-over-long IEEE
+    divisions WindowExec performs, so values are bit-identical (driver
+    hash unchanged).
     """
     c = tables.load(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.col("c_acctbal").desc(), "c_custkey"
+    d = grouped_positions(
+        c.select("c_custkey", "c_nationkey", "c_acctbal"),
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
     )
-    return c.select(
+    # Spark's NTile(k): first (n % k) buckets hold (n div k)+1 rows,
+    # the rest (n div k); q=0 (n<k) falls entirely in the WHEN branch
+    # (r*(q+1) = n), so the div-by-q ELSE never evaluates.
+    ntile4 = (
+        "CASE WHEN _pos <= (_n % 4) * ((_n div 4) + 1)"
+        "     THEN 1 + (_pos - 1) div ((_n div 4) + 1)"
+        "     ELSE (_n % 4) + 1 + (_pos - (_n % 4) * ((_n div 4) + 1) - 1)"
+        "          div (_n div 4) END"
+    )
+    return d.select(
         "c_custkey",
         "c_nationkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.percent_rank().over(w).alias("prank"),
-        F.cume_dist().over(w).alias("cdist"),
+        F.expr(ntile4).cast("long").alias("quartile"),
+        F.col("_pos").cast("long").alias("drnk"),
+        F.when(F.col("_n") == 1, F.lit(0.0))
+        .otherwise((F.col("_pos") - 1).cast("double") / (F.col("_n") - 1))
+        .alias("prank"),
+        (F.col("_pos").cast("double") / F.col("_n")).alias("cdist"),
     )
 
 
@@ -2950,14 +2978,26 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     the old 6dp rounding HIT a real tie at sf0.1, where nation
     partitions reach 640 = 2^7*5 rows and 41/640 = 0.0640625 rounds
     differently under Spark's HALF_UP vs DuckDB's scaled multiply).
+
+    Scale (r11): same grouped_positions two-phase rewrite as
+    win_ntile_dense — the 25-value nation window was a linear-in-SF
+    single-task sort; under the total order rank = position p and both
+    ratios are arithmetic in (p, n) with the identical long-over-long
+    IEEE divisions WindowExec performs (driver hash unchanged).
     """
     c = tables.load(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    d = grouped_positions(
+        c.select("c_custkey", "c_nationkey", "c_acctbal"),
+        ["c_nationkey"],
+        [F.col("c_acctbal"), F.col("c_custkey")],
+    )
+    return d.select(
         "c_nationkey",
         "c_custkey",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        F.when(F.col("_n") == 1, F.lit(0.0))
+        .otherwise((F.col("_pos") - 1).cast("double") / (F.col("_n") - 1))
+        .alias("pct_rank"),
+        (F.col("_pos").cast("double") / F.col("_n")).alias("cume"),
     )
 
 

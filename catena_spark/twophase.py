@@ -102,3 +102,84 @@ def global_running_sum(
         .withColumn(out_col, (F.col("_lrun") + F.col("_off")).cast("long"))
         .drop("_pid", "_lrun", "_off")
     )
+
+
+def grouped_positions(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list,
+    pos_col: str = "_pos",
+    n_col: str = "_n",
+    partitions: int = 8,
+) -> DataFrame:
+    """Append ``pos_col`` = the 1-based position of each row within its
+    ``group_cols`` group under the total order ``order_exprs``, and
+    ``n_col`` = the group's row count — the scale-safe replacement for
+    a per-group ORDERED window whose partition key has FEW values
+    (``PARTITION BY c_nationkey`` = 25 partitions: each holds |table|/25
+    rows, so WindowExec sorts ~4% of a 100 TB table on ONE task — a
+    straggler by construction; r10 window-skew audit, landed r11).
+
+    Same two-phase shape as ``global_running_sum``, per group: range-
+    partition on (group, order) so each task holds a contiguous slice
+    of some group's global order; compute LOCAL per-(partition, group)
+    row numbers; fetch one (partition x group) count row per pair to
+    the driver — never a data row — and broadcast back per-group prefix
+    offsets plus totals. Global position = local position + offset.
+    rank/dense_rank/row_number all equal ``pos_col`` under a total
+    order, and ntile/percent_rank/cume_dist are pure arithmetic in
+    (pos, n) — see win_ntile_dense.
+
+    Operating envelope: driver traffic is partitions x |groups| rows,
+    so ``group_cols`` must be DOMAIN-bounded (nations, status codes —
+    not custkey); with unbounded groups use a plain partitioned window,
+    which is already skew-free when the key is high-cardinality.
+    ``order_exprs`` must be a total order WITHIN each group (tied keys
+    straddling a range boundary would get partition-order ties) and may
+    carry direction (``F.col(...).desc()``); ``group_cols`` must be
+    plain non-null column names (they are grouped and equi-joined on).
+    The localCheckpoint pins the range partitioning so the counts fetch
+    and the final join see identical placement.
+    """
+    range_exprs = [F.col(c) for c in group_cols] + [
+        F.col(e) if isinstance(e, str) else e for e in order_exprs
+    ]
+    parts = df.repartitionByRange(partitions, *range_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = Window.partitionBy("_pid", *group_cols).orderBy(*order_exprs)
+    local = parts.withColumn("_lpos", F.row_number().over(lw)).localCheckpoint(
+        eager=True
+    )
+    counts = (
+        local.groupBy("_pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    per_group: dict = {}
+    for r in counts:
+        per_group.setdefault(
+            tuple(r[c] for c in group_cols), []
+        ).append((r["_pid"], r["_c"]))
+    rows = []
+    for g, lst in per_group.items():
+        lst.sort()  # range partition ids ascend with the sort key
+        total = sum(c for _, c in lst)
+        acc = 0
+        for pid, c in lst:
+            rows.append((pid, *g, acc, total))
+            acc += c
+    from pyspark.sql.types import LongType, StructField, StructType, IntegerType
+
+    schema = StructType(
+        [StructField("_pid", IntegerType(), False)]
+        + [df.schema[c] for c in group_cols]
+        + [StructField("_goff", LongType(), False),
+           StructField(n_col, LongType(), False)]
+    )
+    om = local.sparkSession.createDataFrame(rows, schema)
+    return (
+        local.join(F.broadcast(om), ["_pid", *group_cols])
+        .withColumn(pos_col, (F.col("_lpos") + F.col("_goff")).cast("long"))
+        .drop("_pid", "_lpos", "_goff")
+    )

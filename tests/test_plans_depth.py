@@ -81,12 +81,32 @@ def test_regexp_suite_is_shuffle_free(spark):
 
 
 def test_percent_rank_window_is_partitioned(spark):
-    """percent_rank/cume_dist run per-key: the plan must hash-partition
-    on the window key, never collapse to a single partition (the global
-    window anti-pattern twophase.py exists to avoid)."""
+    """r11 two-phase shape: the only window left is the LOCAL
+    per-(range-partition, nation) row_number — every windowspec must
+    include _pid (a window partitioned by c_nationkey alone puts 1/25
+    of all customers on one task, the straggler grouped_positions
+    exists to avoid), the per-group offsets must come back as a
+    broadcast, and nothing may collapse to a single partition."""
     plan = _plan(spark, "win_percent_rank_cume")
-    assert "Window" in plan
     assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the local window runs BEFORE the localCheckpoint boundary, so the
+    # final plan must contain the checkpoint scan and NO window at all —
+    # a Window reappearing here would mean the two-phase shape regressed
+    # to a live nation-partitioned window
+    assert "windowspecdefinition" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_ntile_dense_uses_two_phase_positions(spark):
+    """Same pin for win_ntile_dense: local _pid-partitioned window +
+    broadcast offset join, no nation-only window, no single
+    partition."""
+    plan = _plan(spark, "win_ntile_dense")
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition" not in plan
+    assert "ExistingRDD" in plan
 
 
 def test_pivot_multi_measures_partial_aggregates(spark):

@@ -743,3 +743,81 @@ def test_det_double_twins_share_fast_path_constant():
     assert f"<= {DOUBLE_EXACT_MAX} " in duck_det_double("x")
     # Spark twin renders the same literal in its expression tree
     assert str(DOUBLE_EXACT_MAX) in repr(det_double(F.col("x").cast("decimal(38,0)")))
+
+
+@PROP_SETTINGS
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # group (few values, like nation)
+            st.integers(-1000, 1000),   # order value (ties ACROSS ids ok)
+            st.integers(0, 100000),     # unique id (total-order tiebreak)
+        ),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[2],
+    )
+)
+def test_grouped_positions_equals_partitioned_window(spark, vals):
+    """twophase.grouped_positions must equal the per-group ordered
+    window it replaces (row_number + count PARTITION BY g ORDER BY
+    v DESC, id) for any data and any range-boundary placement — guards
+    the shared helper under win_ntile_dense / win_percent_rank_cume,
+    including the descending order direction those keys use."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from catena_spark.twophase import grouped_positions
+
+    df = spark.createDataFrame(vals, "g long, v long, id long")
+    got = {
+        r["id"]: (r["_pos"], r["_n"])
+        for r in grouped_positions(
+            df, ["g"], [F.col("v").desc(), F.col("id")]
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), "id")
+    exp = {
+        r["id"]: (r["p"], r["n"])
+        for r in df.withColumn("p", F.row_number().over(w))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("g")).cast("long")
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+@PROP_SETTINGS
+@given(n=st.integers(1, 40))
+def test_ntile_arithmetic_matches_window_ntile(spark, n):
+    """The closed-form ntile(4) arithmetic in win_ntile_dense must
+    reproduce Spark's NTile for every group size (first n%k buckets
+    get the extra row), including n < k where the ELSE's div-by-zero
+    branch must never evaluate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(1, n + 1).withColumnRenamed("id", "_pos").withColumn(
+        "_n", F.lit(n).cast("long")
+    )
+    ntile4 = (
+        "CASE WHEN _pos <= (_n % 4) * ((_n div 4) + 1)"
+        "     THEN 1 + (_pos - 1) div ((_n div 4) + 1)"
+        "     ELSE (_n % 4) + 1 + (_pos - (_n % 4) * ((_n div 4) + 1) - 1)"
+        "          div (_n div 4) END"
+    )
+    got = {
+        r["_pos"]: r["q"]
+        for r in df.withColumn("q", F.expr(ntile4).cast("long")).collect()
+    }
+    exp = {
+        r["_pos"]: r["q"]
+        for r in df.withColumn(
+            "q",
+            F.ntile(4)
+            .over(Window.partitionBy(F.lit(1)).orderBy("_pos"))
+            .cast("long"),
+        ).collect()
+    }
+    assert got == exp
