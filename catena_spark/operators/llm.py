@@ -17,7 +17,6 @@ every result set non-degenerate.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -34,6 +33,7 @@ from ..functions.text import (
 )
 from ..functions.vectors import cosine_ge, cosine_micro, dot_long, micro_ints
 from ..registry import query
+from ..session import env_int
 from ..twophase import global_running_sum
 
 
@@ -470,30 +470,52 @@ def llm_embedding_near_dup(
     production path is llm_ann_lsh (hyperplane-banded candidates ->
     exact verify) — same verify kernel, shuffle bounded by bucket
     collisions instead of n^2. Inputs above ``max_rows`` vectors
-    (default NEAR_DUP_MAX_ROWS, env CATENA_NEAR_DUP_MAX_ROWS; 0
-    disables) fail loud with a pointer to llm_ann_lsh — the guard probe
-    is ``limit(cap+1).count()``, so it never full-scans a big table.
+    (default NEAR_DUP_MAX_ROWS, env CATENA_NEAR_DUP_MAX_ROWS; 0 or
+    empty disables) fail loud with a pointer to llm_ann_lsh. The guard
+    is IN THE PLAN (ADVICE r10): a limited count — LocalLimit cap+1
+    stops the scan early — broadcast as a 1-row scalar and raise_error-
+    CASEd into vec_id, the same lazy fail-loud shape as the gap-fill
+    bucket cap, so building this query stays side-effect-free (no
+    eager job during registry/plan-lint/parity construction) and the
+    guard executes exactly when the query does.
     """
     cap = (
         max_rows
         if max_rows is not None
-        else int(os.environ.get("CATENA_NEAR_DUP_MAX_ROWS", NEAR_DUP_MAX_ROWS))
+        else env_int("CATENA_NEAR_DUP_MAX_ROWS", NEAR_DUP_MAX_ROWS)
     )
-    if cap:
-        probed = tables.load(spark, sf_dir, "embeddings").limit(cap + 1).count()
-        if probed > cap:
-            raise ValueError(
-                f"llm_embedding_near_dup is the exact all-pairs recall "
-                f"oracle (O(n^2) candidate pairs); input exceeds {cap} "
-                f"vectors. Use llm_ann_lsh (hyperplane-banded candidates, "
-                f"identical exact verify kernel) at scale, or override "
-                f"with max_rows=0 / CATENA_NEAR_DUP_MAX_ROWS."
-            )
     e = (
         tables.load(spark, sf_dir, "embeddings")
         .select("vec_id", "label", micro_ints("embedding").alias("iv"))
         .withColumn("n2", dot_long("iv", "iv"))
     )
+    if cap:
+        probe = (
+            tables.load(spark, sf_dir, "embeddings")
+            .select("vec_id")
+            .limit(cap + 1)
+            .agg(F.count(F.lit(1)).cast("long").alias("_n_probe"))
+        )
+        e = (
+            e.crossJoin(F.broadcast(probe))
+            .withColumn(
+                "vec_id",
+                F.when(
+                    F.col("_n_probe") > cap,
+                    F.raise_error(
+                        F.lit(
+                            f"llm_embedding_near_dup is the exact all-pairs "
+                            f"recall oracle (O(n^2) candidate pairs); input "
+                            f"exceeds {cap} vectors. Use llm_ann_lsh "
+                            f"(hyperplane-banded candidates, identical exact "
+                            f"verify kernel) at scale, or override with "
+                            f"max_rows=0 / CATENA_NEAR_DUP_MAX_ROWS."
+                        )
+                    ).cast("long"),
+                ).otherwise(F.col("vec_id")),
+            )
+            .drop("_n_probe")
+        )
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("iv").alias("ia"),
         F.col("label").alias("la"), F.col("n2").alias("n2a"),

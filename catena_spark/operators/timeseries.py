@@ -21,7 +21,6 @@ Scale invariants across this module:
 
 from __future__ import annotations
 
-import os
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -29,6 +28,7 @@ from pyspark.sql import functions as F
 
 from .. import tables
 from ..registry import query
+from ..session import env_int
 from ..tables import SERIES_SQL
 
 #: microseconds per second/hour — used for exact integer time arithmetic.
@@ -362,7 +362,7 @@ def _hourly_grid(bounds: DataFrame) -> DataFrame:
     extra scan, and the grid is bit-identical whenever every span is
     within the cap, so the driver hash cannot change on healthy data.
     """
-    cap = int(os.environ.get("CATENA_GAPFILL_MAX_BUCKETS", GAPFILL_MAX_BUCKETS))
+    cap = env_int("CATENA_GAPFILL_MAX_BUCKETS", GAPFILL_MAX_BUCKETS)
     mn = F.col("mn")
     if cap:
         span = (

@@ -53,6 +53,23 @@ _RUNTIME_CONF = {
 }
 
 
+def env_int(name: str, default: int) -> int:
+    """Integer env knob with the default on UNSET OR EMPTY (ADVICE r10:
+    a bare ``export CATENA_X=`` crashed the old ``int(os.environ.get``
+    with a blank ValueError); non-integer garbage still fails, naming
+    the variable so the fix is obvious."""
+    raw = os.environ.get(name, "").strip()
+    if not raw:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"env {name}={raw!r} is not an integer (unset or empty uses "
+            f"the default {default})"
+        ) from None
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Make ``catena_spark`` importable on executor Python workers.
 

@@ -67,7 +67,10 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+# dirname-of-dirname, not string surgery on __file__: invoked as
+# `python scripts/plan_lint.py` the latter yielded "" (= cwd) and only
+# worked from the repo root by accident (ADVICE r10)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from catena_spark import registry
 from catena_spark.session import get_spark
@@ -119,6 +122,36 @@ _PINNED_BROADCAST_ALLOW = {
 }
 
 
+def _sequence_spans(gen: str) -> list[str]:
+    """The argument span of every ``sequence(...)`` call in a generator
+    expression string, balanced-paren matched (ADVICE r10: the old
+    check accepted 'length(' / 'raise_error' appearing ANYWHERE in the
+    generator — e.g. in a sibling argument of the surrounding
+    transform — so a value-bounded sequence could ride through on an
+    unrelated marker; the bound/guard must sit inside the sequence's
+    own arguments, where Catalyst constant-folds the gap-fill cap)."""
+    spans: list[str] = []
+    i = 0
+    while True:
+        j = gen.find("sequence(", i)
+        if j < 0:
+            return spans
+        k = j + len("sequence(") - 1  # the opening paren
+        depth = 0
+        for k2 in range(k, len(gen)):
+            if gen[k2] == "(":
+                depth += 1
+            elif gen[k2] == ")":
+                depth -= 1
+                if depth == 0:
+                    spans.append(gen[k + 1 : k2])
+                    i = k2 + 1
+                    break
+        else:  # unbalanced (truncated toString): take the tail
+            spans.append(gen[k + 1 :])
+            return spans
+
+
 def _iter_nodes(node):
     """Depth-first over a Catalyst TreeNode, including subquery plans.
 
@@ -159,11 +192,11 @@ def lint_df(df, allow_pinned_broadcast: bool = False) -> list[str]:
     for node in _iter_nodes(qe.optimizedPlan()):
         if node.nodeName() == "Generate":
             gen = node.generator().toString()
-            if (
-                "sequence(" in gen
-                and "length(" not in gen
-                and "size(" not in gen
-                and "raise_error" not in gen
+            if any(
+                "length(" not in span
+                and "size(" not in span
+                and "raise_error" not in span
+                for span in _sequence_spans(gen)
             ):
                 bad.append("unguarded-value-dependent-explode")
                 break

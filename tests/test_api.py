@@ -151,3 +151,23 @@ def test_at_capacity_older_than_all_is_late_and_idempotent(spark, db):
 def test_zero_writable_partitions_rejected():
     with pytest.raises(ValueError, match="writable_partitions"):
         CatenaDB(None, "/tmp/x", writable_partitions=0)
+
+
+def test_env_int_tolerates_empty_and_names_bad_values(monkeypatch):
+    """ADVICE r10: integer env knobs must treat unset/empty/whitespace
+    as the default and name the variable on garbage."""
+    import pytest
+
+    from catena_spark.session import env_int
+
+    monkeypatch.delenv("CATENA_X_TEST", raising=False)
+    assert env_int("CATENA_X_TEST", 42) == 42
+    monkeypatch.setenv("CATENA_X_TEST", "")
+    assert env_int("CATENA_X_TEST", 42) == 42
+    monkeypatch.setenv("CATENA_X_TEST", "  ")
+    assert env_int("CATENA_X_TEST", 42) == 42
+    monkeypatch.setenv("CATENA_X_TEST", " 7 ")
+    assert env_int("CATENA_X_TEST", 42) == 7
+    monkeypatch.setenv("CATENA_X_TEST", "seven")
+    with pytest.raises(ValueError, match="CATENA_X_TEST"):
+        env_int("CATENA_X_TEST", 42)

@@ -136,16 +136,21 @@ def test_token_packing_sharded_form_matches_global(spark):
 
 
 def test_embedding_near_dup_size_guard(spark):
-    """VERDICT r9 item 5: the declared O(n^2) recall oracle must fail
-    loud above its vector cap (pointing callers at llm_ann_lsh), accept
-    an explicit override, and leave the default fixture-scale path — and
-    hence the driver hash — untouched."""
+    """VERDICT r9 item 5 + ADVICE r10: the declared O(n^2) recall
+    oracle must fail loud above its vector cap (pointing callers at
+    llm_ann_lsh), accept an explicit override, and leave the default
+    fixture-scale path — and hence the driver hash — untouched. The
+    guard is now IN THE PLAN: construction is lazy (no eager job, no
+    exception at build) and the raise fires when the query executes."""
     import pytest
 
-    # fixture (500 vectors) is far below a cap of 10: must raise with a
-    # pointer to the banded twin, BEFORE any pair computation runs
-    with pytest.raises(ValueError, match="llm_ann_lsh"):
-        llm.llm_embedding_near_dup(spark, SF_SMALL, max_rows=10)
+    # construction must be side-effect-free even over the cap (ADVICE
+    # r10: the old eager limit().count() probe ran a Spark job inside
+    # every registry/plan-lint build)
+    over = llm.llm_embedding_near_dup(spark, SF_SMALL, max_rows=10)
+    # ... and executing it must raise with a pointer to the banded twin
+    with pytest.raises(Exception, match="llm_ann_lsh"):
+        over.count()
     # cap=0 disables the guard entirely
     assert llm.llm_embedding_near_dup(spark, SF_SMALL, max_rows=0).count() > 0
     # default cap (10^4) passes fixture scale — same rows as ungated
@@ -157,11 +162,19 @@ def test_embedding_near_dup_size_guard(spark):
 
 
 def test_embedding_near_dup_env_cap(spark, monkeypatch):
-    """Env override path: CATENA_NEAR_DUP_MAX_ROWS gates like max_rows."""
+    """Env override path: CATENA_NEAR_DUP_MAX_ROWS gates like max_rows;
+    empty string falls back to the default instead of crashing
+    (ADVICE r10)."""
     import pytest
 
     monkeypatch.setenv("CATENA_NEAR_DUP_MAX_ROWS", "10")
-    with pytest.raises(ValueError, match="exceeds 10 "):
-        llm.llm_embedding_near_dup(spark, SF_SMALL)
+    with pytest.raises(Exception, match="exceeds 10 "):
+        llm.llm_embedding_near_dup(spark, SF_SMALL).count()
     monkeypatch.setenv("CATENA_NEAR_DUP_MAX_ROWS", "0")
     assert llm.llm_embedding_near_dup(spark, SF_SMALL).count() > 0
+    # empty = default (10^4): fixture scale passes
+    monkeypatch.setenv("CATENA_NEAR_DUP_MAX_ROWS", "")
+    assert llm.llm_embedding_near_dup(spark, SF_SMALL).count() > 0
+    monkeypatch.setenv("CATENA_NEAR_DUP_MAX_ROWS", "ten")
+    with pytest.raises(ValueError, match="CATENA_NEAR_DUP_MAX_ROWS"):
+        llm.llm_embedding_near_dup(spark, SF_SMALL)

@@ -181,3 +181,33 @@ def test_passes_hinted_nation_broadcast(spark):
         assert plan_lint.lint_df(df) == []
     finally:
         _restore(spark, saved)
+
+
+def test_flags_sequence_with_marker_outside_span(spark):
+    # ADVICE r10 tightening: a length( marker in a SIBLING argument of
+    # the surrounding transform must not whitelist a value-bounded
+    # sequence — the guard has to sit inside sequence(...)'s own span
+    df = (
+        _base(spark)
+        .withColumn("t", F.lit("abc"))
+        .withColumn("hi", F.col("id") * 10)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(id, hi), x -> x + length(t))"
+                )
+            ).alias("x")
+        )
+    )
+    assert plan_lint.lint_df(df) == ["unguarded-value-dependent-explode"]
+
+
+def test_sequence_span_extraction():
+    # balanced-paren matching: nested calls, several sequences, a
+    # truncated tail
+    spans = plan_lint._sequence_spans(
+        "transform(sequence(a, f(g(b), c)), x -> sequence(1, length(t)))"
+    )
+    assert spans == ["a, f(g(b), c)", "1, length(t)"]
+    assert plan_lint._sequence_spans("no generators here") == []
+    assert plan_lint._sequence_spans("sequence(a, f(b") == ["a, f(b"]
