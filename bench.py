@@ -192,18 +192,30 @@ def _measure_quantum(spark) -> dict[str, float]:
     return out
 
 
-def _concurrent_spark_pids(proc_root: str = "/proc") -> list[int]:
-    """PIDs of Spark JVMs already running when the bench starts.
+def _concurrent_spark_pids(
+    proc_root: str = "/proc", exclude_own: bool = False
+) -> list[int]:
+    """PIDs of foreign Spark JVMs sharing this machine's CPUs.
+
+    Called TWICE (ADVICE r10): once before this process launches its
+    own JVM (where self-detection is impossible), and again after the
+    timed loop — a foreign JVM that started mid-run is exactly the
+    overlap the sentinel exists for, and the pre-scan alone missed it.
+    The post-run scan sets ``exclude_own`` to skip our gateway JVM,
+    identified by parent pid == this process (local-mode Spark is a
+    direct py4j child); a just-exited foreign JVM can no longer be
+    seen, but it was either caught by the pre-scan or overlapped only
+    partially — the union of both scans is the honest sentinel.
 
     Two 32-thread Spark JVMs on 32 CPUs inflate every query ~1.5x
     UNIFORMLY (measured r10: a max-hostile probe overlapping check_all
     made all five headline queries fail bench_guard at 1.4-1.6x their
     trailing medians; the quiet re-run passed at +15%). A contended
     sample is unreliable in BOTH directions, so the bench marks it and
-    bench_guard refuses to adjudicate it. Scanned BEFORE this process
-    launches its own JVM, so self-detection is impossible.
+    bench_guard refuses to adjudicate it.
     """
     pids = []
+    me = str(os.getpid())
     try:
         entries = os.listdir(proc_root)
     except OSError:
@@ -217,9 +229,21 @@ def _concurrent_spark_pids(proc_root: str = "/proc") -> list[int]:
         except OSError:
             continue  # process exited mid-scan, or not ours to read
         argv0 = cmd.split(b"\0", 1)[0]
-        if b"java" in argv0 and b"org.apache.spark" in cmd:
-            pids.append(int(entry))
-    return pids
+        if not (b"java" in argv0 and b"org.apache.spark" in cmd):
+            continue
+        if exclude_own:
+            try:
+                with open(os.path.join(proc_root, entry, "stat")) as f:
+                    # field 4 of /proc/pid/stat is ppid; comm (field 2)
+                    # is parenthesized and may contain spaces — split
+                    # after the closing paren
+                    ppid = f.read().rsplit(")", 1)[1].split()[1]
+            except (OSError, IndexError):
+                ppid = ""
+            if ppid == me:
+                continue
+        pids.append(int(entry))
+    return sorted(pids)
 
 
 def main() -> None:
@@ -286,6 +310,13 @@ def main() -> None:
             cold_fns[name]()
     cold_raw = _interleaved_medians(cold_fns, REPEATS, setups=setups)
     cold = {name: round(v, 4) for name, v in cold_raw.items()}
+
+    # post-run rescan (ADVICE r10): a foreign JVM that launched AFTER
+    # the pre-scan but DURING the timed loop is exactly the overlap the
+    # sentinel is for; our own gateway JVM (ppid == us) is excluded
+    contended = sorted(
+        set(contended) | set(_concurrent_spark_pids(exclude_own=True))
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -67,14 +67,20 @@ def parse_bench_line(path: str) -> tuple[dict[str, float], list[int]]:
     )
 
 
-def trailing_history() -> dict[str, list[float]]:
+def round_records() -> list[dict[str, float]]:
+    """Per-round parsed query timings from ALL BENCH_r*.json artifacts,
+    in round order, contention-stamped and unreadable rounds dropped
+    (with a note). Callers window this; keeping the full clean list
+    means excluding a contended round no longer SHRINKS the window
+    (ADVICE r10) — the window just reaches one round further back."""
+
     def round_no(p: str) -> int:
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         return int(m.group(1)) if m else -1
 
     paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")), key=round_no)
-    hist: dict[str, list[float]] = {}
-    for p in paths[-HISTORY:]:
+    records: list[dict[str, float]] = []
+    for p in paths:
         try:
             with open(p, encoding="utf-8") as f:
                 parsed = json.load(f).get("parsed") or {}
@@ -87,11 +93,65 @@ def trailing_history() -> dict[str, list[float]]:
                     "from trailing history"
                 )
                 continue
-            for k, v in (parsed.get("queries") or {}).items():
-                hist.setdefault(k, []).append(float(v))
+            records.append(
+                {k: float(v) for k, v in (parsed.get("queries") or {}).items()}
+            )
         except (OSError, json.JSONDecodeError, TypeError, ValueError) as e:
             print(f"bench_guard: skipping unreadable {os.path.basename(p)}: {e}")
+    return records
+
+
+def trailing_history(records: list[dict[str, float]] | None = None) -> dict[str, list[float]]:
+    if records is None:
+        records = round_records()
+    hist: dict[str, list[float]] = {}
+    for rec in records[-HISTORY:]:
+        for k, v in rec.items():
+            hist.setdefault(k, []).append(v)
     return hist
+
+
+def _ratchet_hit(past: list[float]) -> bool:
+    """The window's median has drifted beyond the (factor, floor)
+    envelope above the window min — the shape a regression leaves after
+    it persists long enough to become the median itself."""
+    if len(past) < 3:  # two samples can't distinguish drift from noise
+        return False
+    mn = min(past)
+    return statistics.median(past) > max(
+        mn * REGRESSION_FACTOR, mn + ABS_FLOOR_SEC
+    )
+
+
+def persistent_ratchet(records: list[dict[str, float]]) -> list[str]:
+    """Queries whose ratchet condition holds in BOTH the current
+    HISTORY-window and the window shifted one round back (ADVICE r10:
+    the r10 warning-only ratchet let a real persistent regression pass
+    forever once it became the median; one window can still be a lucky
+    min on this drifty VM, two consecutive windows is a trend). These
+    FAIL the gate; BENCH_GUARD_ACCEPT_RATCHET=1 is the documented
+    escape after a human adjudicates the drift as environmental (e.g.
+    a permanently slower VM), which resets the baseline going forward."""
+    if len(records) < HISTORY + 1:
+        return []
+    cur, prev = records[-HISTORY:], records[-HISTORY - 1 : -1]
+
+    def col(recs, q):
+        return [r[q] for r in recs if q in r]
+
+    out = []
+    for q in sorted({k for r in records[-HISTORY - 1 :] for k in r}):
+        pc, pp = col(cur, q), col(prev, q)
+        if _ratchet_hit(pc) and _ratchet_hit(pp):
+            med, mn = statistics.median(pc), min(pc)
+            out.append(
+                f"{q}: trailing-median {med * 1e3:.1f}ms is {med / mn:.2f}x "
+                f"the window min {mn * 1e3:.1f}ms in two consecutive round "
+                f"windows — a persistent regression has ratcheted the "
+                f"baseline (set BENCH_GUARD_ACCEPT_RATCHET=1 only after "
+                f"adjudicating it as environmental)"
+            )
+    return out
 
 
 def check(current: dict[str, float], hist: dict[str, list[float]]) -> list[str]:
@@ -103,10 +163,10 @@ def check(current: dict[str, float], hist: dict[str, list[float]]) -> list[str]:
     median itself rises to the regressed level and the gate would pass
     it forever — so when the trailing median drifts beyond the same
     (factor, floor) envelope above the WINDOW MIN, print a loud
-    RATCHET-WARNING naming the drift. A warning, not a failure: the min
-    can be a one-off lucky sample on this drifty VM, so the human (or
-    judge) adjudicates against BENCH_r*.json history instead of the gate
-    auto-failing on noise."""
+    RATCHET-WARNING naming the drift. One window's warning stays a
+    warning (the min can be a one-off lucky sample on this drifty VM);
+    r11 escalates it to a FAILURE when it persists across two
+    consecutive round windows — see persistent_ratchet()."""
     failures = []
     for q, now in sorted(current.items()):
         past = hist.get(q)
@@ -121,7 +181,7 @@ def check(current: dict[str, float], hist: dict[str, list[float]]) -> list[str]:
             f"{med * 1e3:.1f}ms budget={budget * 1e3:.1f}ms {verdict}"
         )
         mn = min(past)
-        if med > max(mn * REGRESSION_FACTOR, mn + ABS_FLOOR_SEC):
+        if _ratchet_hit(past):
             print(
                 f"bench_guard: {q}: RATCHET-WARNING trailing-median "
                 f"{med * 1e3:.1f}ms is {med / mn:.2f}x the window min "
@@ -147,7 +207,14 @@ def main() -> None:
             "and unreliable in both directions; re-run bench on an idle "
             "machine (no pass, no fail, no median adjudication)"
         )
-    failures = check(current, trailing_history())
+    records = round_records()
+    failures = check(current, trailing_history(records))
+    ratcheted = persistent_ratchet(records)
+    if ratcheted and os.environ.get("BENCH_GUARD_ACCEPT_RATCHET"):
+        for m in ratcheted:
+            print(f"bench_guard: RATCHET accepted by env override: {m}")
+    elif ratcheted:
+        failures += [f"RATCHET {m}" for m in ratcheted]
     if failures:
         print("bench_guard: PER-QUERY REGRESSION DETECTED:")
         for f in failures:

@@ -41,6 +41,10 @@ if ! python scripts/bench_guard.py "$BENCH_OUT"; then
   BENCH_OUT2="$(mktemp /tmp/catena_bench_out.XXXXXX)"
   trap 'rm -f "$BENCH_OUT" "$BENCH_OUT2"' EXIT
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" python bench.py | tee "$BENCH_OUT2"
+  # persist BOTH samples to BENCH_RETRIES.jsonl (ADVICE r10): the retry
+  # policy is honest only if the failed first run stays on the record
+  # for the judge, not just the retry that passed
+  python scripts/record_bench_retry.py "$BENCH_OUT" "$BENCH_OUT2"
   python scripts/bench_guard.py "$BENCH_OUT2"
 fi
 

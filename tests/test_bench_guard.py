@@ -143,6 +143,20 @@ def test_bench_concurrent_jvm_scan(tmp_path):
     (tmp_path / "not-a-pid").mkdir()
     assert bench._concurrent_spark_pids(str(tmp_path)) == [101]
 
+    # post-run mode (ADVICE r10): our own gateway JVM — a Spark JVM
+    # whose ppid is this process — must be excluded, while a foreign
+    # Spark JVM (different parent) that appeared mid-run is reported
+    own = tmp_path / "104"
+    own.mkdir()
+    (own / "cmdline").write_bytes(
+        b"java\x00-cp\x00x\x00org.apache.spark.deploy.SparkSubmit\x00pyspark-shell"
+    )
+    (own / "stat").write_text(f"104 (java) S {os.getpid()} 104 104 0 -1")
+    (tmp_path / "101" / "stat").write_text("101 (java) S 1 101 101 0 -1")
+    assert bench._concurrent_spark_pids(str(tmp_path), exclude_own=True) == [101]
+    # without exclude_own (the pre-launch scan) both are reported
+    assert bench._concurrent_spark_pids(str(tmp_path)) == [101, 104]
+
 
 def test_contended_round_record_excluded_from_history(tmp_path, monkeypatch):
     import json
@@ -156,3 +170,79 @@ def test_contended_round_record_excluded_from_history(tmp_path, monkeypatch):
     monkeypatch.setattr(bench_guard, "REPO", str(tmp_path))
     hist = bench_guard.trailing_history()
     assert hist == {"q1": [0.040, 0.041]}
+
+
+def test_window_reaches_past_contended_rounds(tmp_path, monkeypatch):
+    """ADVICE r10: excluding a contended round must not SHRINK the
+    5-record window — it reaches one round further back instead."""
+    import json
+
+    vals = [0.040, 0.041, 0.042, 0.043, 0.044, 0.045]
+    for rn, v in enumerate(vals, start=4):
+        (tmp_path / f"BENCH_r{rn:02d}.json").write_text(
+            json.dumps({"parsed": {"queries": {"q1": v}}})
+        )
+    (tmp_path / "BENCH_r10.json").write_text(
+        json.dumps(
+            {"parsed": {"queries": {"q1": 0.065}, "contended_with_pids": [7]}}
+        )
+    )
+    monkeypatch.setattr(bench_guard, "REPO", str(tmp_path))
+    hist = bench_guard.trailing_history()
+    # still 5 samples: the clean r5-r9, not the 4 clean among last 5
+    assert hist == {"q1": [0.041, 0.042, 0.043, 0.044, 0.045]}
+
+
+def _records(vals):
+    return [{"q1": v} for v in vals]
+
+
+def test_persistent_ratchet_fails_after_two_windows():
+    """A regression old enough to hold the ratchet condition in two
+    consecutive round windows is a trend, not a lucky-min artifact —
+    it must FAIL, not warn (ADVICE r10)."""
+    out = bench_guard.persistent_ratchet(
+        _records([0.040, 0.040, 0.060, 0.060, 0.060, 0.060])
+    )
+    assert len(out) == 1 and "q1" in out[0]
+
+
+def test_fresh_regression_is_not_a_persistent_ratchet():
+    # only two regressed rounds: the current window's median is still
+    # the healthy level — the per-sample gate handles this case
+    assert (
+        bench_guard.persistent_ratchet(
+            _records([0.040, 0.040, 0.040, 0.040, 0.060, 0.060])
+        )
+        == []
+    )
+
+
+def test_persistent_ratchet_needs_enough_history():
+    assert bench_guard.persistent_ratchet(_records([0.04, 0.06, 0.06])) == []
+
+
+def test_ratchet_env_override_accepts(tmp_path, monkeypatch, capsys):
+    """BENCH_GUARD_ACCEPT_RATCHET=1 is the documented escape after a
+    human adjudicates the drift as environmental."""
+    import json
+
+    for rn, v in enumerate([0.040, 0.040, 0.060, 0.060, 0.060, 0.060], start=5):
+        (tmp_path / f"BENCH_r{rn:02d}.json").write_text(
+            json.dumps({"parsed": {"queries": {"q1": v}}})
+        )
+    sample = tmp_path / "bench_out.txt"
+    sample.write_text(json.dumps({"queries": {"q1": 0.060}}) + "\n")
+    monkeypatch.setattr(bench_guard, "REPO", str(tmp_path))
+    monkeypatch.setattr(bench_guard.sys, "argv", ["bench_guard", str(sample)])
+    # without the override: the persistent ratchet fails the gate even
+    # though the sample itself is within budget
+    monkeypatch.delenv("BENCH_GUARD_ACCEPT_RATCHET", raising=False)
+    import pytest
+
+    with pytest.raises(SystemExit):
+        bench_guard.main()
+    capsys.readouterr()
+    monkeypatch.setenv("BENCH_GUARD_ACCEPT_RATCHET", "1")
+    bench_guard.main()  # no exit
+    assert "accepted by env override" in capsys.readouterr().out
