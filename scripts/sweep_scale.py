@@ -33,7 +33,9 @@ import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+# dirname-of-dirname, not string surgery (same ADVICE r10 fix as
+# plan_lint.py): works from any cwd
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from catena_spark import registry
 from catena_spark.session import get_spark
