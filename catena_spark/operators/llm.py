@@ -17,7 +17,6 @@ every result set non-degenerate.
 
 from __future__ import annotations
 
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 

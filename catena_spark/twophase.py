@@ -111,6 +111,7 @@ def grouped_positions(
     pos_col: str = "_pos",
     n_col: str = "_n",
     partitions: int = 8,
+    assert_total_order: bool = False,
 ) -> DataFrame:
     """Append ``pos_col`` = the 1-based position of each row within its
     ``group_cols`` group under the total order ``order_exprs``, and
@@ -138,9 +139,38 @@ def grouped_positions(
     straddling a range boundary would get partition-order ties) and may
     carry direction (``F.col(...).desc()``); ``group_cols`` must be
     plain non-null column names (they are grouped and equi-joined on).
-    The localCheckpoint pins the range partitioning so the counts fetch
-    and the final join see identical placement.
+    ``assert_total_order=True`` verifies (group, order) uniqueness with
+    one extra aggregate job — same contract and SortOrder restriction
+    as ``global_running_sum``; current callers order by keys proven
+    unique in their fixtures. The localCheckpoint pins the range
+    partitioning so the counts fetch and the final join see identical
+    placement.
     """
+    if assert_total_order:
+        decorated = [
+            c for c in order_exprs
+            if not isinstance(c, str)
+            and (" ASC NULLS" in str(c) or " DESC NULLS" in str(c))
+        ]
+        if decorated:
+            raise ValueError(
+                "grouped_positions(assert_total_order=True) needs plain "
+                "column expressions in order_exprs — SortOrder (e.g. "
+                f".desc()) cannot be grouped on (got {decorated}); pass "
+                "undecorated columns when asserting"
+            )
+        dup = (
+            df.groupBy(*group_cols, *order_exprs)
+            .agg(F.count(F.lit(1)).alias("_n_dup"))
+            .where(F.col("_n_dup") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"grouped_positions: (group_cols, order_exprs) are not a "
+                f"total order (duplicate key: {dup[0]})"
+            )
     range_exprs = [F.col(c) for c in group_cols] + [
         F.col(e) if isinstance(e, str) else e for e in order_exprs
     ]

@@ -25,11 +25,11 @@ SRC = os.path.join(os.path.dirname(__file__), "..", "catena_spark")
 
 #: file -> max allowed .collect() occurrences (the documented sites)
 #: twophase.py: global_running_sum's per-partition totals (1 row per
-#: partition), global_running_sum's total-order assertion probe, and
-#: grouped_positions' per-(partition x group) counts (r11) — all
-#: driver-bounded metadata fetches, never data rows. api.py: two
+#: partition), grouped_positions' per-(partition x group) counts (r11),
+#: and both helpers' opt-in total-order assertion probes (limit(1)) —
+#: all driver-bounded metadata fetches, never data rows. api.py: two
 #: single-row client-facade scalar reads outside every queries() path.
-COLLECT_ALLOWED = {"twophase.py": 3, "api.py": 2}
+COLLECT_ALLOWED = {"twophase.py": 4, "api.py": 2}
 
 
 def _py_files():

@@ -821,3 +821,33 @@ def test_ntile_arithmetic_matches_window_ntile(spark, n):
         ).collect()
     }
     assert got == exp
+
+
+def test_grouped_positions_rejects_tied_order_keys(spark):
+    """Same contract as global_running_sum: tied (group, order) keys
+    straddling a range boundary would make positions nondeterministic —
+    the opt-in assertion must catch them, and must reject SortOrder
+    inputs with the explanatory error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from catena_spark.twophase import grouped_positions
+
+    tied = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 2), (2, 30, 3)], "g long, v long, id long"
+    )
+    with pytest.raises(ValueError, match="not a total order"):
+        grouped_positions(
+            tied.drop("id"), ["g"], [F.col("v")], assert_total_order=True
+        )
+    with pytest.raises(ValueError, match="plain column expressions"):
+        grouped_positions(
+            tied, ["g"], [F.col("v").desc()], assert_total_order=True
+        )
+    got = {
+        r["id"]: (r["_pos"], r["_n"])
+        for r in grouped_positions(
+            tied, ["g"], [F.col("v"), F.col("id")], assert_total_order=True
+        ).collect()
+    }
+    assert got == {1: (1, 2), 2: (2, 2), 3: (1, 1)}
