@@ -330,6 +330,15 @@ def main() -> None:
         "queries": prepared,
         "queries_cold_plan": cold,
         "sf": float(sf),
+        # same-run VM-state evidence (r11): the zero-work job quantum,
+        # measured AFTER the timed loop at the same conf. This VM's
+        # quantum drifts 20->65 ms across hours (hypervisor neighbors —
+        # both Spark AND DuckDB slow together), which is indistinguishable
+        # from a uniform regression in the query numbers alone; stamping
+        # the floor into every sample lets bench_guard and the round
+        # records separate "the tree got slower" from "the VM got
+        # slower" mechanically instead of by re-measuring DuckDB by hand.
+        "vm_quantum": _measure_quantum(spark),
     }
     if contended:
         # mark the sample so bench_guard (and any human reading

@@ -40,8 +40,11 @@ ABS_FLOOR_SEC = 0.015
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def parse_bench_line(path: str) -> tuple[dict[str, float], list[int]]:
-    """(queries, contended_with_pids) from the last bench JSON line.
+def parse_bench_line(
+    path: str,
+) -> tuple[dict[str, float], list[int], dict]:
+    """(queries, contended_with_pids, vm_quantum) from the last bench
+    JSON line.
 
     A non-empty pid list means bench.py saw other Spark JVMs on the
     machine when it started (r10: that shape inflated all five queries
@@ -64,6 +67,7 @@ def parse_bench_line(path: str) -> tuple[dict[str, float], list[int]]:
     return (
         {k: float(v) for k, v in found["queries"].items()},
         list(found.get("contended_with_pids") or []),
+        found.get("vm_quantum") or {},
     )
 
 
@@ -199,7 +203,17 @@ def check(current: dict[str, float], hist: dict[str, list[float]]) -> list[str]:
 def main() -> None:
     if len(sys.argv) != 2:
         sys.exit(__doc__)
-    current, contended = parse_bench_line(sys.argv[1])
+    current, contended, quantum = parse_bench_line(sys.argv[1])
+    if quantum:
+        q1 = quantum.get("job_1shuffle")
+        state = ""
+        if isinstance(q1, (int, float)) and q1 > 0.045:
+            state = (
+                " — DEGRADED VM STATE (healthy band 33-38 ms): uniform "
+                "query inflation in this sample is the VM, not the tree; "
+                "adjudicate failures against the same-run quantum"
+            )
+        print(f"bench_guard: sample vm_quantum {quantum}{state}")
     if contended:
         sys.exit(
             f"bench_guard: bench ran alongside {len(contended)} other Spark "

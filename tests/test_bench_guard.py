@@ -96,13 +96,20 @@ def test_parse_surfaces_contended_pids(tmp_path):
         tmp_path,
         {"queries": {"q1": 0.05}, "contended_with_pids": [1234, 5678]},
     )
-    queries, pids = bench_guard.parse_bench_line(path)
-    assert queries == {"q1": 0.05} and pids == [1234, 5678]
+    queries, pids, quantum = bench_guard.parse_bench_line(path)
+    assert queries == {"q1": 0.05} and pids == [1234, 5678] and quantum == {}
 
 
 def test_parse_clean_line_has_no_pids(tmp_path):
     path = _write_bench_line(tmp_path, {"queries": {"q1": 0.05}})
-    assert bench_guard.parse_bench_line(path) == ({"q1": 0.05}, [])
+    assert bench_guard.parse_bench_line(path) == ({"q1": 0.05}, [], {})
+    qpath = _write_bench_line(
+        tmp_path,
+        {"queries": {"q1": 0.05}, "vm_quantum": {"job_1shuffle": 0.051}},
+    )
+    assert bench_guard.parse_bench_line(qpath) == (
+        {"q1": 0.05}, [], {"job_1shuffle": 0.051}
+    )
 
 
 def test_contended_run_is_not_adjudicated(tmp_path, monkeypatch):
@@ -246,3 +253,32 @@ def test_ratchet_env_override_accepts(tmp_path, monkeypatch, capsys):
     monkeypatch.setenv("BENCH_GUARD_ACCEPT_RATCHET", "1")
     bench_guard.main()  # no exit
     assert "accepted by env override" in capsys.readouterr().out
+
+
+def test_degraded_vm_quantum_is_called_out(tmp_path, monkeypatch, capsys):
+    """r11: a sample stamped with an elevated job quantum (this VM
+    drifts 20->65 ms across hours, inflating every query uniformly —
+    both engines slow together) must print the degraded-state context
+    next to any failure, so the judge adjudicates against the same-run
+    floor instead of re-measuring DuckDB by hand."""
+    import json
+
+    for rn, v in enumerate([0.040, 0.041, 0.040, 0.041, 0.040], start=5):
+        (tmp_path / f"BENCH_r{rn:02d}.json").write_text(
+            json.dumps({"parsed": {"queries": {"q1": v}}})
+        )
+    sample = tmp_path / "bench_out.txt"
+    sample.write_text(
+        json.dumps(
+            {"queries": {"q1": 0.060}, "vm_quantum": {"job_1shuffle": 0.065}}
+        )
+        + "\n"
+    )
+    monkeypatch.setattr(bench_guard, "REPO", str(tmp_path))
+    monkeypatch.setattr(bench_guard.sys, "argv", ["bench_guard", str(sample)])
+    import pytest
+
+    with pytest.raises(SystemExit):  # the gate still fails — evidence only
+        bench_guard.main()
+    out = capsys.readouterr().out
+    assert "DEGRADED VM STATE" in out
