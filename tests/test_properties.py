@@ -454,6 +454,73 @@ def test_two_phase_assert_edge_cases(spark):
         )
 
 
+def test_two_phase_partitions_scale_with_cluster(spark):
+    """VERDICT r11 item 1: the two-phase helpers' parallelism must
+    follow the cluster, not a constant. Default = max(defaultParallelism,
+    MIN_PARTITIONS); session conf catena.twophase.partitions overrides
+    the derivation; an explicit argument overrides both; nonsense values
+    fail loud."""
+    import pytest
+
+    from catena_spark import twophase
+
+    df = spark.createDataFrame([(1, 10)], "k long, v long")
+    dp = int(spark.sparkContext.defaultParallelism)
+    assert twophase.resolve_partitions(df, None) == max(
+        dp, twophase.MIN_PARTITIONS
+    )
+    assert twophase.resolve_partitions(df, 3) == 3
+    spark.conf.set("catena.twophase.partitions", "12")
+    try:
+        assert twophase.resolve_partitions(df, None) == 12
+        # explicit argument still wins over the conf
+        assert twophase.resolve_partitions(df, 5) == 5
+        spark.conf.set("catena.twophase.partitions", "0")
+        with pytest.raises(ValueError, match="catena.twophase.partitions"):
+            twophase.resolve_partitions(df, None)
+    finally:
+        spark.conf.unset("catena.twophase.partitions")
+    with pytest.raises(ValueError, match="partitions must be"):
+        twophase.resolve_partitions(df, 0)
+
+
+def test_two_phase_values_invariant_to_partition_count(spark):
+    """The scale knob must be value-free: offsets come from ACTUAL
+    per-partition totals and the total-order contract fixes tie
+    placement, so ANY partition count (1, 3, the dynamic default, or
+    way more partitions than rows) yields identical rows. This is the
+    hash-invariance argument for flipping the default from 8 to
+    defaultParallelism without driver re-verification risk."""
+    from pyspark.sql import functions as F
+
+    from catena_spark.twophase import global_running_sum, grouped_positions
+
+    rows = [(i % 5, i, (i * 37) % 11) for i in range(101)]
+    df = spark.createDataFrame(rows, "g int, k long, v long")
+
+    runs = [
+        {
+            r["k"]: r["run"]
+            for r in global_running_sum(
+                df, [F.col("k")], F.col("v"), "run", partitions=p
+            ).collect()
+        }
+        for p in (1, 3, None, 256)
+    ]
+    assert all(r == runs[0] for r in runs[1:])
+
+    poss = [
+        {
+            r["k"]: (r["_pos"], r["_n"])
+            for r in grouped_positions(
+                df, ["g"], [F.col("v").desc(), F.col("k")], partitions=p
+            ).collect()
+        }
+        for p in (1, 3, None, 256)
+    ]
+    assert all(p == poss[0] for p in poss[1:])
+
+
 def test_duckdb_list_sum_is_sequential_left_fold(duck):
     """Executable form of the parity assumption behind fn_array_suite /
     llm_vector_quantize_int8 (SCALE.md known-artifacts): DuckDB's
