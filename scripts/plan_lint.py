@@ -147,9 +147,13 @@ def _sequence_spans(gen: str) -> list[str]:
                     spans.append(gen[k + 1 : k2])
                     i = k2 + 1
                     break
-        else:  # unbalanced (truncated toString): take the tail
+        else:  # unbalanced (truncated toString): take the tail span, but
+            # KEEP scanning from the next occurrence (ADVICE r11) — a
+            # guarded first sequence inside the tail must not mask a
+            # later unguarded one; each later sequence( still gets its
+            # own (also truncated) span and its own marker check
             spans.append(gen[k + 1 :])
-            return spans
+            i = j + len("sequence(")
 
 
 def _iter_nodes(node):

@@ -211,3 +211,23 @@ def test_sequence_span_extraction():
     assert spans == ["a, f(g(b), c)", "1, length(t)"]
     assert plan_lint._sequence_spans("no generators here") == []
     assert plan_lint._sequence_spans("sequence(a, f(b") == ["a, f(b"]
+
+
+def test_sequence_span_truncation_keeps_scanning():
+    """ADVICE r11: a truncated toString must not stop the scan at the
+    first unbalanced sequence( — a guarded first sequence riding in the
+    tail span would otherwise mask a later UNGUARDED one (the tail span
+    contains the guard marker, so the whole-string check passes). Every
+    later sequence( gets its own span and its own marker check."""
+    spans = plan_lint._sequence_spans(
+        "sequence(a, least(hi, length(t)), sequence(lo, unbounded_hi"
+    )
+    # the first (unbalanced) tail span swallows the second sequence AND
+    # carries the guard marker; the second span must still surface on
+    # its own so its missing guard is checkable
+    assert len(spans) == 2
+    assert "length(t)" in spans[0]
+    assert spans[1] == "lo, unbounded_hi"
+    assert not any(
+        m in spans[1] for m in ("length(", "size(", "raise_error")
+    )
