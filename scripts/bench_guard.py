@@ -32,6 +32,13 @@ import sys
 
 REGRESSION_FACTOR = 1.4
 HISTORY = 5
+#: Adjudicated-ratchet ledger (repo root, committed): {query:
+#: accepted_median_sec}. Written by main() when
+#: BENCH_GUARD_ACCEPT_RATCHET=1 accepts a firing ratchet, honored by
+#: persistent_ratchet() ever after — so acceptance really does reset
+#: the baseline going forward (ADVICE r11: the env var alone persisted
+#: nothing and had to accompany every run until the window rolled).
+ACCEPTED_BASENAME = "BENCH_RATCHET_ACCEPTED.json"
 #: sub-25 ms queries live inside the ~20-40 ms scheduler/collect quantum
 #: (measured r6, bench.py); a ratio there is noise-dominated, so small
 #: absolute drifts get an absolute floor before the factor gate fires.
@@ -127,15 +134,42 @@ def _ratchet_hit(past: list[float]) -> bool:
     )
 
 
-def persistent_ratchet(records: list[dict[str, float]]) -> list[str]:
-    """Queries whose ratchet condition holds in BOTH the current
-    HISTORY-window and the window shifted one round back (ADVICE r10:
-    the r10 warning-only ratchet let a real persistent regression pass
-    forever once it became the median; one window can still be a lucky
-    min on this drifty VM, two consecutive windows is a trend). These
-    FAIL the gate; BENCH_GUARD_ACCEPT_RATCHET=1 is the documented
-    escape after a human adjudicates the drift as environmental (e.g.
-    a permanently slower VM), which resets the baseline going forward."""
+def load_accepted() -> dict[str, float]:
+    """The adjudicated-ratchet ledger, {} when absent/unreadable."""
+    try:
+        with open(os.path.join(REPO, ACCEPTED_BASENAME), encoding="utf-8") as f:
+            return {k: float(v) for k, v in json.load(f).items()}
+    except (OSError, json.JSONDecodeError, TypeError, ValueError):
+        return {}
+
+
+def save_accepted(accepted: dict[str, float]) -> None:
+    with open(
+        os.path.join(REPO, ACCEPTED_BASENAME), "w", encoding="utf-8"
+    ) as f:
+        json.dump(dict(sorted(accepted.items())), f, indent=1, sort_keys=True)
+        f.write("\n")
+
+
+def persistent_ratchet(
+    records: list[dict[str, float]],
+    accepted: dict[str, float] | None = None,
+) -> list[tuple[str, float, str]]:
+    """(query, window_median, message) for queries whose ratchet
+    condition holds in BOTH the current HISTORY-window and the window
+    shifted one round back (ADVICE r10: the r10 warning-only ratchet
+    let a real persistent regression pass forever once it became the
+    median; one window can still be a lucky min on this drifty VM, two
+    consecutive windows is a trend). These FAIL the gate.
+
+    BENCH_GUARD_ACCEPT_RATCHET=1 is the documented escape after a human
+    adjudicates the drift as environmental (e.g. a permanently slower
+    VM); main() PERSISTS the acceptance (query -> accepted window
+    median) to BENCH_RATCHET_ACCEPTED.json, and an ``accepted`` entry
+    suppresses the ratchet here for as long as the window median stays
+    within the standard (factor, floor) envelope above the accepted
+    level — drift beyond that re-fails, because it is a NEW regression
+    on top of the adjudicated one."""
     if len(records) < HISTORY + 1:
         return []
     cur, prev = records[-HISTORY:], records[-HISTORY - 1 : -1]
@@ -148,12 +182,28 @@ def persistent_ratchet(records: list[dict[str, float]]) -> list[str]:
         pc, pp = col(cur, q), col(prev, q)
         if _ratchet_hit(pc) and _ratchet_hit(pp):
             med, mn = statistics.median(pc), min(pc)
+            acc = (accepted or {}).get(q)
+            if acc is not None and med <= max(
+                acc * REGRESSION_FACTOR, acc + ABS_FLOOR_SEC
+            ):
+                print(
+                    f"bench_guard: {q}: ratchet previously accepted at "
+                    f"{acc * 1e3:.1f}ms ({ACCEPTED_BASENAME}); trailing-"
+                    f"median {med * 1e3:.1f}ms is inside the accepted "
+                    f"envelope — suppressed"
+                )
+                continue
             out.append(
-                f"{q}: trailing-median {med * 1e3:.1f}ms is {med / mn:.2f}x "
-                f"the window min {mn * 1e3:.1f}ms in two consecutive round "
-                f"windows — a persistent regression has ratcheted the "
-                f"baseline (set BENCH_GUARD_ACCEPT_RATCHET=1 only after "
-                f"adjudicating it as environmental)"
+                (
+                    q,
+                    med,
+                    f"{q}: trailing-median {med * 1e3:.1f}ms is "
+                    f"{med / mn:.2f}x the window min {mn * 1e3:.1f}ms in "
+                    f"two consecutive round windows — a persistent "
+                    f"regression has ratcheted the baseline (set "
+                    f"BENCH_GUARD_ACCEPT_RATCHET=1 only after adjudicating "
+                    f"it as environmental)",
+                )
             )
     return out
 
@@ -223,12 +273,18 @@ def main() -> None:
         )
     records = round_records()
     failures = check(current, trailing_history(records))
-    ratcheted = persistent_ratchet(records)
+    accepted = load_accepted()
+    ratcheted = persistent_ratchet(records, accepted)
     if ratcheted and os.environ.get("BENCH_GUARD_ACCEPT_RATCHET"):
-        for m in ratcheted:
-            print(f"bench_guard: RATCHET accepted by env override: {m}")
+        for q, med, m in ratcheted:
+            accepted[q] = med
+            print(
+                f"bench_guard: RATCHET accepted by env override "
+                f"(persisted to {ACCEPTED_BASENAME}): {m}"
+            )
+        save_accepted(accepted)
     elif ratcheted:
-        failures += [f"RATCHET {m}" for m in ratcheted]
+        failures += [f"RATCHET {m}" for _, _, m in ratcheted]
     if failures:
         print("bench_guard: PER-QUERY REGRESSION DETECTED:")
         for f in failures:

@@ -255,6 +255,45 @@ def test_ratchet_env_override_accepts(tmp_path, monkeypatch, capsys):
     assert "accepted by env override" in capsys.readouterr().out
 
 
+def test_ratchet_acceptance_persists(tmp_path, monkeypatch, capsys):
+    """ADVICE r11: acceptance must actually reset the baseline going
+    forward — one override run writes the ledger, and subsequent runs
+    WITHOUT the env var pass while the drift stays within the accepted
+    envelope; drift beyond it re-fails as a new regression."""
+    import json
+
+    import pytest
+
+    for rn, v in enumerate([0.040, 0.040, 0.060, 0.060, 0.060, 0.060], start=5):
+        (tmp_path / f"BENCH_r{rn:02d}.json").write_text(
+            json.dumps({"parsed": {"queries": {"q1": v}}})
+        )
+    sample = tmp_path / "bench_out.txt"
+    sample.write_text(json.dumps({"queries": {"q1": 0.060}}) + "\n")
+    monkeypatch.setattr(bench_guard, "REPO", str(tmp_path))
+    monkeypatch.setattr(bench_guard.sys, "argv", ["bench_guard", str(sample)])
+    monkeypatch.setenv("BENCH_GUARD_ACCEPT_RATCHET", "1")
+    bench_guard.main()
+    ledger = json.loads((tmp_path / bench_guard.ACCEPTED_BASENAME).read_text())
+    assert ledger == {"q1": 0.060}
+    capsys.readouterr()
+
+    # the very next run, env var gone: the ratchet is suppressed
+    monkeypatch.delenv("BENCH_GUARD_ACCEPT_RATCHET")
+    bench_guard.main()  # no exit
+    assert "previously accepted" in capsys.readouterr().out
+
+    # the level ratchets AGAIN, beyond the accepted envelope (accepted
+    # 60ms samples still in the window as the new min): re-fail
+    for rn, v in enumerate([0.090] * 4, start=11):
+        (tmp_path / f"BENCH_r{rn:02d}.json").write_text(
+            json.dumps({"parsed": {"queries": {"q1": v}}})
+        )
+    sample.write_text(json.dumps({"queries": {"q1": 0.090}}) + "\n")
+    with pytest.raises(SystemExit):
+        bench_guard.main()
+
+
 def test_degraded_vm_quantum_is_called_out(tmp_path, monkeypatch, capsys):
     """r11: a sample stamped with an elevated job quantum (this VM
     drifts 20->65 ms across hours, inflating every query uniformly —
