@@ -472,11 +472,12 @@ def llm_embedding_near_dup(
     (default NEAR_DUP_MAX_ROWS, env CATENA_NEAR_DUP_MAX_ROWS; 0 or
     empty disables) fail loud with a pointer to llm_ann_lsh. The guard
     is IN THE PLAN (ADVICE r10): a limited count — LocalLimit cap+1
-    stops the scan early — broadcast as a 1-row scalar and raise_error-
-    CASEd into vec_id, the same lazy fail-loud shape as the gap-fill
-    bucket cap, so building this query stays side-effect-free (no
-    eager job during registry/plan-lint/parity construction) and the
-    guard executes exactly when the query does.
+    stops the scan early — broadcast as a 1-row scalar and anchored as
+    an assert_true FILTER on the fat stream (ADVICE r11: a projection-
+    riding raise_error could be pruned away with its host column; a
+    filter is structurally unavoidable), so building this query stays
+    side-effect-free (no eager job during registry/plan-lint/parity
+    construction) and the guard executes exactly when the query does.
     """
     cap = (
         max_rows
@@ -497,21 +498,31 @@ def llm_embedding_near_dup(
         )
         e = (
             e.crossJoin(F.broadcast(probe))
-            .withColumn(
-                "vec_id",
-                F.when(
-                    F.col("_n_probe") > cap,
-                    F.raise_error(
-                        F.lit(
-                            f"llm_embedding_near_dup is the exact all-pairs "
-                            f"recall oracle (O(n^2) candidate pairs); input "
-                            f"exceeds {cap} vectors. Use llm_ann_lsh "
-                            f"(hyperplane-banded candidates, identical exact "
-                            f"verify kernel) at scale, or override with "
-                            f"max_rows=0 / CATENA_NEAR_DUP_MAX_ROWS."
-                        )
-                    ).cast("long"),
-                ).otherwise(F.col("vec_id")),
+            # Guard anchored as a FILTER on the fat stream (ADVICE r11):
+            # the previous shape raise_error-CASEd the cap into vec_id,
+            # which only fires if some operator actually evaluates
+            # vec_id — a future plan change pruning or deferring that
+            # projection would silently disable the O(n^2) guard. A
+            # filter predicate cannot be pruned (it determines
+            # cardinality) or constant-folded (it reads _n_probe), so
+            # every e-row must pass it before either join side
+            # materializes. assert_true is NULL when the cap holds, so
+            # .isNull() keeps the filter row-preserving; construction
+            # stays side-effect-free and the guard executes exactly when
+            # the query does. Plan-pinned in
+            # tests/test_plans_depth.py::test_near_dup_guard_survives_optimizer.
+            .where(
+                F.assert_true(
+                    F.col("_n_probe") <= F.lit(cap).cast("long"),
+                    F.lit(
+                        f"llm_embedding_near_dup is the exact all-pairs "
+                        f"recall oracle (O(n^2) candidate pairs); input "
+                        f"exceeds {cap} vectors. Use llm_ann_lsh "
+                        f"(hyperplane-banded candidates, identical exact "
+                        f"verify kernel) at scale, or override with "
+                        f"max_rows=0 / CATENA_NEAR_DUP_MAX_ROWS."
+                    ),
+                ).isNull()
             )
             .drop("_n_probe")
         )

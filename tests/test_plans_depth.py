@@ -160,3 +160,25 @@ def test_semdedup_argmin_has_no_window(spark):
         spec = m.group(1)
         assert spec.startswith("vec_id"), spec
         assert "cluster_id" not in spec and "cid" not in spec.split(",")[0], spec
+
+
+def test_near_dup_guard_survives_optimizer(spark):
+    """ADVICE r11: the near-dup O(n^2) cap must be anchored to
+    something the optimizer cannot remove. The assert_true filter on
+    the fat stream has to survive into the OPTIMIZED plan (a Filter
+    determines cardinality, so column pruning / projection reordering
+    cannot drop it the way it could a raise_error CASE riding a
+    prunable column) — and it must sit on BOTH join inputs, i.e. every
+    e-row passes the cap check before any pair forms."""
+    from catena_spark.operators import llm
+
+    df = llm.llm_embedding_near_dup(spark, SF_SMALL)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "raise_error" in optimized, optimized
+    assert optimized.count("raise_error") >= 2  # both join sides
+    # and the runtime behavior: over-cap raises, at-cap passes
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Py4JJavaError, match="recall oracle"):
+        llm.llm_embedding_near_dup(spark, SF_SMALL, max_rows=10).count()
