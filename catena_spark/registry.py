@@ -49,12 +49,15 @@ def _load_all() -> None:
     from .streaming import ops  # noqa: F401
 
 
-def _scan_history(root: str | None = None) -> tuple[dict[str, int], set[str]]:
+def _scan_history(
+    root: str | None = None,
+) -> tuple[dict[str, int], set[str], dict[str, int]]:
     """ONE pass over past rounds' CORRECTNESS_r*.json (under ``root``,
     default the repo root), classifying every record with the single
-    green-record predicate. Returns (settled counts, non-green keys) so
-    the two rotation signals can never desync (the shared-definition
-    rule ADVICE r4 applied to the canonicalizer).
+    green-record predicate. Returns (settled counts, non-green keys,
+    latest settling round per key) so the rotation signals can never
+    desync (the shared-definition rule ADVICE r4 applied to the
+    canonicalizer).
 
     A hash-green row always settles. A rows-only `no_oracle` row settles
     ONLY while the spec still has no oracle: once an oracle is added
@@ -67,12 +70,16 @@ def _scan_history(root: str | None = None) -> tuple[dict[str, int], set[str]]:
     import glob
     import json
     import os
+    import re
 
     counts: dict[str, int] = {}
     nongreen: set[str] = set()
+    latest: dict[str, int] = {}
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 report = json.load(f)
@@ -90,9 +97,10 @@ def _scan_history(root: str | None = None) -> tuple[dict[str, int], set[str]]:
             )
             if ok:
                 counts[key] = counts.get(key, 0) + 1
+                latest[key] = max(latest.get(key, 0), rnd)
             else:
                 nongreen.add(key)
-    return counts, nongreen
+    return counts, nongreen, latest
 
 
 def _settled_counts(root: str | None = None) -> dict[str, int]:
@@ -112,16 +120,222 @@ def _nongreen_keys(root: str | None = None) -> set[str]:
     return _scan_history(root)[1]
 
 
+# --------------------------------------------------------------------
+# Runtime-change recency (VERDICT r11 item 2): a key whose
+# IMPLEMENTATION changed after its latest green driver record must
+# front the next rotation window, regardless of how many old records it
+# has — otherwise a rewrite verified only by builder probes waits
+# several rounds for a driver re-record (the r11 grouped_positions
+# rewrite left win_ntile_dense/win_percent_rank_cume with pre-rewrite
+# records until r13 under age-only ordering).
+#
+# "Implementation" = the key's function plus every catena_spark
+# FUNCTION reachable from it (Name/Attribute references resolved
+# through module globals, recursively) — so a shared-helper edit
+# (twophase.py) boosts its callers (token packing, pagerank, ntile,
+# percent_rank) even though their own bodies are untouched. Sources are
+# AST-normalized (ast.unparse: comment-insensitive, docstring- and
+# code-sensitive) and compared against the same functions extracted
+# from each file's blob at the commit that ADDED the key's latest
+# CORRECTNESS record (the driver commits records on the verified final
+# tree, so that blob is the verified implementation). Granularity is
+# module-level functions: a module-CONSTANT edit is not detected —
+# acceptable, constants that matter are read inside some fingerprinted
+# function. Any git/parse failure degrades to "unchanged" so the
+# rotation never breaks where git is unavailable.
+
+
+def _fn_index(src: str) -> dict[str, str]:
+    """{module-level function name: ast-normalized source} for a file."""
+    import ast
+
+    return {
+        n.name: ast.unparse(n)
+        for n in ast.parse(src).body
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+    }
+
+
+#: Working-tree parse cache shared across all 166 keys' fingerprints
+#: (mtime-validated): {abspath: (mtime, {name: unparsed}, {name: node})}.
+_FP_PARSE_CACHE: dict[str, tuple[float, dict[str, str], dict[str, object]]] = {}
+
+
+def _parsed_file(path: str) -> tuple[dict[str, str], dict[str, object]]:
+    import ast
+    import os
+
+    mtime = os.path.getmtime(path)
+    hit = _FP_PARSE_CACHE.get(path)
+    if hit is not None and hit[0] == mtime:
+        return hit[1], hit[2]
+    with open(path, encoding="utf-8") as fh:
+        src = fh.read()
+    nodes = {
+        n.name: n
+        for n in ast.parse(src).body
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+    }
+    srcs = {name: ast.unparse(n) for name, n in nodes.items()}
+    _FP_PARSE_CACHE[path] = (mtime, srcs, nodes)
+    return srcs, nodes
+
+
+def _impl_fingerprint(fn) -> dict[tuple[str, str], str]:
+    """{(repo-relative path, function name): normalized source} for
+    ``fn`` and every catena_spark function transitively reachable from
+    it via Name / module.attr references."""
+    import ast
+    import inspect
+    import os
+    import types
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict[tuple[str, str], str] = {}
+    seen: set[tuple[str, str]] = set()
+
+    def visit(f) -> None:
+        mod = inspect.getmodule(f)
+        if mod is None or not getattr(mod, "__name__", "").startswith(
+            "catena_spark"
+        ):
+            return
+        path = os.path.abspath(mod.__file__)
+        rel = os.path.relpath(path, root)
+        key = (rel, f.__name__)
+        if key in seen:
+            return
+        seen.add(key)
+        srcs, nodes = _parsed_file(path)
+        node = nodes.get(f.__name__)
+        if node is None:  # not module-level (closure/lambda): skip
+            return
+        out[key] = srcs[f.__name__]
+        for sub in ast.walk(node):
+            tgt = None
+            if isinstance(sub, ast.Name):
+                tgt = mod.__dict__.get(sub.id)
+            elif isinstance(sub, ast.Attribute) and isinstance(
+                sub.value, ast.Name
+            ):
+                base = mod.__dict__.get(sub.value.id)
+                if isinstance(base, types.ModuleType) and getattr(
+                    base, "__name__", ""
+                ).startswith("catena_spark"):
+                    tgt = getattr(base, sub.attr, None)
+            if isinstance(tgt, types.FunctionType) and getattr(
+                tgt, "__module__", ""
+            ).startswith("catena_spark"):
+                visit(tgt)
+
+    visit(fn)
+    return out
+
+
+def _git(root: str, *args: str) -> str | None:
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            ["git", "-C", root, *args],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+    except Exception:
+        return None
+    return p.stdout if p.returncode == 0 else None
+
+
+def _changed_since_record(root: str | None = None) -> set[str]:
+    """Keys whose implementation fingerprint differs from the blob at
+    the commit that added their latest green CORRECTNESS record."""
+    import os
+
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _load_all()  # fingerprints need the populated registry
+    try:
+        latest = _scan_history(root)[2]
+    except Exception:
+        return set()
+    commit_cache: dict[int, str | None] = {}
+    old_index_cache: dict[tuple[str, str], dict[str, str] | None] = {}
+    changed: set[str] = set()
+    for key, spec in _REGISTRY.items():
+        rnd = latest.get(key)
+        if rnd is None:
+            continue  # never recorded: age-ordering already fronts it
+        if rnd not in commit_cache:
+            sha = _git(
+                root,
+                "log",
+                "--format=%H",
+                "--diff-filter=A",
+                "-n",
+                "1",
+                "--",
+                f"CORRECTNESS_r{rnd:02d}.json",
+            )
+            commit_cache[rnd] = sha.strip() if sha else None
+        sha = commit_cache[rnd]
+        if sha is None:
+            continue
+        try:
+            cur = _impl_fingerprint(spec.fn)
+        except Exception:
+            continue
+        for (rel, name), src in cur.items():
+            ck = (sha, rel)
+            if ck not in old_index_cache:
+                blob = _git(root, "show", f"{sha}:{rel}")
+                try:
+                    old_index_cache[ck] = (
+                        _fn_index(blob) if blob is not None else None
+                    )
+                except SyntaxError:
+                    old_index_cache[ck] = None
+            idx = old_index_cache[ck]
+            # a file that did not exist (or parse) at the record commit
+            # means the implementation moved/was created since: changed
+            if idx is None or idx.get(name) != src:
+                changed.add(key)
+                break
+    return changed
+
+
+_CHANGED_CACHE: set[str] | None = None
+
+
+def _changed_keys() -> set[str]:
+    """Process-cached _changed_since_record (specs() is called several
+    times per driver run; the git scan is ~1s and cannot change
+    mid-process — the working tree and record commits are fixed)."""
+    global _CHANGED_CACHE
+    if _CHANGED_CACHE is None:
+        _CHANGED_CACHE = _changed_since_record()
+    return _CHANGED_CACHE
+
+
 def specs() -> dict[str, QuerySpec]:
     _load_all()
     try:
-        settled, shaky = _scan_history()
+        settled, shaky = _scan_history()[:2]
     except Exception:
         settled, shaky = {}, set()
+    try:
+        changed = _changed_keys()
+    except Exception:
+        changed = set()
     order = {k: i for i, k in enumerate(_REGISTRY)}
     keys = sorted(
         _REGISTRY,
-        key=lambda k: (settled.get(k, 0), 0 if k in shaky else 1, order[k]),
+        key=lambda k: (
+            0 if k in changed else 1,
+            settled.get(k, 0),
+            0 if k in shaky else 1,
+            order[k],
+        ),
     )
     return {k: _REGISTRY[k] for k in keys}
 

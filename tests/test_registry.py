@@ -82,17 +82,18 @@ def test_nongreen_history_breaks_ties_first():
     registry._load_all()
     counts = registry._settled_counts()
     shaky = registry._nongreen_keys()
+    changed = registry._changed_keys()  # r12: recency boost outranks
     keys = list(registry.specs())
     for k in shaky:
         if k not in keys:  # history outlives renamed/removed keys
             continue
         ki = keys.index(k)
         for j, other in enumerate(keys):
-            if (
+            same_tier = (
                 counts.get(other, 0) == counts.get(k, 0)
-                and other not in shaky
-                and j < ki
-            ):
+                and (other in changed) == (k in changed)
+            )
+            if same_tier and other not in shaky and j < ki:
                 raise AssertionError(
                     f"always-green {other} ordered before shaky {k} "
                     f"at equal count {counts.get(k, 0)}"
@@ -114,3 +115,52 @@ def test_nongreen_keys_detects_err_and_mismatch(tmp_path):
     )
     bad = registry._nongreen_keys(str(tmp_path))
     assert err in bad and mism in bad and green not in bad
+
+
+def test_fn_index_is_comment_insensitive():
+    """The fingerprint must ignore comments/formatting (they can't
+    change runtime behavior) but see code and docstring edits."""
+    a = registry._fn_index("def f(x):\n    # a comment\n    return x + 1\n")
+    b = registry._fn_index("def f(x):\n    return x + 1  # moved\n")
+    c = registry._fn_index("def f(x):\n    return x + 2\n")
+    assert a["f"] == b["f"]
+    assert a["f"] != c["f"]
+
+
+def test_impl_fingerprint_follows_shared_helpers():
+    """VERDICT r11 item 2's core requirement: a key implemented in one
+    module but calling a shared helper in another (win_ntile_dense ->
+    twophase.grouped_positions) must carry the helper in its
+    fingerprint, so a helper edit boosts its callers."""
+    registry._load_all()
+    fp = registry._impl_fingerprint(registry._REGISTRY["win_ntile_dense"].fn)
+    names = {(rel.replace("\\", "/"), n) for rel, n in fp}
+    assert ("catena_spark/operators/relational.py", "win_ntile_dense") in names
+    assert ("catena_spark/twophase.py", "grouped_positions") in names
+    assert ("catena_spark/twophase.py", "resolve_partitions") in names
+    # and the runtime-conf path every key passes through
+    assert ("catena_spark/tables.py", "load") in names
+
+
+def test_changed_keys_front_the_window(monkeypatch):
+    """A key flagged changed-since-record must lead specs() ordering
+    even with the maximum settled count (the boost is the FIRST sort
+    component — record age alone must not delay re-verification of a
+    rewritten implementation)."""
+    registry._load_all()
+    counts = registry._settled_counts()
+    most_settled = max(counts, key=lambda k: counts[k])
+    monkeypatch.setattr(registry, "_changed_keys", lambda: {most_settled})
+    assert registry.next_window(1) == [most_settled]
+
+
+def test_changed_since_record_is_subset_and_survives_no_git(monkeypatch):
+    """Live smoke on the real repo: the changed set must be registry
+    keys only; and a git failure must degrade to 'no boost', never an
+    exception (the driver imports queries() in environments we don't
+    control)."""
+    registry._load_all()
+    changed = registry._changed_since_record()
+    assert changed <= set(registry._REGISTRY)
+    monkeypatch.setattr(registry, "_git", lambda *a: None)
+    assert registry._changed_since_record() == set()
