@@ -176,9 +176,11 @@ def test_near_dup_guard_survives_optimizer(spark):
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "raise_error" in optimized, optimized
     assert optimized.count("raise_error") >= 2  # both join sides
-    # and the runtime behavior: over-cap raises, at-cap passes
+    # and the runtime behavior: over-cap raises (type-agnostic — the
+    # JVM error surfaces as Py4JJavaError or the converted
+    # SparkRuntimeException depending on session state, same reason
+    # test_llm.py's guard tests match on Exception)
     import pytest
-    from py4j.protocol import Py4JJavaError
 
-    with pytest.raises(Py4JJavaError, match="recall oracle"):
+    with pytest.raises(Exception, match="recall oracle"):
         llm.llm_embedding_near_dup(spark, SF_SMALL, max_rows=10).count()
