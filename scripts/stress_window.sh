@@ -220,25 +220,41 @@ echo "== pandas.convertToArrowArraySafely=true"
 # three grid keys with SMJ/OHA spill still forced at 64/16 and the
 # window thresholds at 1024 — above their 720-row partition bound, the
 # same no-window-spill regime any real conf gives them.
-echo "== forced spill paths (window/SMJ buffers=64, OHA fallback=16; grid keys window-exempt)"
-GRID_KEYS="ts_gapfill_ffill ts_gapfill_linear ts_gap_report"
-WINDOW_NO_GRID=$(python - <<EOF
+echo "== forced spill paths (window/SMJ buffers=64, OHA fallback=16; window-exempt keys split out)"
+# Window-threshold-64 exemptions — each names its synthetic-OOM shape
+# (the second run keeps SMJ=64/OHA=16 so those spill paths stay
+# covered; the window threshold is raised above the key's per-partition
+# row bound so WindowExec never spills, which is exactly the production
+# regime for these keys — real thresholds are 4096 rows and spills are
+# byte-bounded):
+#   ts_gapfill_* / ts_gap_report — r11 forensics: 1 MB reader-buffer
+#     floor x single-task explode x per-64-row window reopen; 1024 >
+#     the 720-row per-series grid bound.
+#   llm_winnowing_fingerprint — r12: two per-doc windows (rolling min +
+#     count) over ~550 grams/doc; at threshold 64 each of ~500
+#     sequentially-reopened doc partitions retains ~9 spill readers
+#     whose buffer floor is 1 MB (UnsafeSorterSpillReader clamps to
+#     >= 1 MB), ~4.5 GB of dead buffers in one AQE-coalesced task ->
+#     OOM at 6g. 1024 > 550 so the window path never spills; per-doc
+#     state is doc-length-bounded at any corpus scale.
+WINDOW_EXEMPT_KEYS="ts_gapfill_ffill ts_gapfill_linear ts_gap_report llm_winnowing_fingerprint"
+WINDOW_SPILL64=$(python - <<EOF
 keys = "$WINDOW".split()
-grid = set("$GRID_KEYS".split())
-print(" ".join(k for k in keys if k not in grid))
+exempt = set("$WINDOW_EXEMPT_KEYS".split())
+print(" ".join(k for k in keys if k not in exempt))
 EOF
 )
 (cd /tmp && CATENA_SIM_EXTRA="spark.sql.windowExec.buffer.spill.threshold=64;spark.sql.windowExec.buffer.in.memory.threshold=64;spark.sql.sortMergeJoinExec.buffer.spill.threshold=64;spark.sql.sortMergeJoinExec.buffer.in.memory.threshold=64;spark.sql.objectHashAggregate.sortBased.fallbackThreshold=16;spark.unsafe.sorter.spill.read.ahead.enabled=false;spark.driver.memory=6g" \
-  python /root/repo/scripts/drive_contract.py $WINDOW_NO_GRID | tail -1)
-GRID_IN_WINDOW=$(python - <<EOF
+  python /root/repo/scripts/drive_contract.py $WINDOW_SPILL64 | tail -1)
+EXEMPT_IN_WINDOW=$(python - <<EOF
 keys = set("$WINDOW".split())
-print(" ".join(k for k in "$GRID_KEYS".split() if k in keys))
+print(" ".join(k for k in "$WINDOW_EXEMPT_KEYS".split() if k in keys))
 EOF
 )
-if [ -n "$GRID_IN_WINDOW" ]; then
-  echo "== forced spill paths, grid keys (SMJ=64/OHA=16, window=1024 > 720-row partition bound)"
+if [ -n "$EXEMPT_IN_WINDOW" ]; then
+  echo "== forced spill paths, window-exempt keys (SMJ=64/OHA=16, window=1024 > per-partition row bounds)"
   (cd /tmp && CATENA_SIM_EXTRA="spark.sql.windowExec.buffer.spill.threshold=1024;spark.sql.windowExec.buffer.in.memory.threshold=1024;spark.sql.sortMergeJoinExec.buffer.spill.threshold=64;spark.sql.sortMergeJoinExec.buffer.in.memory.threshold=64;spark.sql.objectHashAggregate.sortBased.fallbackThreshold=16;spark.unsafe.sorter.spill.read.ahead.enabled=false;spark.driver.memory=6g" \
-    python /root/repo/scripts/drive_contract.py $GRID_IN_WINDOW | tail -1)
+    python /root/repo/scripts/drive_contract.py $EXEMPT_IN_WINDOW | tail -1)
 fi
 
 echo "== STRESS MATRIX ALL GREEN"
