@@ -164,3 +164,61 @@ def test_changed_since_record_is_subset_and_survives_no_git(monkeypatch):
     assert changed <= set(registry._REGISTRY)
     monkeypatch.setattr(registry, "_git", lambda *a: None)
     assert registry._changed_since_record() == set()
+
+
+def test_changed_since_record_end_to_end(monkeypatch):
+    """Mechanism pin without real-git coupling: when every record-commit
+    blob equals the working tree, NOTHING is boosted; when the blob for
+    twophase.py lacks grouped_positions (as if the helper didn't exist
+    at record time), exactly the keys whose closure reaches it are
+    boosted. This survives future rounds (no dependence on which keys
+    happen to be stale in the live repo)."""
+    import ast
+    import os
+
+    registry._load_all()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(registry.__file__)))
+
+    def git_identity(rootarg, *args):
+        if args[0] == "log":
+            return "fakesha\n"
+        if args[0] == "show":
+            rel = args[1].split(":", 1)[1]
+            try:
+                with open(os.path.join(rootarg, rel), encoding="utf-8") as f:
+                    return f.read()
+            except OSError:
+                return None
+        return None
+
+    monkeypatch.setattr(registry, "_git", git_identity)
+    assert registry._changed_since_record() == set()
+
+    def git_without_grouped_positions(rootarg, *args):
+        out = git_identity(rootarg, *args)
+        if (
+            out is not None
+            and args[0] == "show"
+            and args[1].endswith("catena_spark/twophase.py")
+        ):
+            tree = ast.parse(out)
+            tree.body = [
+                n
+                for n in tree.body
+                if not (
+                    isinstance(n, ast.FunctionDef)
+                    and n.name == "grouped_positions"
+                )
+            ]
+            return ast.unparse(tree)
+        return out
+
+    monkeypatch.setattr(registry, "_git", git_without_grouped_positions)
+    changed = registry._changed_since_record()
+    assert "win_ntile_dense" in changed
+    assert "win_percent_rank_cume" in changed
+    # a key that never touches twophase must NOT be boosted
+    assert "ts_range_scan" not in changed
+    # callers of the OTHER helper in the same file must not be boosted
+    # by a diff scoped to grouped_positions alone
+    assert "llm_token_packing" not in changed
