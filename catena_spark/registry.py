@@ -141,8 +141,15 @@ def _nongreen_keys(root: str | None = None) -> set[str]:
 # tree, so that blob is the verified implementation). Granularity is
 # module-level functions: a module-CONSTANT edit is not detected —
 # acceptable, constants that matter are read inside some fingerprinted
-# function. Any git/parse failure degrades to "unchanged" so the
-# rotation never breaks where git is unavailable.
+# function. Reference RESOLUTION is likewise depth-limited by design
+# (ADVICE r12): only bare Names and single-level module.attr chains
+# resolve (``twophase.global_running_sum`` yes; a multi-level
+# ``catena_spark.twophase.fn`` chain, a bound method, or a closure is
+# INVISIBLE to the fingerprint and its edits never trigger the boost) —
+# keep helper call sites in the visible style (import the module, call
+# ``module.fn``), which is already the house import convention. Any
+# git/parse failure degrades to "unchanged" so the rotation never
+# breaks where git is unavailable.
 
 
 def _fn_index(src: str) -> dict[str, str]:

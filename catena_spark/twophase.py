@@ -45,8 +45,18 @@ def resolve_partitions(df: DataFrame, partitions: int | None) -> int:
             raise ValueError(f"partitions must be >= 1 (got {partitions})")
         return partitions
     conf = df.sparkSession.conf.get("catena.twophase.partitions", None)
+    # strip + falsy-check: a whitespace-only value is "unset", not a
+    # crash; a non-numeric value names the conf key in the error rather
+    # than surfacing int()'s bare "invalid literal" (ADVICE r12)
+    conf = conf.strip() if conf else None
     if conf:
-        n = int(conf)
+        try:
+            n = int(conf)
+        except ValueError:
+            raise ValueError(
+                f"catena.twophase.partitions must be an integer >= 1 "
+                f"(got {conf!r})"
+            ) from None
         if n < 1:
             raise ValueError(
                 f"catena.twophase.partitions must be >= 1 (got {conf})"

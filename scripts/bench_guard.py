@@ -151,6 +151,33 @@ def save_accepted(accepted: dict[str, float]) -> None:
         f.write("\n")
 
 
+def expire_accepted(
+    records: list[dict[str, float]],
+    accepted: dict[str, float],
+) -> tuple[dict[str, float], list[str]]:
+    """Drop ledger entries whose trailing-window median has RECOVERED
+    below the accepted level (ADVICE r12: an acceptance covers exactly
+    one adjudicated environmental drift — if timings fall back under it
+    and later creep up gradually enough that check() never fires, a
+    stale entry would silently pre-approve a genuinely NEW persistent
+    regression anywhere inside max(acc*factor, acc+floor)). Returns
+    (pruned ledger, dropped query names). A query absent from the
+    current window, or a window shorter than HISTORY, keeps its entry —
+    recovery must be demonstrated, not assumed."""
+    if len(records) < HISTORY:
+        return dict(accepted), []
+    cur = records[-HISTORY:]
+    kept: dict[str, float] = {}
+    dropped: list[str] = []
+    for q, acc in accepted.items():
+        col = [r[q] for r in cur if q in r]
+        if col and statistics.median(col) < acc:
+            dropped.append(q)
+        else:
+            kept[q] = acc
+    return kept, dropped
+
+
 def persistent_ratchet(
     records: list[dict[str, float]],
     accepted: dict[str, float] | None = None,
@@ -274,6 +301,16 @@ def main() -> None:
     records = round_records()
     failures = check(current, trailing_history(records))
     accepted = load_accepted()
+    accepted, expired = expire_accepted(records, accepted)
+    if expired:
+        for q in expired:
+            print(
+                f"bench_guard: {q}: accepted ratchet EXPIRED — trailing "
+                f"median recovered below the accepted level; entry "
+                f"dropped from {ACCEPTED_BASENAME} so future creep is "
+                f"adjudicated fresh"
+            )
+        save_accepted(accepted)
     ratcheted = persistent_ratchet(records, accepted)
     if ratcheted and os.environ.get("BENCH_GUARD_ACCEPT_RATCHET"):
         for q, med, m in ratcheted:

@@ -123,37 +123,64 @@ _PINNED_BROADCAST_ALLOW = {
 
 
 def _sequence_spans(gen: str) -> list[str]:
-    """The argument span of every ``sequence(...)`` call in a generator
-    expression string, balanced-paren matched (ADVICE r10: the old
-    check accepted 'length(' / 'raise_error' appearing ANYWHERE in the
-    generator — e.g. in a sibling argument of the surrounding
-    transform — so a value-bounded sequence could ride through on an
-    unrelated marker; the bound/guard must sit inside the sequence's
-    own arguments, where Catalyst constant-folds the gap-fill cap)."""
-    spans: list[str] = []
+    """The OWN-argument span of every ``sequence(...)`` call in a
+    generator expression string: balanced-paren matched, one span per
+    occurrence INCLUDING nested calls, with any nested sequence(...)
+    sub-call's text EXCISED from its parent's span.
+
+    Two masking shapes drove this design: (a) ADVICE r10 — a 'length('
+    / 'raise_error' marker in a SIBLING argument of the surrounding
+    transform must not guard the sequence, so only the call's own
+    argument span is checked; (b) ADVICE r12 — an unguarded OUTER
+    sequence whose arguments contain a nested GUARDED sequence must not
+    ride through on the inner call's marker (and, dually, an unguarded
+    INNER call must not hide inside a guarded outer's span), so each
+    call is judged on its own arguments with nested calls cut out, and
+    every nested call gets its own span. Truncated toString output
+    (unbalanced parens, ADVICE r11) yields tail spans; the scan always
+    restarts just past the 'sequence(' token so later calls are never
+    masked."""
+    # pass 1: locate every call — (tok_start, args_start, args_end,
+    # call_end); truncated calls run to end-of-string
+    calls: list[tuple[int, int, int, int]] = []
     i = 0
     while True:
         j = gen.find("sequence(", i)
         if j < 0:
-            return spans
-        k = j + len("sequence(") - 1  # the opening paren
-        depth = 0
-        for k2 in range(k, len(gen)):
-            if gen[k2] == "(":
+            break
+        a = j + len("sequence(")
+        depth = 1
+        args_end = call_end = len(gen)
+        for k in range(a, len(gen)):
+            if gen[k] == "(":
                 depth += 1
-            elif gen[k2] == ")":
+            elif gen[k] == ")":
                 depth -= 1
                 if depth == 0:
-                    spans.append(gen[k + 1 : k2])
-                    i = k2 + 1
+                    args_end, call_end = k, k + 1
                     break
-        else:  # unbalanced (truncated toString): take the tail span, but
-            # KEEP scanning from the next occurrence (ADVICE r11) — a
-            # guarded first sequence inside the tail must not mask a
-            # later unguarded one; each later sequence( still gets its
-            # own (also truncated) span and its own marker check
-            spans.append(gen[k + 1 :])
-            i = j + len("sequence(")
+        calls.append((j, a, args_end, call_end))
+        i = a  # restart past the token: nested calls get their own spans
+    # pass 2: each call's own-argument span with nested calls excised
+    # (doubly-nested cut ranges are contained in the direct child's, so
+    # the max(pos, c1) advance handles overlap without interval-merging)
+    spans: list[str] = []
+    for j, a, args_end, call_end in calls:
+        cuts = sorted(
+            (j2, e2)
+            for (j2, _, _, e2) in calls
+            if j2 != j and a <= j2 and e2 <= call_end
+        )
+        pieces: list[str] = []
+        pos = a
+        for c0, c1 in cuts:
+            if c0 > pos:
+                pieces.append(gen[pos:c0])
+            pos = max(pos, c1)
+        if pos < args_end:
+            pieces.append(gen[pos:args_end])
+        spans.append("".join(pieces))
+    return spans
 
 
 def _iter_nodes(node):

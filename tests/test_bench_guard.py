@@ -321,3 +321,78 @@ def test_degraded_vm_quantum_is_called_out(tmp_path, monkeypatch, capsys):
         bench_guard.main()
     out = capsys.readouterr().out
     assert "DEGRADED VM STATE" in out
+
+
+def test_expire_accepted_drops_recovered_entry():
+    """ADVICE r12: an acceptance covers ONE adjudicated environmental
+    drift. Once the trailing-window median recovers below the accepted
+    level the entry must be dropped — otherwise a future regression
+    that creeps back inside max(acc*1.4, acc+15ms) gradually enough
+    that check() never fires is silently pre-approved by the stale
+    acceptance."""
+    recovered = _records([0.060, 0.038, 0.039, 0.040, 0.039, 0.040])
+    kept, dropped = bench_guard.expire_accepted(recovered, {"q1": 0.060})
+    assert kept == {} and dropped == ["q1"]
+    # still at the accepted level: the entry stands
+    holding = _records([0.060, 0.060, 0.061, 0.060, 0.061, 0.060])
+    kept, dropped = bench_guard.expire_accepted(holding, {"q1": 0.060})
+    assert kept == {"q1": 0.060} and dropped == []
+    # recovery must be demonstrated, not assumed: short history and a
+    # query absent from the window both keep the entry
+    kept, _ = bench_guard.expire_accepted(_records([0.03]), {"q1": 0.060})
+    assert kept == {"q1": 0.060}
+    kept, _ = bench_guard.expire_accepted(recovered, {"q9": 0.060})
+    assert kept == {"q9": 0.060}
+
+
+def test_expired_acceptance_lets_fresh_creep_fail(tmp_path, monkeypatch, capsys):
+    """End-to-end ADVICE r12 shape: accept a ratchet at 60ms, recover
+    to ~40ms (one run expires the ledger entry), then creep back up to
+    a persistent ~55ms — inside the stale 60ms envelope, so only the
+    expiry makes the new regression visible to the persistent ratchet."""
+    import json
+
+    import pytest
+
+    for rn, v in enumerate([0.040, 0.040, 0.060, 0.060, 0.060, 0.060], start=1):
+        (tmp_path / f"BENCH_r{rn:02d}.json").write_text(
+            json.dumps({"parsed": {"queries": {"q1": v}}})
+        )
+    sample = tmp_path / "bench_out.txt"
+    sample.write_text(json.dumps({"queries": {"q1": 0.060}}) + "\n")
+    monkeypatch.setattr(bench_guard, "REPO", str(tmp_path))
+    monkeypatch.setattr(bench_guard.sys, "argv", ["bench_guard", str(sample)])
+    monkeypatch.setenv("BENCH_GUARD_ACCEPT_RATCHET", "1")
+    bench_guard.main()
+    monkeypatch.delenv("BENCH_GUARD_ACCEPT_RATCHET")
+    assert json.loads(
+        (tmp_path / bench_guard.ACCEPTED_BASENAME).read_text()
+    ) == {"q1": 0.060}
+    capsys.readouterr()
+
+    # timings recover well below the accepted level; the next guard run
+    # drops the ledger entry
+    for rn, v in enumerate([0.040, 0.040, 0.041, 0.040, 0.041], start=7):
+        (tmp_path / f"BENCH_r{rn:02d}.json").write_text(
+            json.dumps({"parsed": {"queries": {"q1": v}}})
+        )
+    sample.write_text(json.dumps({"queries": {"q1": 0.041}}) + "\n")
+    bench_guard.main()
+    out = capsys.readouterr().out
+    assert "EXPIRED" in out
+    assert json.loads(
+        (tmp_path / bench_guard.ACCEPTED_BASENAME).read_text()
+    ) == {}
+
+    # a NEW persistent regression creeps to 58ms — inside the stale
+    # 60ms acceptance envelope (its suppression bound is 84ms), but the
+    # expired ledger no longer suppresses it: the persistent ratchet
+    # fails the gate while the healthy ~41ms min is still in-window
+    for rn, v in enumerate([0.058] * 4, start=12):
+        (tmp_path / f"BENCH_r{rn:02d}.json").write_text(
+            json.dumps({"parsed": {"queries": {"q1": v}}})
+        )
+    sample.write_text(json.dumps({"queries": {"q1": 0.058}}) + "\n")
+    with pytest.raises(SystemExit):
+        bench_guard.main()
+    assert "RATCHET" in capsys.readouterr().out

@@ -222,12 +222,48 @@ def test_sequence_span_truncation_keeps_scanning():
     spans = plan_lint._sequence_spans(
         "sequence(a, least(hi, length(t)), sequence(lo, unbounded_hi"
     )
-    # the first (unbalanced) tail span swallows the second sequence AND
-    # carries the guard marker; the second span must still surface on
-    # its own so its missing guard is checkable
+    # the second sequence must surface on its own so its missing guard
+    # is checkable (and since r13 it is also EXCISED from the first
+    # call's tail span — see the nested-call test below)
     assert len(spans) == 2
     assert "length(t)" in spans[0]
     assert spans[1] == "lo, unbounded_hi"
     assert not any(
         m in spans[1] for m in ("length(", "size(", "raise_error")
     )
+
+
+def test_sequence_span_nested_calls_judged_on_own_arguments():
+    """ADVICE r12: an unguarded OUTER sequence whose arguments contain
+    a nested GUARDED sequence must not ride through on the inner call's
+    length()/size() marker — nested sub-calls are excised from the
+    parent's span and every nested call gets its own span, so each
+    sequence is judged only on its own arguments (both directions: a
+    guarded outer can't hide an unguarded inner either)."""
+    marks = ("length(", "size(", "raise_error")
+    # unguarded outer, guarded inner: the outer's own span must carry
+    # NO marker after excision; the inner keeps its guard
+    spans = plan_lint._sequence_spans(
+        "sequence(lo, hi, element_at(sequence(1, length(t)), 1))"
+    )
+    assert spans == ["lo, hi, element_at(, 1)", "1, length(t)"]
+    assert not any(m in spans[0] for m in marks)
+    # dual: guarded outer, unguarded inner — the inner must surface
+    # markerless instead of hiding inside the outer's guarded span
+    spans = plan_lint._sequence_spans(
+        "sequence(1, length(t), f(sequence(lo, hi)))"
+    )
+    assert spans == ["1, length(t), f()", "lo, hi"]
+    assert not any(m in spans[1] for m in marks)
+    # doubly-nested: the direct child's cut range contains the
+    # grandchild's, and each of the three is judged on its own args
+    spans = plan_lint._sequence_spans(
+        "sequence(a, f(sequence(b, g(sequence(1, length(x))))))"
+    )
+    assert spans == ["a, f()", "b, g()", "1, length(x)"]
+    # truncated nesting (r11 shape, r12 excision): the guarded tail
+    # span no longer swallows the unguarded inner call's text
+    spans = plan_lint._sequence_spans(
+        "sequence(a, least(hi, length(t)), sequence(lo, unbounded_hi"
+    )
+    assert spans[0] == "a, least(hi, length(t)), "

@@ -478,6 +478,18 @@ def test_two_phase_partitions_scale_with_cluster(spark):
         spark.conf.set("catena.twophase.partitions", "0")
         with pytest.raises(ValueError, match="catena.twophase.partitions"):
             twophase.resolve_partitions(df, None)
+        # ADVICE r12: a non-numeric value must name the conf key, not
+        # surface int()'s bare "invalid literal"; whitespace-only (and
+        # padded-numeric) values are treated as unset (resp. stripped)
+        spark.conf.set("catena.twophase.partitions", "lots")
+        with pytest.raises(ValueError, match="catena.twophase.partitions"):
+            twophase.resolve_partitions(df, None)
+        spark.conf.set("catena.twophase.partitions", "   ")
+        assert twophase.resolve_partitions(df, None) == max(
+            dp, twophase.MIN_PARTITIONS
+        )
+        spark.conf.set("catena.twophase.partitions", " 12 ")
+        assert twophase.resolve_partitions(df, None) == 12
     finally:
         spark.conf.unset("catena.twophase.partitions")
     with pytest.raises(ValueError, match="partitions must be"):

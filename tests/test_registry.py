@@ -222,3 +222,46 @@ def test_changed_since_record_end_to_end(monkeypatch):
     # callers of the OTHER helper in the same file must not be boosted
     # by a diff scoped to grouped_positions alone
     assert "llm_token_packing" not in changed
+
+
+def test_every_round_record_has_a_resolvable_adding_commit():
+    """VERDICT r12 item 1: the recency boost anchors a key's verified
+    implementation to the blob at the commit that ADDED its latest
+    CORRECTNESS file; _changed_since_record silently skips boosting any
+    key whose round file has no adding commit (`sha is None ->
+    continue`). An uncommitted round artifact therefore disables the
+    boost for every key it recorded — this test fails the suite until
+    the file is committed, turning the r12 bookkeeping finding into a
+    standing gate."""
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if registry._git(root, "rev-parse", "HEAD") is None:
+        import pytest
+
+        pytest.skip("not a git checkout")
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    assert files, "twelve+ rounds in: round history must exist"
+    unanchored = [
+        os.path.basename(p)
+        for p in files
+        if not (
+            registry._git(
+                root,
+                "log",
+                "--format=%H",
+                "--diff-filter=A",
+                "-n",
+                "1",
+                "--",
+                os.path.basename(p),
+            )
+            or ""
+        ).strip()
+    ]
+    assert not unanchored, (
+        "CORRECTNESS round files with no adding commit — the recency "
+        "boost silently skips every key recorded there; commit them "
+        f"before runtime work: {unanchored}"
+    )
