@@ -236,7 +236,11 @@ echo "== forced spill paths (window/SMJ buffers=64, OHA fallback=16; window-exem
 #     whose buffer floor is 1 MB (UnsafeSorterSpillReader clamps to
 #     >= 1 MB), ~4.5 GB of dead buffers in one AQE-coalesced task ->
 #     OOM at 6g. 1024 > 550 so the window path never spills; per-doc
-#     state is doc-length-bounded at any corpus scale.
+#     state is doc-length-bounded at any corpus scale. The production-
+#     threshold argument is PINNED by tests/test_llm.py::
+#     test_winnowing_window_state_is_doc_bounded_at_production_conf
+#     (every Window partitions by doc_id; corpus-max grams/doc x 4 <
+#     the production 4096-row in-memory threshold).
 WINDOW_EXEMPT_KEYS="ts_gapfill_ffill ts_gapfill_linear ts_gap_report llm_winnowing_fingerprint"
 WINDOW_SPILL64=$(python - <<EOF
 keys = "$WINDOW".split()

@@ -178,3 +178,62 @@ def test_embedding_near_dup_env_cap(spark, monkeypatch):
     monkeypatch.setenv("CATENA_NEAR_DUP_MAX_ROWS", "ten")
     with pytest.raises(ValueError, match="CATENA_NEAR_DUP_MAX_ROWS"):
         llm.llm_embedding_near_dup(spark, SF_SMALL)
+
+
+def test_winnowing_window_state_is_doc_bounded_at_production_conf(spark):
+    """VERDICT r12 item 4: pin the SCALE.md r12 forced-spill
+    adjudication as a test instead of prose. The r12 stress axis OOM'd
+    llm_winnowing_fingerprint under a synthetic regime only: window
+    spill threshold forced to 64 ROWS x UnsafeSorterSpillReader's
+    >= 1 MB buffer floor x ~500 per-doc window partitions reopened
+    sequentially inside one AQE-coalesced task ~= 4.5 GB of dead reader
+    buffers. This test proves the pathology cannot arise at the
+    PRODUCTION window-buffer conf:
+
+    (a) every Window node in the optimized plan partitions by doc_id —
+        window state is per-doc, never corpus-sized, at ANY scale;
+    (b) per-doc window rows = grams/doc = length(t) - 3, whose corpus
+        max at the driver scale sits several times below the production
+        in-memory threshold (spark.sql.windowExec.buffer.in.memory.
+        threshold, default 4096) — the buffer never converts to a spill
+        sorter, so there are no spill readers to leak.
+
+    scripts/stress_window.sh's WINDOW_EXEMPT_KEYS split cites this test
+    as the production-threshold argument for the exemption.
+    """
+    from tests.conftest import SF_DRIVER
+
+    df = llm.llm_winnowing_fingerprint(spark, SF_DRIVER)
+
+    def window_nodes(node):
+        out = []
+        if node.nodeName() == "Window":
+            out.append(node)
+        ch = node.children()
+        for i in range(ch.length()):
+            out.extend(window_nodes(ch.apply(i)))
+        return out
+
+    wins = window_nodes(df._jdf.queryExecution().optimizedPlan())
+    assert wins, "winnowing is window-based; the plan must contain Window nodes"
+    for w in wins:
+        spec = w.partitionSpec()
+        assert not spec.isEmpty(), "per-doc state requires a partitioned window"
+        assert "doc_id" in spec.apply(0).toString()
+
+    threshold = int(
+        spark.conf.get(
+            "spark.sql.windowExec.buffer.in.memory.threshold", "4096"
+        )
+    )
+    max_grams = (
+        llm._docs_norm(spark, SF_DRIVER)
+        .where(F.length("t") >= 4)
+        .agg(F.max(F.length("t") - 3).alias("g"))
+        .collect()[0]
+        .g
+    )
+    # wide margin: even 4x the observed per-doc max stays in the
+    # in-memory buffer, so production runs never touch the spill path
+    # this operator was exempted from in the synthetic stress regime
+    assert max_grams * 4 < threshold, (max_grams, threshold)
