@@ -1,0 +1,142 @@
+"""Input-permutation invariance probe (new probe class, r13).
+
+The house total-order doctrine says every operator's OUTPUT VALUES are
+invariant to input row order: ties in any window / top-k / argmin /
+first-last path are broken by keys proven unique (or by explicit
+tie-break columns), two-phase offsets come from actual per-partition
+totals, and sampling is hash-of-value, never row-position. Thirteen
+rounds of driver records prove Spark(original) == DuckDB(original) —
+but both engines read the SAME file layout there, so a latent
+order-sensitivity that happens to agree on today's layout is invisible
+to every existing probe class (hostile TZ/conf/SF mirrors all preserve
+row order).
+
+This probe breaks that blind spot: it writes a seeded row-PERMUTED
+copy of every table (same multiset, new on-disk order, pyarrow
+take()), runs every oracle-backed key's Spark plan on the PERMUTED
+copy in a hostile plain session, and compares row count + sorted
+column names + order-insensitive value hash against the DuckDB oracle
+on the ORIGINAL directory. Identical input multisets mean a correct
+deterministic operator must hash-match; any value-level dependence on
+scan order in EITHER engine flips it.
+
+Usage:
+    python scripts/permute_probe.py [sf_dir] [key ...]
+Defaults to /root/testdata/sf0.01 and all oracle-backed keys. The
+permuted copy is rebuilt under /tmp/catena_permuted_<seed>/ per run
+(seeded numpy shuffle => byte-stable across runs). Exits 1 on any
+mismatch. Run from any cwd.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+SEED = 20260815
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def permuted_copy(sf_dir: str) -> str:
+    """Seeded row-permuted copy of every table, same schema and values
+    (pyarrow take over a shuffled index; one row group so the new
+    order actually reaches the scan)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out_dir = f"/tmp/catena_permuted_{SEED}"
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        tbl = pq.read_table(src)
+        idx = rng.permutation(tbl.num_rows)
+        pq.write_table(tbl.take(idx), dst)
+    return out_dir
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if args and os.path.isdir(args[0]):
+        sf_dir, args = args[0], args[1:]
+
+    perm_dir = permuted_copy(sf_dir)
+    print(f"permuted copy: {perm_dir} (seed {SEED})")
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    # the ONE shared canonicalizer + hash (ADVICE r4: local copies can
+    # desync probes from the gate they rehearse)
+    from drive_contract import value_hash
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("permute-probe")
+        .config("spark.sql.shuffle.partitions", "8")
+        # hostile on purpose, like drive_contract: the package must
+        # repin parity conf itself
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .getOrCreate()
+    )
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    keys = args or [k for k in qs if k in oracles]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures: list[str] = []
+    for key in keys:
+        try:
+            df = qs[key](spark, perm_dir)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+            cur = con.execute(oracles[key])
+            ocols = [d[0] for d in cur.description]
+            orows = [tuple(r) for r in cur.fetchall()]
+            ok_rows = len(rows) == len(orows)
+            ok_cols = sorted(cols) == sorted(ocols)
+            ok_hash = ok_cols and value_hash(rows, cols) == value_hash(
+                orows, ocols
+            )
+            status = "HASH-OK" if (ok_rows and ok_hash) else (
+                f"MISMATCH rows={len(rows)}/{len(orows)} "
+                f"cols_ok={ok_cols} hash_ok={ok_hash}"
+            )
+        except Exception as ex:
+            status = f"ERROR {type(ex).__name__}: {ex}"[:200]
+        print(f"{key}: {status}", flush=True)
+        if not status.startswith("HASH-OK"):
+            failures.append(key)
+
+    print(
+        f"PERMUTE PROBE: {len(keys)} keys, {len(failures)} "
+        f"order-sensitive/failed"
+    )
+    if failures:
+        for k in failures:
+            print(f"  ORDER-SENSITIVE {k}")
+        return 1
+    print("RESULT: ALL-MATCH")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
