@@ -94,6 +94,16 @@ def main() -> int:
     qs = e.queries()
     oracles = e.oracle_sql()
     keys = args or [k for k in qs if k in oracles]
+    unknown = [k for k in keys if k not in qs]
+    if unknown:
+        sys.exit(f"permute_probe: not registry keys: {unknown}")
+    rows_only = [k for k in keys if k not in oracles]
+    for k in rows_only:
+        # a rows-only key (declared no-oracle) rotates through the
+        # driver window like any other — it can't be hash-compared, so
+        # note it rather than abort the stage or miscount a failure
+        print(f"{k}: SKIP (rows-only key, no oracle to compare)")
+    keys = [k for k in keys if k in oracles]
 
     con = duckdb.connect()
     for t in TABLES:

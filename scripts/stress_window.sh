@@ -261,4 +261,16 @@ if [ -n "$EXEMPT_IN_WINDOW" ]; then
     python /root/repo/scripts/drive_contract.py $EXEMPT_IN_WINDOW | tail -1)
 fi
 
+# input-permutation invariance axis (r13, fifth probe class): every
+# conf axis above preserves on-disk ROW ORDER, so an under-specified
+# tie that happens to agree on today's layout (window order, argmin,
+# top-k boundary) passes them all. permute_probe.py runs the window's
+# keys on a seeded row-permuted copy of the tables vs the DuckDB
+# oracle on the ORIGINAL files — identical multisets, so only a
+# value-level dependence on scan order can flip the hash. Full-contract
+# run is on-demand after any window/top-k/argmin/sampling kernel
+# change (r13 first full run: 165/165 ALL-MATCH).
+echo "== input-permutation invariance (seeded row-permuted tables)"
+(cd /tmp && python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+
 echo "== STRESS MATRIX ALL GREEN"
