@@ -424,10 +424,25 @@ def _stream_events(spark, sf_dir, path=None, **options):
         _RAW_SCHEMA_CACHE[sf_dir] = raw_schema
     reader = spark.readStream.schema(raw_schema)
     if path is None:
-        # The file source wants a DIRECTORY; pathGlobFilter selects the
-        # one table file out of the shared fixture dir.
-        reader = reader.option("pathGlobFilter", "events.parquet")
-        path = sf_dir
+        fixture = os.path.join(sf_dir, "events.parquet")
+        if os.path.isdir(fixture):
+            # Multi-file events table (a directory of part files — the
+            # only shape that exists at production scale): stream the
+            # directory itself. pathGlobFilter matches LEAF file names,
+            # so keeping it here would match nothing and the stream
+            # would emit 0 rows SILENTLY — the r13 permutation+splits
+            # probe caught exactly that on three live keys. Correctness
+            # does not depend on how AvailableNow batches the files:
+            # the live keys' watermark delays exceed the fixture span
+            # (no still-needed state evicts between batches) and the
+            # tumbling agg runs complete-mode, as their docstrings pin.
+            path = fixture
+        else:
+            # Single-file fixture: the file source wants a DIRECTORY;
+            # pathGlobFilter selects the one table file out of the
+            # shared fixture dir.
+            reader = reader.option("pathGlobFilter", "events.parquet")
+            path = sf_dir
     for k, v in options.items():
         reader = reader.option(k, v)
     return _normalize_stream_ts(reader.parquet(path))

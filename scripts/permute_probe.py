@@ -21,10 +21,13 @@ deterministic operator must hash-match; any value-level dependence on
 scan order in EITHER engine flips it.
 
 Usage:
-    python scripts/permute_probe.py [sf_dir] [key ...]
-Defaults to /root/testdata/sf0.01 and all oracle-backed keys. The
-permuted copy is rebuilt under /tmp/catena_permuted_<seed>/ per run
-(seeded numpy shuffle => byte-stable across runs). Exits 1 on any
+    CATENA_PERMUTE_SPLITS=N python scripts/permute_probe.py [sf_dir] [key ...]
+Defaults to /root/testdata/sf0.01, all oracle-backed keys, and a
+single file per table; SPLITS > 1 writes each permuted table as N
+part-files in a directory (file-count / scan-split-assignment /
+inter-file-order independence, composed with the permutation). The
+permuted copy is rebuilt under /tmp/catena_permuted_<seed>_s<N>/ per
+run (seeded numpy shuffle => byte-stable across runs). Exits 1 on any
 mismatch. Run from any cwd.
 """
 
@@ -44,22 +47,43 @@ TABLES = (
 ).split()
 
 
-def permuted_copy(sf_dir: str) -> str:
+def permuted_copy(sf_dir: str, splits: int = 1) -> str:
     """Seeded row-permuted copy of every table, same schema and values
-    (pyarrow take over a shuffled index; one row group so the new
-    order actually reaches the scan)."""
+    (pyarrow take over a shuffled index). ``splits`` > 1 writes each
+    table as that many part-files inside a DIRECTORY named
+    ``{t}.parquet`` (Spark reads both layouts identically) — the
+    multi-file axis additionally breaks any dependence on file count,
+    scan-task assignment, or inter-file ordering; the permuted row
+    order is sliced contiguously so the two axes compose."""
+    import shutil
+
     import numpy as np
     import pyarrow.parquet as pq
 
-    out_dir = f"/tmp/catena_permuted_{SEED}"
+    out_dir = f"/tmp/catena_permuted_{SEED}_s{splits}"
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(SEED)
     for t in TABLES:
         src = os.path.join(sf_dir, f"{t}.parquet")
         dst = os.path.join(out_dir, f"{t}.parquet")
+        # a stale dst from a previous run with a different layout or
+        # split count would corrupt the multiset — always start clean
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        elif os.path.exists(dst):
+            os.remove(dst)
         tbl = pq.read_table(src)
-        idx = rng.permutation(tbl.num_rows)
-        pq.write_table(tbl.take(idx), dst)
+        perm = tbl.take(rng.permutation(tbl.num_rows))
+        if splits <= 1 or perm.num_rows < splits:
+            pq.write_table(perm, dst)
+        else:
+            os.makedirs(dst)
+            bounds = np.linspace(0, perm.num_rows, splits + 1, dtype=int)
+            for i in range(splits):
+                pq.write_table(
+                    perm.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                    os.path.join(dst, f"part-{i:04d}.parquet"),
+                )
     return out_dir
 
 
@@ -69,8 +93,9 @@ def main() -> int:
     if args and os.path.isdir(args[0]):
         sf_dir, args = args[0], args[1:]
 
-    perm_dir = permuted_copy(sf_dir)
-    print(f"permuted copy: {perm_dir} (seed {SEED})")
+    splits = int(os.environ.get("CATENA_PERMUTE_SPLITS", "1"))
+    perm_dir = permuted_copy(sf_dir, splits)
+    print(f"permuted copy: {perm_dir} (seed {SEED}, splits {splits})")
 
     import duckdb
     from pyspark.sql import SparkSession

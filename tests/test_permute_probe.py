@@ -46,6 +46,23 @@ def test_permuted_copy_preserves_multiset_and_changes_order():
     assert changed_any, "permuted copy kept the original row order"
 
 
+def test_permuted_copy_multifile_split_preserves_multiset():
+    """splits > 1 writes each table as a part-file DIRECTORY; the
+    multiset and the (sliced) permuted order must both survive, and
+    the layout must actually be multi-file."""
+    out_dir = permute_probe.permuted_copy(SF_SMALL, splits=7)
+    single = permute_probe.permuted_copy(SF_SMALL, splits=1)
+    for t in ("lineitem", "documents", "region"):
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        ref = pq.read_table(os.path.join(single, f"{t}.parquet"))
+        got = pq.read_table(dst)
+        if ref.num_rows >= 7:
+            assert os.path.isdir(dst) and len(os.listdir(dst)) == 7
+        # contiguous slicing: the multi-file read-back in part order
+        # equals the single-file permuted order exactly
+        assert got.to_pylist() == ref.to_pylist()
+
+
 def test_permuted_copy_is_seed_deterministic():
     """Two builds must produce identical bytes-level row orders, so a
     mismatch reported by the probe is reproducible, not a dice roll."""

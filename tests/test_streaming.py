@@ -539,3 +539,45 @@ def test_ewma_replay_multi_batch(spark, tmp_path):
     )
     assert len(got) == len(exp) > 0
     assert got == exp
+
+
+def test_live_keys_read_multifile_events_dir(spark, tmp_path):
+    """r13 (found by the permutation probe's splits axis, a REAL silent
+    bug): with events.parquet as a part-file DIRECTORY — the only shape
+    that exists at production scale — _stream_events's default path
+    used pathGlobFilter='events.parquet', which matches LEAF file
+    names, so the stream matched nothing and three live keys returned
+    0 rows SILENTLY. Pin the directory fixture end-to-end: each live
+    key's rows on a 3-file round-robin split equal its single-file
+    rows (their watermark delays exceed the fixture span and the
+    tumbling agg runs complete-mode, so batching cannot move values —
+    the invariance their docstrings argue)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from catena_spark.streaming.ops import (
+        stream_live_dedup_watermark,
+        stream_live_interval_join,
+        stream_live_tumbling_agg,
+    )
+
+    tbl = pq.read_table(os.path.join(SF_SMALL, "events.parquet"))
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("ts", "ascending")]))
+    sf = tmp_path / "sf"
+    d = sf / "events.parquet"
+    d.mkdir(parents=True)
+    n = tbl.num_rows
+    for i in range(3):
+        pq.write_table(
+            tbl.take(list(range(i, n, 3))), str(d / f"part-{i}.parquet")
+        )
+
+    for key_fn in (
+        stream_live_tumbling_agg,
+        stream_live_dedup_watermark,
+        stream_live_interval_join,
+    ):
+        got = sorted(tuple(r) for r in key_fn(spark, str(sf)).collect())
+        exp = sorted(tuple(r) for r in key_fn(spark, SF_SMALL).collect())
+        assert len(got) == len(exp) > 0, key_fn.__name__
+        assert got == exp, key_fn.__name__
