@@ -157,6 +157,17 @@ def main() -> int:
             )
         except Exception as ex:
             status = f"ERROR {type(ex).__name__}: {ex}"[:200]
+            # Py4J wraps the real failure ("Boxed Exception" futures,
+            # broadcast timeouts) several causes deep — surface the
+            # root so a probe log is adjudicable without a re-run
+            je = getattr(ex, "java_exception", None)
+            try:
+                while je is not None and je.getCause() is not None:
+                    je = je.getCause()
+                if je is not None:
+                    status += f" | root: {je.toString()}"[:300]
+            except Exception:
+                pass
         print(f"{key}: {status}", flush=True)
         if not status.startswith("HASH-OK"):
             failures.append(key)
