@@ -108,6 +108,16 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .appName("permute-probe")
         .config("spark.sql.shuffle.partitions", "8")
+        # The probe's compare mechanism is a driver collect per key; at
+        # sf0.1 the gap-fill grids return ~4.6M rows and a full-contract
+        # session accumulates 100+ keys of JVM state — the 1g default
+        # heap deterministically OOMs there (r13, root-caused via the
+        # error line below). 4g is probe-harness sizing, not an
+        # operator requirement.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("CATENA_PERMUTE_DRIVER_MEM", "4g"),
+        )
         # hostile on purpose, like drive_contract: the package must
         # repin parity conf itself
         .config("spark.sql.session.timeZone", "America/New_York")
