@@ -43,6 +43,10 @@ ACCEPTED_BASENAME = "BENCH_RATCHET_ACCEPTED.json"
 #: (measured r6, bench.py); a ratio there is noise-dominated, so small
 #: absolute drifts get an absolute floor before the factor gate fires.
 ABS_FLOOR_SEC = 0.015
+#: ADVICE r13: a ratchet acceptance may only EXPIRE when the recovery
+#: is demonstrated by at least this many in-window samples (mirrors
+#: _ratchet_hit's >= 3-sample requirement to TRIP).
+EXPIRE_MIN_SAMPLES = 3
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -163,7 +167,16 @@ def expire_accepted(
     regression anywhere inside max(acc*factor, acc+floor)). Returns
     (pruned ledger, dropped query names). A query absent from the
     current window, or a window shorter than HISTORY, keeps its entry —
-    recovery must be demonstrated, not assumed."""
+    recovery must be demonstrated, not assumed.
+
+    ADVICE r13: expiry needs hysteresis symmetric with the trip side.
+    _ratchet_hit needs >= 3 in-window samples to fire, but a single
+    sample 1 ms under the accepted level used to expire the entry — on
+    this VM (17-65 ms quantum swings) the same adjudicated drift would
+    then re-fail the gate and need re-acceptance. Recovery now requires
+    (a) >= EXPIRE_MIN_SAMPLES in-window samples of the query and (b) a
+    margin: median below acc by at least max(10% of acc, ABS_FLOOR_SEC)
+    — the mirror of the trip budget max(acc*factor, acc+floor)."""
     if len(records) < HISTORY:
         return dict(accepted), []
     cur = records[-HISTORY:]
@@ -171,7 +184,10 @@ def expire_accepted(
     dropped: list[str] = []
     for q, acc in accepted.items():
         col = [r[q] for r in cur if q in r]
-        if col and statistics.median(col) < acc:
+        recovered = len(col) >= EXPIRE_MIN_SAMPLES and statistics.median(
+            col
+        ) <= acc - max(0.1 * acc, ABS_FLOOR_SEC)
+        if recovered:
             dropped.append(q)
         else:
             kept[q] = acc

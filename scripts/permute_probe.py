@@ -87,6 +87,119 @@ def permuted_copy(sf_dir: str, splits: int = 1) -> str:
     return out_dir
 
 
+#: 256-bit modulus for the commutative multiset digest below.
+_DIGEST_MOD = 1 << 256
+
+
+def _row_line(row, order, canon) -> str:
+    """Canonical line for one result row: cells in sorted-column-name
+    order, joined on \\x01 — byte-identical to the line layout inside
+    drive_contract.value_hash, so the two gates canonicalize alike."""
+    return "\x01".join(canon(row[i]) for i in order)
+
+
+def digest_rows(rows, cols) -> tuple[int, str]:
+    """(row_count, 64-hex multiset digest) of an iterable of result
+    rows. The digest is the SUM mod 2**256 of sha256(canonical line)
+    over rows — commutative and associative, so it is row-order
+    insensitive AND can be computed as per-partition partials on
+    executors then merged (VERDICT r13 item 5: the previous compare
+    collected full result sets to hash on the driver, ~4.6M rows for
+    the sf0.1 gap-fill grid, forcing a 4g driver heap; partials return
+    one row per partition so the default heap suffices and the probe
+    composes with bigger SFs). Accidental collision of summed sha256
+    digests is negligible; this is a parity gate, not an adversarial
+    commitment."""
+    import hashlib
+
+    from catena_spark.parity import norm_cell as canon
+
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    cnt, acc = 0, 0
+    for r in rows:
+        line = _row_line(r, order, canon)
+        acc = (
+            acc + int.from_bytes(hashlib.sha256(line.encode()).digest(), "big")
+        ) % _DIGEST_MOD
+        cnt += 1
+    return cnt, format(acc, "064x")
+
+
+def spark_digest(df, repo: str = REPO) -> tuple[int, str]:
+    """(row_count, multiset digest) of a DataFrame, computed
+    EXECUTOR-SIDE: each partition folds its rows into a (count, hex)
+    partial inside the Python worker (Row cells carry the same Python
+    types collect() would, so canonicalization matches digest_rows
+    exactly), and only the numPartitions partials reach the driver.
+    Row-at-a-time Python is fine here — this is probe harness code, not
+    an operator; the win is O(partitions) driver memory instead of
+    O(rows) JVM heap."""
+    cols = df.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def part(rows):
+        import hashlib
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from catena_spark.parity import norm_cell as canon
+
+        cnt, acc = 0, 0
+        for r in rows:
+            line = _row_line(r, order, canon)
+            acc = (
+                acc
+                + int.from_bytes(
+                    hashlib.sha256(line.encode()).digest(), "big"
+                )
+            ) % _DIGEST_MOD
+            cnt += 1
+        yield (cnt, format(acc, "064x"))
+
+    parts = df.rdd.mapPartitions(part).collect()
+    cnt = sum(c for c, _ in parts)
+    acc = sum(int(h, 16) for _, h in parts) % _DIGEST_MOD
+    return cnt, format(acc, "064x")
+
+
+def duck_digest(cur, batch: int = 50_000) -> tuple[list, int, str]:
+    """(column names, row_count, multiset digest) of an executed DuckDB
+    cursor, streamed via fetchmany so the probe's Python memory is
+    bounded by the batch size, not the result size."""
+    import hashlib
+
+    from catena_spark.parity import norm_cell as canon
+
+    ocols = [d[0] for d in cur.description]
+    order = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    cnt, acc = 0, 0
+    while True:
+        rows = cur.fetchmany(batch)
+        if not rows:
+            break
+        for r in rows:
+            line = _row_line(r, order, canon)
+            acc = (
+                acc
+                + int.from_bytes(
+                    hashlib.sha256(line.encode()).digest(), "big"
+                )
+            ) % _DIGEST_MOD
+            cnt += 1
+    return ocols, cnt, format(acc, "064x")
+
+
+def oracle_view_source(sf_dir: str, table: str) -> str:
+    """read_parquet path for one original table — ADVICE r13: the
+    original may itself be a part-file DIRECTORY named {t}.parquet (the
+    only shape at production scale, and exactly the layout the r13
+    streaming bug writeup names); a bare read_parquet('{dir}') errors
+    in DuckDB, so glob inside directories."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    return f"{src}/*.parquet" if os.path.isdir(src) else src
+
+
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
@@ -100,29 +213,23 @@ def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
-    # the ONE shared canonicalizer + hash (ADVICE r4: local copies can
-    # desync probes from the gate they rehearse)
-    from drive_contract import value_hash
-
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("permute-probe")
         .config("spark.sql.shuffle.partitions", "8")
-        # The probe's compare mechanism is a driver collect per key; at
-        # sf0.1 the gap-fill grids return ~4.6M rows and a full-contract
-        # session accumulates 100+ keys of JVM state — the 1g default
-        # heap deterministically OOMs there (r13, root-caused via the
-        # error line below). 4g is probe-harness sizing, not an
-        # operator requirement.
-        .config(
-            "spark.driver.memory",
-            os.environ.get("CATENA_PERMUTE_DRIVER_MEM", "4g"),
-        )
         # hostile on purpose, like drive_contract: the package must
         # repin parity conf itself
         .config("spark.sql.session.timeZone", "America/New_York")
-        .getOrCreate()
     )
+    # Executor-side digesting (spark_digest) keeps driver traffic at
+    # one row per partition, so the DEFAULT heap suffices even for the
+    # sf0.1 full contract (VERDICT r13 item 5 — this env override is
+    # retained only as an escape hatch for debugging).
+    if os.environ.get("CATENA_PERMUTE_DRIVER_MEM"):
+        builder = builder.config(
+            "spark.driver.memory", os.environ["CATENA_PERMUTE_DRIVER_MEM"]
+        )
+    spark = builder.getOrCreate()
 
     import __spark_entry__ as e
 
@@ -144,7 +251,7 @@ def main() -> int:
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
+            f"read_parquet('{oracle_view_source(sf_dir, t)}')"
         )
 
     failures: list[str] = []
@@ -152,21 +259,24 @@ def main() -> int:
         try:
             df = qs[key](spark, perm_dir)
             cols = df.columns
-            rows = [tuple(r) for r in df.collect()]
-            cur = con.execute(oracles[key])
-            ocols = [d[0] for d in cur.description]
-            orows = [tuple(r) for r in cur.fetchall()]
-            ok_rows = len(rows) == len(orows)
+            n, h = spark_digest(df)
+            ocols, on, oh = duck_digest(con.execute(oracles[key]))
+            ok_rows = n == on
             ok_cols = sorted(cols) == sorted(ocols)
-            ok_hash = ok_cols and value_hash(rows, cols) == value_hash(
-                orows, ocols
-            )
+            ok_hash = ok_cols and h == oh
             status = "HASH-OK" if (ok_rows and ok_hash) else (
-                f"MISMATCH rows={len(rows)}/{len(orows)} "
+                f"MISMATCH rows={n}/{on} "
                 f"cols_ok={ok_cols} hash_ok={ok_hash}"
             )
         except Exception as ex:
-            status = f"ERROR {type(ex).__name__}: {ex}"[:200]
+            # ADVICE r13: truncating str(ex) to 200 chars cut off long
+            # Python-side messages (the adjudication-without-re-run
+            # problem the root-cause suffix solves for Py4J) — keep the
+            # type name intact and take the LAST line of the message,
+            # where Python tracebacks and Spark error classes put the
+            # operative clause.
+            tail = str(ex).strip().splitlines()[-1:] or [""]
+            status = f"ERROR {type(ex).__name__}: {tail[0][-400:]}"
             # Py4J wraps the real failure ("Boxed Exception" futures,
             # broadcast timeouts) several causes deep — surface the
             # root so a probe log is adjudicable without a re-run

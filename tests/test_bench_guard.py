@@ -345,6 +345,29 @@ def test_expire_accepted_drops_recovered_entry():
     assert kept == {"q9": 0.060}
 
 
+def test_expire_accepted_has_hysteresis():
+    """ADVICE r13: expiry used to be asymmetric with the trip side —
+    _ratchet_hit needs >= 3 in-window samples, but ONE sample 1 ms
+    under the accepted level expired the entry, so on this VM (17-65 ms
+    quantum swings) the same adjudicated drift re-failed the gate and
+    needed re-acceptance. Pin both halves of the fix."""
+    # (a) a query sparsely present in the window — fewer than
+    # EXPIRE_MIN_SAMPLES samples — keeps its entry even if every one
+    # of them is deep under the accepted level
+    sparse = [{"q1": 0.030}] + [{"qx": 0.01}] * (bench_guard.HISTORY - 1)
+    kept, dropped = bench_guard.expire_accepted(sparse, {"q1": 0.060})
+    assert kept == {"q1": 0.060} and dropped == []
+    # (b) a shallow dip — median 1 ms under acc, inside the recovery
+    # margin max(10% of acc, ABS_FLOOR_SEC) — keeps the entry
+    shallow = _records([0.059, 0.059, 0.058, 0.059, 0.059])
+    kept, dropped = bench_guard.expire_accepted(shallow, {"q1": 0.060})
+    assert kept == {"q1": 0.060} and dropped == []
+    # (c) a genuine recovery past the margin with enough samples drops
+    deep = _records([0.044, 0.044, 0.045, 0.044, 0.044])
+    kept, dropped = bench_guard.expire_accepted(deep, {"q1": 0.060})
+    assert kept == {} and dropped == ["q1"]
+
+
 def test_expired_acceptance_lets_fresh_creep_fail(tmp_path, monkeypatch, capsys):
     """End-to-end ADVICE r12 shape: accept a ratchet at 60ms, recover
     to ~40ms (one run expires the ledger entry), then creep back up to

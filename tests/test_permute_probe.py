@@ -63,6 +63,78 @@ def test_permuted_copy_multifile_split_preserves_multiset():
         assert got.to_pylist() == ref.to_pylist()
 
 
+def test_multiset_digest_is_order_insensitive_and_value_sensitive():
+    """VERDICT r13 item 5 teeth: the executor-side digest must keep the
+    probe's semantics — same multiset => same digest regardless of row
+    order OR column order; any single cell change flips it."""
+    rows = [(1, "a", 2.5), (2, "b", float("nan")), (None, "c", -0.0)]
+    cols = ["k", "s", "v"]
+    n, h = permute_probe.digest_rows(rows, cols)
+    assert n == 3
+    assert permute_probe.digest_rows(list(reversed(rows)), cols) == (n, h)
+    # column order permuted WITH the cells: same logical rows
+    swapped = [(r[1], r[0], r[2]) for r in rows]
+    assert permute_probe.digest_rows(swapped, ["s", "k", "v"]) == (n, h)
+    # -0.0 folds into 0.0 (norm_cell rule) — same digest
+    folded = [rows[0], rows[1], (None, "c", 0.0)]
+    assert permute_probe.digest_rows(folded, cols) == (n, h)
+    # a single changed cell flips the digest but not the count
+    mutated = [rows[0], rows[1], (None, "c", 1.0)]
+    n2, h2 = permute_probe.digest_rows(mutated, cols)
+    assert n2 == 3 and h2 != h
+    assert permute_probe.digest_rows([], cols) == (0, "0" * 64)
+
+
+def test_spark_and_duck_digests_agree_with_reference(spark):
+    """The three digest paths (pure-python reference, executor-side
+    partials, streamed DuckDB cursor) must produce identical (count,
+    digest) for the same logical result — that identity IS the probe's
+    compare, so pin it on a multi-partition DataFrame with the tricky
+    cell types (null, float, timestamp-free)."""
+    import duckdb
+
+    rows = [(i, f"s{i % 3}", float(i) / 4 if i % 5 else None)
+            for i in range(200)]
+    cols = ["k", "s", "v"]
+    ref = permute_probe.digest_rows(rows, cols)
+    df = spark.createDataFrame(rows, "k int, s string, v double").repartition(7)
+    assert df.rdd.getNumPartitions() > 1
+    assert permute_probe.spark_digest(df) == ref
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k int, s varchar, v double)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    ocols, on, oh = permute_probe.duck_digest(
+        con.execute("SELECT * FROM t"), batch=32
+    )
+    assert ocols == cols and (on, oh) == ref
+
+
+def test_oracle_view_source_handles_directory_tables(tmp_path):
+    """ADVICE r13: an original table may be a part-file DIRECTORY named
+    {t}.parquet — the production shape; the oracle view must glob
+    inside it instead of erroring on every key."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "orders.parquet"
+    d.mkdir()
+    pq.write_table(pa.table({"x": [1, 2]}), str(d / "part-0.parquet"))
+    pq.write_table(pa.table({"x": [3]}), str(d / "part-1.parquet"))
+    f = tmp_path / "region.parquet"
+    pq.write_table(pa.table({"x": [9]}), str(f))
+    src_dir = permute_probe.oracle_view_source(str(tmp_path), "orders")
+    src_file = permute_probe.oracle_view_source(str(tmp_path), "region")
+    assert src_dir.endswith("/*.parquet") and src_file == str(f)
+    con = duckdb.connect()
+    assert con.execute(
+        f"SELECT count(*) FROM read_parquet('{src_dir}')"
+    ).fetchone()[0] == 3
+    assert con.execute(
+        f"SELECT count(*) FROM read_parquet('{src_file}')"
+    ).fetchone()[0] == 1
+
+
 def test_permuted_copy_is_seed_deterministic():
     """Two builds must produce identical bytes-level row orders, so a
     mismatch reported by the probe is reproducible, not a dice roll."""

@@ -241,6 +241,17 @@ def test_every_round_record_has_a_resolvable_adding_commit():
         import pytest
 
         pytest.skip("not a git checkout")
+    # ADVICE r13: in a shallow/partial clone rev-parse succeeds but the
+    # adding commits of old round files are absent from history, so the
+    # gate would fail spuriously on a valid tree — skip there; the gate
+    # only means something against full history.
+    shallow = (registry._git(
+        root, "rev-parse", "--is-shallow-repository"
+    ) or "").strip()
+    if shallow == "true":
+        import pytest
+
+        pytest.skip("shallow clone: adding commits may be truncated")
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     assert files, "twelve+ rounds in: round history must exist"
     unanchored = [
