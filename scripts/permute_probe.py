@@ -210,6 +210,24 @@ def main() -> int:
     perm_dir = permuted_copy(sf_dir, splits)
     print(f"permuted copy: {perm_dir} (seed {SEED}, splits {splits})")
 
+    # Contention sentinel (r14): a foreign Spark JVM sharing the CPUs
+    # can wedge streaming awaitTermination bounds and slow stages into
+    # timeouts — spurious ERROR lines, not hash flips (the r14 first
+    # composed sf0.1 run failed 6 keys while a preflight JVM overlapped
+    # it; the idle re-run was 165/165). A PASS under contention is
+    # still a pass (hash equality is load-independent); a FAILURE must
+    # carry the contention context so it adjudicates without a re-run.
+    from bench import _concurrent_spark_pids
+
+    contended_pre = _concurrent_spark_pids()
+    if contended_pre:
+        print(
+            f"permute_probe: WARNING {len(contended_pre)} concurrent "
+            f"Spark JVM(s) (pids {contended_pre}) — failures below may "
+            "be contention artifacts (timeouts/OOM), not "
+            "order-sensitivity; re-run failed keys on an idle machine"
+        )
+
     import duckdb
     from pyspark.sql import SparkSession
 
@@ -299,6 +317,16 @@ def main() -> int:
     if failures:
         for k in failures:
             print(f"  ORDER-SENSITIVE {k}")
+        contended = sorted(
+            set(contended_pre) | set(_concurrent_spark_pids(exclude_own=True))
+        )
+        if contended:
+            print(
+                f"NOTE: {len(contended)} foreign Spark JVM(s) (pids "
+                f"{contended}) shared this machine during the run — "
+                "re-run the failed keys idle before treating them as "
+                "order-sensitive"
+            )
         return 1
     print("RESULT: ALL-MATCH")
     return 0

@@ -273,4 +273,16 @@ fi
 echo "== input-permutation invariance (seeded row-permuted tables)"
 (cd /tmp && python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
 
+# splits sub-axis at varied N (r14, VERDICT r13 item 3): the axis that
+# caught the r13 silent 0-row streaming bug on its first composed run.
+# Each table becomes an N-part-file DIRECTORY; varying N moves every
+# part-file boundary and scan-split assignment, so a dependence on file
+# count or inter-file order can't hide behind one lucky N. Primes
+# chosen so no N divides another's boundaries.
+for N in 2 7 13; do
+  echo "== input-permutation invariance, splits=$N (directory-shaped tables)"
+  (cd /tmp && CATENA_PERMUTE_SPLITS=$N \
+    python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+done
+
 echo "== STRESS MATRIX ALL GREEN"
