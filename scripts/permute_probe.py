@@ -21,14 +21,24 @@ deterministic operator must hash-match; any value-level dependence on
 scan order in EITHER engine flips it.
 
 Usage:
-    CATENA_PERMUTE_SPLITS=N python scripts/permute_probe.py [sf_dir] [key ...]
+    CATENA_PERMUTE_SPLITS=N CATENA_PERMUTE_LAYOUT=even|empty|skew \
+        python scripts/permute_probe.py [sf_dir] [key ...]
 Defaults to /root/testdata/sf0.01, all oracle-backed keys, and a
 single file per table; SPLITS > 1 writes each permuted table as N
 part-files in a directory (file-count / scan-split-assignment /
 inter-file-order independence, composed with the permutation). The
-permuted copy is rebuilt under /tmp/catena_permuted_<seed>_s<N>/ per
-run (seeded numpy shuffle => byte-stable across runs). Exits 1 on any
-mismatch. Run from any cwd.
+LAYOUT sub-axis (r14) varies how rows land in those part-files:
+``empty`` interleaves ZERO-ROW schema-only part-files at the front,
+middle, and end of every directory table (compaction remainders and
+predicate-filtered writes leave exactly these at production scale;
+empty files hit schema-inference-from-first-file and empty-Arrow-batch
+paths), and ``skew`` puts ~90% of each table's rows in the first
+part-file (one scan task carries nearly everything — partial-agg and
+merge orders degenerate). The permuted copy is rebuilt under
+/tmp/catena_permuted_<seed>_s<N>[_<layout>]/ per run (seeded numpy
+shuffle => byte-stable across runs; the permuted ROW ORDER is
+identical across layouts, only the part-file boundaries move). Exits
+1 on any mismatch. Run from any cwd.
 """
 
 from __future__ import annotations
@@ -47,20 +57,63 @@ TABLES = (
 ).split()
 
 
-def permuted_copy(sf_dir: str, splits: int = 1) -> str:
+LAYOUTS = ("even", "empty", "skew")
+
+
+def _layout_slices(n: int, splits: int, layout: str) -> list[tuple[int, int]]:
+    """(offset, length) of each part-file for one table of ``n`` rows.
+    Contiguous and exhaustive in permuted-row order for every layout,
+    so the multiset (and the sliced read-back order) is layout-
+    invariant — only the part-file boundaries move:
+
+    - ``even``: splits equal slices (the r13 behavior).
+    - ``empty``: even slices with ZERO-ROW slices interleaved at the
+      front, middle, and end — the schema-only part-files compaction
+      remainders and predicate-filtered writes leave behind.
+    - ``skew``: first slice ~90% of the rows, the rest split evenly
+      over the remaining splits-1 files (tail slices may legitimately
+      come out zero-row on small tables — skewed writes produce those
+      too)."""
+    import numpy as np
+
+    k = splits if (splits > 1 and n >= splits) else 1
+    if layout == "skew" and n > 1 and k > 1:
+        head = max(1, int(n * 0.9))
+        bounds = [0, head] + [int(b) for b in np.linspace(head, n, k)[1:]]
+    else:
+        bounds = [int(b) for b in np.linspace(0, n, k + 1)]
+    slices = [
+        (bounds[i], bounds[i + 1] - bounds[i]) for i in range(len(bounds) - 1)
+    ]
+    if layout == "empty":
+        mid = len(slices) // 2
+        mid_off = slices[mid][0] if mid < len(slices) else n
+        slices = (
+            [(0, 0)] + slices[:mid] + [(mid_off, 0)] + slices[mid:] + [(n, 0)]
+        )
+    return slices
+
+
+def permuted_copy(sf_dir: str, splits: int = 1, layout: str = "even") -> str:
     """Seeded row-permuted copy of every table, same schema and values
     (pyarrow take over a shuffled index). ``splits`` > 1 writes each
-    table as that many part-files inside a DIRECTORY named
-    ``{t}.parquet`` (Spark reads both layouts identically) — the
-    multi-file axis additionally breaks any dependence on file count,
-    scan-task assignment, or inter-file ordering; the permuted row
-    order is sliced contiguously so the two axes compose."""
+    table as part-files inside a DIRECTORY named ``{t}.parquet``
+    (Spark reads both layouts identically) — the multi-file axis
+    additionally breaks any dependence on file count, scan-task
+    assignment, or inter-file ordering; the permuted row order is
+    sliced contiguously so the axes compose. ``layout`` picks how the
+    slices land in the part-files (see _layout_slices); non-even
+    layouts always write a directory so the empty/skewed part-files
+    exist even for tables smaller than ``splits``."""
     import shutil
 
     import numpy as np
     import pyarrow.parquet as pq
 
-    out_dir = f"/tmp/catena_permuted_{SEED}_s{splits}"
+    if layout not in LAYOUTS:
+        raise ValueError(f"layout must be one of {LAYOUTS}, got {layout!r}")
+    suffix = "" if layout == "even" else f"_{layout}"
+    out_dir = f"/tmp/catena_permuted_{SEED}_s{splits}{suffix}"
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(SEED)
     for t in TABLES:
@@ -74,14 +127,15 @@ def permuted_copy(sf_dir: str, splits: int = 1) -> str:
             os.remove(dst)
         tbl = pq.read_table(src)
         perm = tbl.take(rng.permutation(tbl.num_rows))
-        if splits <= 1 or perm.num_rows < splits:
+        if layout == "even" and (splits <= 1 or perm.num_rows < splits):
             pq.write_table(perm, dst)
         else:
             os.makedirs(dst)
-            bounds = np.linspace(0, perm.num_rows, splits + 1, dtype=int)
-            for i in range(splits):
+            for i, (off, ln) in enumerate(
+                _layout_slices(perm.num_rows, splits, layout)
+            ):
                 pq.write_table(
-                    perm.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                    perm.slice(off, ln),
                     os.path.join(dst, f"part-{i:04d}.parquet"),
                 )
     return out_dir
@@ -207,8 +261,12 @@ def main() -> int:
         sf_dir, args = args[0], args[1:]
 
     splits = int(os.environ.get("CATENA_PERMUTE_SPLITS", "1"))
-    perm_dir = permuted_copy(sf_dir, splits)
-    print(f"permuted copy: {perm_dir} (seed {SEED}, splits {splits})")
+    layout = os.environ.get("CATENA_PERMUTE_LAYOUT", "even")
+    perm_dir = permuted_copy(sf_dir, splits, layout)
+    print(
+        f"permuted copy: {perm_dir} "
+        f"(seed {SEED}, splits {splits}, layout {layout})"
+    )
 
     # Contention sentinel (r14): a foreign Spark JVM sharing the CPUs
     # can wedge streaming awaitTermination bounds and slow stages into

@@ -285,4 +285,18 @@ for N in 2 7 13; do
     python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
 done
 
+# part-file layout sub-axis (r14): even slicing is the LUCKIEST layout
+# a directory table can have — at production scale compaction
+# remainders and predicate-filtered writes leave ZERO-ROW schema-only
+# part-files (empty: first/middle/last files have no rows, hitting
+# schema-from-first-file and empty-Arrow-batch paths) and wildly
+# uneven ones (skew: ~90% of rows in one file, so one scan task
+# carries nearly everything and the rest contribute empty partials).
+# Same permuted multiset as the cells above — only boundaries move.
+for L in empty skew; do
+  echo "== input-permutation invariance, splits=7 layout=$L"
+  (cd /tmp && CATENA_PERMUTE_SPLITS=7 CATENA_PERMUTE_LAYOUT=$L \
+    python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+done
+
 echo "== STRESS MATRIX ALL GREEN"

@@ -63,6 +63,72 @@ def test_permuted_copy_multifile_split_preserves_multiset():
         assert got.to_pylist() == ref.to_pylist()
 
 
+def test_permuted_copy_empty_layout_interleaves_zero_row_parts():
+    """layout=empty (r14): every table becomes a directory whose FIRST
+    and LAST part-files are zero-row schema-only parquet (plus one in
+    the middle) — the compaction-remainder shape; the multiset and the
+    permuted read-back order must survive untouched."""
+    out_dir = permute_probe.permuted_copy(SF_SMALL, splits=7, layout="empty")
+    single = permute_probe.permuted_copy(SF_SMALL)
+    for t in ("lineitem", "documents", "region"):
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        assert os.path.isdir(dst), f"{t}: empty layout must be a directory"
+        parts = sorted(os.listdir(dst))
+        sizes = [
+            pq.read_table(os.path.join(dst, p)).num_rows for p in parts
+        ]
+        assert sizes[0] == 0 and sizes[-1] == 0 and sizes.count(0) >= 3, (
+            f"{t}: expected zero-row parts at front/middle/end, got {sizes}"
+        )
+        ref = pq.read_table(os.path.join(single, f"{t}.parquet"))
+        got = pq.read_table(dst)
+        assert got.schema.remove_metadata() == ref.schema.remove_metadata()
+        assert got.to_pylist() == ref.to_pylist(), (
+            f"{t}: empty layout changed the multiset or the sliced order"
+        )
+
+
+def test_permuted_copy_skew_layout_front_loads_rows():
+    """layout=skew (r14): the first part-file carries ~90% of the rows
+    — one scan task sees nearly everything, the rest see crumbs (some
+    legitimately zero-row); multiset and order must be layout-
+    invariant."""
+    out_dir = permute_probe.permuted_copy(SF_SMALL, splits=7, layout="skew")
+    single = permute_probe.permuted_copy(SF_SMALL)
+    for t in ("lineitem", "documents"):
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        assert os.path.isdir(dst)
+        parts = sorted(os.listdir(dst))
+        sizes = [
+            pq.read_table(os.path.join(dst, p)).num_rows for p in parts
+        ]
+        total = sum(sizes)
+        assert total > 7 and sizes[0] >= int(total * 0.85), (
+            f"{t}: first part should hold ~90% of rows, got {sizes}"
+        )
+        ref = pq.read_table(os.path.join(single, f"{t}.parquet"))
+        assert pq.read_table(dst).to_pylist() == ref.to_pylist()
+
+
+def test_layout_slices_are_contiguous_and_exhaustive():
+    """The slicing kernel itself: for every (n, splits, layout) cell the
+    slices must tile [0, n) contiguously in order — that property IS
+    what makes the probe's multiset claim layout-invariant."""
+    for n in (0, 1, 5, 720, 60_175):
+        for splits in (1, 2, 7, 13):
+            for layout in permute_probe.LAYOUTS:
+                slices = permute_probe._layout_slices(n, splits, layout)
+                pos = 0
+                for off, ln in slices:
+                    assert ln >= 0 and off == pos, (
+                        f"n={n} splits={splits} {layout}: gap at {off}"
+                    )
+                    pos += ln
+                assert pos == n, (
+                    f"n={n} splits={splits} {layout}: covers {pos}"
+                )
+
+
 def test_multiset_digest_is_order_insensitive_and_value_sensitive():
     """VERDICT r13 item 5 teeth: the executor-side digest must keep the
     probe's semantics — same multiset => same digest regardless of row
