@@ -22,6 +22,8 @@ scan order in EITHER engine flips it.
 
 Usage:
     CATENA_PERMUTE_SPLITS=N CATENA_PERMUTE_LAYOUT=even|empty|skew \
+    CATENA_PERMUTE_CODEC=snappy|zstd|gzip|none \
+    CATENA_PERMUTE_ROWGROUP=M CATENA_PERMUTE_INT96=1 \
         python scripts/permute_probe.py [sf_dir] [key ...]
 Defaults to /root/testdata/sf0.01, all oracle-backed keys, and a
 single file per table; SPLITS > 1 writes each permuted table as N
@@ -34,11 +36,19 @@ predicate-filtered writes leave exactly these at production scale;
 empty files hit schema-inference-from-first-file and empty-Arrow-batch
 paths), and ``skew`` puts ~90% of each table's rows in the first
 part-file (one scan task carries nearly everything — partial-agg and
-merge orders degenerate). The permuted copy is rebuilt under
-/tmp/catena_permuted_<seed>_s<N>[_<layout>]/ per run (seeded numpy
-shuffle => byte-stable across runs; the permuted ROW ORDER is
-identical across layouts, only the part-file boundaries move). Exits
-1 on any mismatch. Run from any cwd.
+merge orders degenerate). The WRITE-ENCODING sub-axis (r14) varies how
+the same values are encoded in the parquet bytes — CODEC picks the
+compression (a 100 TB lake mixes codecs across writer generations),
+ROWGROUP shrinks row groups so the vectorized reader's columnar-batch
+boundaries move and page/row-group pruning sees many tiny units, and
+INT96=1 writes timestamps as deprecated INT96 (the legacy Hive/
+Impala/old-Spark physical type still ubiquitous in old partitions) —
+any value drift in a decode path flips the hash because the DuckDB
+oracle still reads the ORIGINAL files. The permuted copy is rebuilt
+under /tmp/catena_permuted_<sf>_<seed>_s<N>[_<layout>][_<encoding>]/
+per run (seeded numpy shuffle => byte-stable across runs; the permuted
+ROW ORDER is identical across layouts and encodings, only the bytes
+around it change). Exits 1 on any mismatch. Run from any cwd.
 """
 
 from __future__ import annotations
@@ -94,7 +104,14 @@ def _layout_slices(n: int, splits: int, layout: str) -> list[tuple[int, int]]:
     return slices
 
 
-def permuted_copy(sf_dir: str, splits: int = 1, layout: str = "even") -> str:
+def permuted_copy(
+    sf_dir: str,
+    splits: int = 1,
+    layout: str = "even",
+    codec: str | None = None,
+    rowgroup: int | None = None,
+    int96: bool = False,
+) -> str:
     """Seeded row-permuted copy of every table, same schema and values
     (pyarrow take over a shuffled index). ``splits`` > 1 writes each
     table as part-files inside a DIRECTORY named ``{t}.parquet``
@@ -104,7 +121,27 @@ def permuted_copy(sf_dir: str, splits: int = 1, layout: str = "even") -> str:
     sliced contiguously so the axes compose. ``layout`` picks how the
     slices land in the part-files (see _layout_slices); non-even
     layouts always write a directory so the empty/skewed part-files
-    exist even for tables smaller than ``splits``."""
+    exist even for tables smaller than ``splits``.
+
+    The write-encoding knobs change the parquet BYTES, never the
+    values: ``codec`` sets the compression codec, ``rowgroup`` caps
+    rows per row group (moves every columnar-batch boundary and
+    multiplies the row-group-pruning units), ``int96`` writes
+    timestamps as the deprecated INT96 physical type (nanosecond
+    julian — lossless for microsecond data; the legacy layout old
+    Hive/Impala/Spark writers produced). Each knob lands in the output
+    dir name so runs with different encodings never share bytes.
+
+    The output path is keyed by SOURCE dir basename + seed + every
+    axis knob: an sf0.001 teeth-test rebuild must never clobber an
+    sf0.01 probe's live copy (r14 forensics: exactly that collision —
+    the pytest suite rebuilt the splits=7/empty path with sf0.001 data
+    while a full-contract sf0.01 probe was mid-run reading it —
+    produced 17 spurious MISMATCHes that adjudicated in minutes only
+    because rows=75/750 made the wrong-scale read obvious). Two
+    CONCURRENT probes with identical (source, axes) still share a path
+    by design; the contention doctrine already forbids concurrent
+    Spark runs on this machine."""
     import shutil
 
     import numpy as np
@@ -113,7 +150,18 @@ def permuted_copy(sf_dir: str, splits: int = 1, layout: str = "even") -> str:
     if layout not in LAYOUTS:
         raise ValueError(f"layout must be one of {LAYOUTS}, got {layout!r}")
     suffix = "" if layout == "even" else f"_{layout}"
-    out_dir = f"/tmp/catena_permuted_{SEED}_s{splits}{suffix}"
+    wkw: dict = {}
+    if codec:
+        wkw["compression"] = codec
+        suffix += f"_c{codec}"
+    if rowgroup:
+        wkw["row_group_size"] = rowgroup
+        suffix += f"_rg{rowgroup}"
+    if int96:
+        wkw["use_deprecated_int96_timestamps"] = True
+        suffix += "_int96"
+    src_tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/catena_permuted_{src_tag}_{SEED}_s{splits}{suffix}"
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(SEED)
     for t in TABLES:
@@ -128,7 +176,7 @@ def permuted_copy(sf_dir: str, splits: int = 1, layout: str = "even") -> str:
         tbl = pq.read_table(src)
         perm = tbl.take(rng.permutation(tbl.num_rows))
         if layout == "even" and (splits <= 1 or perm.num_rows < splits):
-            pq.write_table(perm, dst)
+            pq.write_table(perm, dst, **wkw)
         else:
             os.makedirs(dst)
             for i, (off, ln) in enumerate(
@@ -137,6 +185,7 @@ def permuted_copy(sf_dir: str, splits: int = 1, layout: str = "even") -> str:
                 pq.write_table(
                     perm.slice(off, ln),
                     os.path.join(dst, f"part-{i:04d}.parquet"),
+                    **wkw,
                 )
     return out_dir
 
@@ -262,10 +311,15 @@ def main() -> int:
 
     splits = int(os.environ.get("CATENA_PERMUTE_SPLITS", "1"))
     layout = os.environ.get("CATENA_PERMUTE_LAYOUT", "even")
-    perm_dir = permuted_copy(sf_dir, splits, layout)
+    codec = os.environ.get("CATENA_PERMUTE_CODEC") or None
+    rowgroup = int(os.environ.get("CATENA_PERMUTE_ROWGROUP", "0")) or None
+    int96 = os.environ.get("CATENA_PERMUTE_INT96", "") == "1"
+    perm_dir = permuted_copy(sf_dir, splits, layout, codec, rowgroup, int96)
     print(
         f"permuted copy: {perm_dir} "
-        f"(seed {SEED}, splits {splits}, layout {layout})"
+        f"(seed {SEED}, splits {splits}, layout {layout}, "
+        f"codec {codec or 'default'}, rowgroup {rowgroup or 'default'}, "
+        f"int96 {int96})"
     )
 
     # Contention sentinel (r14): a foreign Spark JVM sharing the CPUs

@@ -299,4 +299,17 @@ for L in empty skew; do
     python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
 done
 
+# write-encoding sub-axis (r14): the same values in different parquet
+# BYTES — zstd instead of the fixture's codec (a 100 TB lake mixes
+# codecs across writer generations), 512-row row groups (every
+# vectorized-reader batch boundary and row-group-pruning unit moves),
+# and deprecated INT96 timestamps (the legacy Hive/Impala/old-Spark
+# physical type still ubiquitous in old partitions; nanosecond julian,
+# lossless for microsecond data). The DuckDB oracle keeps reading the
+# ORIGINAL files, so any decode-path value drift flips the hash.
+echo "== input-permutation invariance, splits=7 codec=zstd rowgroup=512 int96"
+(cd /tmp && CATENA_PERMUTE_SPLITS=7 CATENA_PERMUTE_CODEC=zstd \
+  CATENA_PERMUTE_ROWGROUP=512 CATENA_PERMUTE_INT96=1 \
+  python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+
 echo "== STRESS MATRIX ALL GREEN"

@@ -110,6 +110,66 @@ def test_permuted_copy_skew_layout_front_loads_rows():
         assert pq.read_table(dst).to_pylist() == ref.to_pylist()
 
 
+def test_permuted_copy_write_encoding_changes_bytes_not_values():
+    """Write-encoding sub-axis (r14): codec / row-group size / INT96
+    timestamps must change the parquet BYTES only — values, schema
+    LOGICAL types, and permuted order identical to the default-encoded
+    copy; and the knobs must demonstrably take effect (else the axis
+    is vacuous)."""
+    import pyarrow as pa
+
+    base = permute_probe.permuted_copy(SF_SMALL)
+    enc = permute_probe.permuted_copy(
+        SF_SMALL, codec="zstd", rowgroup=64, int96=True
+    )
+    assert enc != base, "encoded copy must not share the default dir"
+    for t in ("events", "lineitem", "region"):
+        ref = pq.read_table(os.path.join(base, f"{t}.parquet"))
+        f = pq.ParquetFile(os.path.join(enc, f"{t}.parquet"))
+        meta = f.metadata
+        assert meta.row_group(0).column(0).compression == "ZSTD"
+        if ref.num_rows > 64:
+            assert meta.num_row_groups >= ref.num_rows // 64, (
+                f"{t}: rowgroup cap did not take effect"
+            )
+        got = f.read()
+        # INT96 round-trips to ns precision — compare at the logical
+        # value level (cast back to the reference type)
+        assert got.cast(ref.schema).to_pylist() == ref.to_pylist(), (
+            f"{t}: write encoding changed values or order"
+        )
+    # the int96 knob actually produced INT96 on a timestamp column
+    ev = pq.ParquetFile(os.path.join(enc, "events.parquet"))
+    ts_idx = [
+        i for i, fld in enumerate(ev.schema_arrow)
+        if pa.types.is_timestamp(fld.type)
+    ]
+    assert ts_idx, "events fixture must have a timestamp column"
+    assert ev.metadata.row_group(0).column(ts_idx[0]).physical_type == (
+        "INT96"
+    )
+
+
+def test_permuted_copy_path_is_keyed_by_source_dir(tmp_path):
+    """r14 forensics: the copy path must embed the SOURCE dir's name —
+    a teeth-test rebuild at sf0.001 clobbered a live sf0.01 probe's
+    copy mid-run (same seed/splits/layout => same path), producing 17
+    spurious MISMATCHes. Different sources must never share a path."""
+    import pyarrow as pa
+
+    other = tmp_path / "sfX"
+    other.mkdir()
+    for t in permute_probe.TABLES:
+        pq.write_table(
+            pa.table({"x": [1, 2, 3]}), str(other / f"{t}.parquet")
+        )
+    p_small = permute_probe.permuted_copy(SF_SMALL)
+    p_other = permute_probe.permuted_copy(str(other))
+    assert p_small != p_other
+    assert os.path.basename(os.path.normpath(SF_SMALL)) in p_small
+    assert "sfX" in p_other
+
+
 def test_layout_slices_are_contiguous_and_exhaustive():
     """The slicing kernel itself: for every (n, splits, layout) cell the
     slices must tile [0, n) contiguously in order — that property IS
