@@ -24,6 +24,7 @@ Usage:
     CATENA_PERMUTE_SPLITS=N CATENA_PERMUTE_LAYOUT=even|empty|skew \
     CATENA_PERMUTE_CODEC=snappy|zstd|gzip|none \
     CATENA_PERMUTE_ROWGROUP=M CATENA_PERMUTE_INT96=1 \
+    CATENA_PERMUTE_COLORDER=reversed|mixed \
         python scripts/permute_probe.py [sf_dir] [key ...]
 Defaults to /root/testdata/sf0.01, all oracle-backed keys, and a
 single file per table; SPLITS > 1 writes each permuted table as N
@@ -44,7 +45,13 @@ boundaries move and page/row-group pruning sees many tiny units, and
 INT96=1 writes timestamps as deprecated INT96 (the legacy Hive/
 Impala/old-Spark physical type still ubiquitous in old partitions) —
 any value drift in a decode path flips the hash because the DuckDB
-oracle still reads the ORIGINAL files. The permuted copy is rebuilt
+oracle still reads the ORIGINAL files. The COLORDER sub-axis (r14)
+writes the parquet files with a different PHYSICAL column order —
+``reversed`` flips every file's field order, ``mixed`` alternates
+original/reversed order between part-files of the SAME table (the
+schema-drift shape successive writer generations leave behind);
+parquet readers must match columns by NAME, so any positional
+assumption in a scan or operator flips values or errors. The permuted copy is rebuilt
 under /tmp/catena_permuted_<sf>_<seed>_s<N>[_<layout>][_<encoding>]/
 per run (seeded numpy shuffle => byte-stable across runs; the permuted
 ROW ORDER is identical across layouts and encodings, only the bytes
@@ -104,6 +111,9 @@ def _layout_slices(n: int, splits: int, layout: str) -> list[tuple[int, int]]:
     return slices
 
 
+COLORDERS = (None, "reversed", "mixed")
+
+
 def permuted_copy(
     sf_dir: str,
     splits: int = 1,
@@ -111,6 +121,7 @@ def permuted_copy(
     codec: str | None = None,
     rowgroup: int | None = None,
     int96: bool = False,
+    colorder: str | None = None,
 ) -> str:
     """Seeded row-permuted copy of every table, same schema and values
     (pyarrow take over a shuffled index). ``splits`` > 1 writes each
@@ -129,8 +140,14 @@ def permuted_copy(
     multiplies the row-group-pruning units), ``int96`` writes
     timestamps as the deprecated INT96 physical type (nanosecond
     julian — lossless for microsecond data; the legacy layout old
-    Hive/Impala/Spark writers produced). Each knob lands in the output
-    dir name so runs with different encodings never share bytes.
+    Hive/Impala/Spark writers produced); ``colorder`` changes the
+    PHYSICAL field order in the files (``reversed`` everywhere;
+    ``mixed`` alternates original/reversed between part-files of one
+    table — successive writer generations do exactly this, and
+    readers must resolve columns by NAME, never position; ``mixed``
+    forces a directory layout so the drift actually exists within
+    each table). Each knob lands in the output dir name so runs with
+    different encodings never share bytes.
 
     The output path is keyed by SOURCE dir basename + seed + every
     axis knob: an sf0.001 teeth-test rebuild must never clobber an
@@ -149,6 +166,10 @@ def permuted_copy(
 
     if layout not in LAYOUTS:
         raise ValueError(f"layout must be one of {LAYOUTS}, got {layout!r}")
+    if colorder not in COLORDERS:
+        raise ValueError(
+            f"colorder must be one of {COLORDERS}, got {colorder!r}"
+        )
     suffix = "" if layout == "even" else f"_{layout}"
     wkw: dict = {}
     if codec:
@@ -160,6 +181,8 @@ def permuted_copy(
     if int96:
         wkw["use_deprecated_int96_timestamps"] = True
         suffix += "_int96"
+    if colorder:
+        suffix += f"_co{colorder}"
     src_tag = os.path.basename(os.path.normpath(sf_dir))
     out_dir = f"/tmp/catena_permuted_{src_tag}_{SEED}_s{splits}{suffix}"
     os.makedirs(out_dir, exist_ok=True)
@@ -175,15 +198,26 @@ def permuted_copy(
             os.remove(dst)
         tbl = pq.read_table(src)
         perm = tbl.take(rng.permutation(tbl.num_rows))
-        if layout == "even" and (splits <= 1 or perm.num_rows < splits):
+        rev_names = list(reversed(perm.column_names))
+        if colorder == "reversed":
+            perm = perm.select(rev_names)
+        single_file = (
+            layout == "even"
+            and colorder != "mixed"
+            and (splits <= 1 or perm.num_rows < splits)
+        )
+        if single_file:
             pq.write_table(perm, dst, **wkw)
         else:
             os.makedirs(dst)
             for i, (off, ln) in enumerate(
                 _layout_slices(perm.num_rows, splits, layout)
             ):
+                part = perm.slice(off, ln)
+                if colorder == "mixed" and i % 2 == 1:
+                    part = part.select(rev_names)
                 pq.write_table(
-                    perm.slice(off, ln),
+                    part,
                     os.path.join(dst, f"part-{i:04d}.parquet"),
                     **wkw,
                 )
@@ -314,12 +348,15 @@ def main() -> int:
     codec = os.environ.get("CATENA_PERMUTE_CODEC") or None
     rowgroup = int(os.environ.get("CATENA_PERMUTE_ROWGROUP", "0")) or None
     int96 = os.environ.get("CATENA_PERMUTE_INT96", "") == "1"
-    perm_dir = permuted_copy(sf_dir, splits, layout, codec, rowgroup, int96)
+    colorder = os.environ.get("CATENA_PERMUTE_COLORDER") or None
+    perm_dir = permuted_copy(
+        sf_dir, splits, layout, codec, rowgroup, int96, colorder
+    )
     print(
         f"permuted copy: {perm_dir} "
         f"(seed {SEED}, splits {splits}, layout {layout}, "
         f"codec {codec or 'default'}, rowgroup {rowgroup or 'default'}, "
-        f"int96 {int96})"
+        f"int96 {int96}, colorder {colorder or 'original'})"
     )
 
     # Contention sentinel (r14): a foreign Spark JVM sharing the CPUs

@@ -312,4 +312,13 @@ echo "== input-permutation invariance, splits=7 codec=zstd rowgroup=512 int96"
   CATENA_PERMUTE_ROWGROUP=512 CATENA_PERMUTE_INT96=1 \
   python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
 
+# column-order drift sub-axis (r14): part-files of the SAME table with
+# alternating physical field orders — the schema-drift shape successive
+# writer generations leave behind. Readers must resolve columns by
+# NAME; any positional assumption in a scan, stream, or Arrow batch
+# path flips values or errors.
+echo "== input-permutation invariance, splits=7 colorder=mixed"
+(cd /tmp && CATENA_PERMUTE_SPLITS=7 CATENA_PERMUTE_COLORDER=mixed \
+  python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+
 echo "== STRESS MATRIX ALL GREEN"

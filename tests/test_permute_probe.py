@@ -170,6 +170,39 @@ def test_permuted_copy_path_is_keyed_by_source_dir(tmp_path):
     assert "sfX" in p_other
 
 
+def test_permuted_copy_colorder_changes_physical_order_not_values():
+    """COLORDER sub-axis (r14): reversed flips every file's physical
+    field order; mixed alternates original/reversed between part-files
+    of one table (writer-generation schema drift). Values and row
+    order must be identical to the default copy once columns are
+    matched BY NAME — and the drift must physically exist on disk."""
+    base = permute_probe.permuted_copy(SF_SMALL)
+    rev = permute_probe.permuted_copy(SF_SMALL, colorder="reversed")
+    mix = permute_probe.permuted_copy(
+        SF_SMALL, splits=4, colorder="mixed"
+    )
+    assert len({base, rev, mix}) == 3, "colorder dirs must not collide"
+    for t in ("lineitem", "region"):
+        ref = pq.read_table(os.path.join(base, f"{t}.parquet"))
+        r = pq.read_table(os.path.join(rev, f"{t}.parquet"))
+        assert r.column_names == list(reversed(ref.column_names))
+        assert r.select(ref.column_names).to_pylist() == ref.to_pylist()
+        mdst = os.path.join(mix, f"{t}.parquet")
+        assert os.path.isdir(mdst), "mixed must force a directory"
+        parts = sorted(os.listdir(mdst))
+        orders = {
+            tuple(pq.ParquetFile(os.path.join(mdst, p)).schema_arrow.names)
+            for p in parts
+            if pq.ParquetFile(os.path.join(mdst, p)).metadata.num_rows > 0
+        }
+        if len(parts) >= 2 and ref.num_rows >= 4:
+            assert len(orders) == 2, (
+                f"{t}: mixed layout should contain both field orders"
+            )
+        got = pq.read_table(mdst)
+        assert got.select(ref.column_names).to_pylist() == ref.to_pylist()
+
+
 def test_layout_slices_are_contiguous_and_exhaustive():
     """The slicing kernel itself: for every (n, splits, layout) cell the
     slices must tile [0, n) contiguously in order — that property IS
