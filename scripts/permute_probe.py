@@ -24,6 +24,7 @@ Usage:
     CATENA_PERMUTE_SPLITS=N CATENA_PERMUTE_LAYOUT=even|empty|skew \
     CATENA_PERMUTE_CODEC=snappy|zstd|gzip|none \
     CATENA_PERMUTE_ROWGROUP=M CATENA_PERMUTE_INT96=1 \
+    CATENA_PERMUTE_NODICT=1 CATENA_PERMUTE_PAGESIZE=B \
     CATENA_PERMUTE_COLORDER=reversed|mixed \
         python scripts/permute_probe.py [sf_dir] [key ...]
 Defaults to /root/testdata/sf0.01, all oracle-backed keys, and a
@@ -122,6 +123,8 @@ def permuted_copy(
     rowgroup: int | None = None,
     int96: bool = False,
     colorder: str | None = None,
+    nodict: bool = False,
+    pagesize: int | None = None,
 ) -> str:
     """Seeded row-permuted copy of every table, same schema and values
     (pyarrow take over a shuffled index). ``splits`` > 1 writes each
@@ -181,6 +184,17 @@ def permuted_copy(
     if int96:
         wkw["use_deprecated_int96_timestamps"] = True
         suffix += "_int96"
+    if nodict:
+        # PLAIN encoding everywhere — dictionary pages and plain pages
+        # are separate decode paths in every reader (and dictionary
+        # filtering is a separate pruning path)
+        wkw["use_dictionary"] = False
+        suffix += "_nodict"
+    if pagesize:
+        # tiny data pages multiply page boundaries and page-index
+        # pruning units the same way rowgroup multiplies row groups
+        wkw["data_page_size"] = pagesize
+        suffix += f"_ps{pagesize}"
     if colorder:
         suffix += f"_co{colorder}"
     src_tag = os.path.basename(os.path.normpath(sf_dir))
@@ -349,14 +363,18 @@ def main() -> int:
     rowgroup = int(os.environ.get("CATENA_PERMUTE_ROWGROUP", "0")) or None
     int96 = os.environ.get("CATENA_PERMUTE_INT96", "") == "1"
     colorder = os.environ.get("CATENA_PERMUTE_COLORDER") or None
+    nodict = os.environ.get("CATENA_PERMUTE_NODICT", "") == "1"
+    pagesize = int(os.environ.get("CATENA_PERMUTE_PAGESIZE", "0")) or None
     perm_dir = permuted_copy(
-        sf_dir, splits, layout, codec, rowgroup, int96, colorder
+        sf_dir, splits, layout, codec, rowgroup, int96, colorder,
+        nodict, pagesize,
     )
     print(
         f"permuted copy: {perm_dir} "
         f"(seed {SEED}, splits {splits}, layout {layout}, "
         f"codec {codec or 'default'}, rowgroup {rowgroup or 'default'}, "
-        f"int96 {int96}, colorder {colorder or 'original'})"
+        f"int96 {int96}, colorder {colorder or 'original'}, "
+        f"nodict {nodict}, pagesize {pagesize or 'default'})"
     )
 
     # Contention sentinel (r14): a foreign Spark JVM sharing the CPUs

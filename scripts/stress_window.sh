@@ -303,13 +303,17 @@ done
 # BYTES — zstd instead of the fixture's codec (a 100 TB lake mixes
 # codecs across writer generations), 512-row row groups (every
 # vectorized-reader batch boundary and row-group-pruning unit moves),
-# and deprecated INT96 timestamps (the legacy Hive/Impala/old-Spark
+# deprecated INT96 timestamps (the legacy Hive/Impala/old-Spark
 # physical type still ubiquitous in old partitions; nanosecond julian,
-# lossless for microsecond data). The DuckDB oracle keeps reading the
-# ORIGINAL files, so any decode-path value drift flips the hash.
-echo "== input-permutation invariance, splits=7 codec=zstd rowgroup=512 int96"
+# lossless for microsecond data), dictionary encoding OFF (plain pages
+# are a separate decode+pruning path from dictionary pages), and 4 KiB
+# data pages (page boundaries and page-index pruning units multiply).
+# The DuckDB oracle keeps reading the ORIGINAL files, so any
+# decode-path value drift flips the hash.
+echo "== input-permutation invariance, splits=7 zstd+rg512+int96+nodict+ps4096"
 (cd /tmp && CATENA_PERMUTE_SPLITS=7 CATENA_PERMUTE_CODEC=zstd \
   CATENA_PERMUTE_ROWGROUP=512 CATENA_PERMUTE_INT96=1 \
+  CATENA_PERMUTE_NODICT=1 CATENA_PERMUTE_PAGESIZE=4096 \
   python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
 
 # column-order drift sub-axis (r14): part-files of the SAME table with

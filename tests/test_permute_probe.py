@@ -120,7 +120,8 @@ def test_permuted_copy_write_encoding_changes_bytes_not_values():
 
     base = permute_probe.permuted_copy(SF_SMALL)
     enc = permute_probe.permuted_copy(
-        SF_SMALL, codec="zstd", rowgroup=64, int96=True
+        SF_SMALL, codec="zstd", rowgroup=64, int96=True,
+        nodict=True, pagesize=1024,
     )
     assert enc != base, "encoded copy must not share the default dir"
     for t in ("events", "lineitem", "region"):
@@ -128,6 +129,11 @@ def test_permuted_copy_write_encoding_changes_bytes_not_values():
         f = pq.ParquetFile(os.path.join(enc, f"{t}.parquet"))
         meta = f.metadata
         assert meta.row_group(0).column(0).compression == "ZSTD"
+        # nodict: no dictionary pages anywhere — plain decode path
+        assert not any(
+            "DICTIONARY" in e
+            for e in meta.row_group(0).column(0).encodings
+        ), f"{t}: nodict knob did not take effect"
         if ref.num_rows > 64:
             assert meta.num_row_groups >= ref.num_rows // 64, (
                 f"{t}: rowgroup cap did not take effect"
