@@ -25,6 +25,7 @@ Usage:
     CATENA_PERMUTE_CODEC=snappy|zstd|gzip|none \
     CATENA_PERMUTE_ROWGROUP=M CATENA_PERMUTE_INT96=1 \
     CATENA_PERMUTE_NODICT=1 CATENA_PERMUTE_PAGESIZE=B \
+    CATENA_PERMUTE_NOSTATS=1 CATENA_PERMUTE_PAGEV2=1 \
     CATENA_PERMUTE_COLORDER=reversed|mixed \
         python scripts/permute_probe.py [sf_dir] [key ...]
 Defaults to /root/testdata/sf0.01, all oracle-backed keys, and a
@@ -125,6 +126,8 @@ def permuted_copy(
     colorder: str | None = None,
     nodict: bool = False,
     pagesize: int | None = None,
+    nostats: bool = False,
+    pagev2: bool = False,
 ) -> str:
     """Seeded row-permuted copy of every table, same schema and values
     (pyarrow take over a shuffled index). ``splits`` > 1 writes each
@@ -195,6 +198,18 @@ def permuted_copy(
         # pruning units the same way rowgroup multiplies row groups
         wkw["data_page_size"] = pagesize
         suffix += f"_ps{pagesize}"
+    if nostats:
+        # no row-group/page statistics: every stats-based pruning path
+        # (row-group skip, page index, pushed filters) must DEGRADE to
+        # full scans, never to wrong answers — old writers and some
+        # tools emit exactly these files
+        wkw["write_statistics"] = False
+        suffix += "_nostats"
+    if pagev2:
+        # DataPage V2 is a separate page decode path (levels stored
+        # uncompressed ahead of the values) newer writers emit
+        wkw["data_page_version"] = "2.0"
+        suffix += "_pv2"
     if colorder:
         suffix += f"_co{colorder}"
     src_tag = os.path.basename(os.path.normpath(sf_dir))
@@ -365,16 +380,19 @@ def main() -> int:
     colorder = os.environ.get("CATENA_PERMUTE_COLORDER") or None
     nodict = os.environ.get("CATENA_PERMUTE_NODICT", "") == "1"
     pagesize = int(os.environ.get("CATENA_PERMUTE_PAGESIZE", "0")) or None
+    nostats = os.environ.get("CATENA_PERMUTE_NOSTATS", "") == "1"
+    pagev2 = os.environ.get("CATENA_PERMUTE_PAGEV2", "") == "1"
     perm_dir = permuted_copy(
         sf_dir, splits, layout, codec, rowgroup, int96, colorder,
-        nodict, pagesize,
+        nodict, pagesize, nostats, pagev2,
     )
     print(
         f"permuted copy: {perm_dir} "
         f"(seed {SEED}, splits {splits}, layout {layout}, "
         f"codec {codec or 'default'}, rowgroup {rowgroup or 'default'}, "
         f"int96 {int96}, colorder {colorder or 'original'}, "
-        f"nodict {nodict}, pagesize {pagesize or 'default'})"
+        f"nodict {nodict}, pagesize {pagesize or 'default'}, "
+        f"nostats {nostats}, pagev2 {pagev2})"
     )
 
     # Contention sentinel (r14): a foreign Spark JVM sharing the CPUs

@@ -306,14 +306,17 @@ done
 # deprecated INT96 timestamps (the legacy Hive/Impala/old-Spark
 # physical type still ubiquitous in old partitions; nanosecond julian,
 # lossless for microsecond data), dictionary encoding OFF (plain pages
-# are a separate decode+pruning path from dictionary pages), and 4 KiB
-# data pages (page boundaries and page-index pruning units multiply).
-# The DuckDB oracle keeps reading the ORIGINAL files, so any
-# decode-path value drift flips the hash.
-echo "== input-permutation invariance, splits=7 zstd+rg512+int96+nodict+ps4096"
+# are a separate decode+pruning path from dictionary pages), 4 KiB
+# data pages (page boundaries and page-index pruning units multiply),
+# statistics OFF (stats-based pruning must degrade to full scans,
+# never to wrong answers), and DataPage V2 (the separate page decode
+# path newer writers emit). The DuckDB oracle keeps reading the
+# ORIGINAL files, so any decode-path value drift flips the hash.
+echo "== input-permutation invariance, splits=7 zstd+rg512+int96+nodict+ps4096+nostats+pv2"
 (cd /tmp && CATENA_PERMUTE_SPLITS=7 CATENA_PERMUTE_CODEC=zstd \
   CATENA_PERMUTE_ROWGROUP=512 CATENA_PERMUTE_INT96=1 \
   CATENA_PERMUTE_NODICT=1 CATENA_PERMUTE_PAGESIZE=4096 \
+  CATENA_PERMUTE_NOSTATS=1 CATENA_PERMUTE_PAGEV2=1 \
   python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
 
 # column-order drift sub-axis (r14): part-files of the SAME table with

@@ -121,7 +121,7 @@ def test_permuted_copy_write_encoding_changes_bytes_not_values():
     base = permute_probe.permuted_copy(SF_SMALL)
     enc = permute_probe.permuted_copy(
         SF_SMALL, codec="zstd", rowgroup=64, int96=True,
-        nodict=True, pagesize=1024,
+        nodict=True, pagesize=1024, nostats=True, pagev2=True,
     )
     assert enc != base, "encoded copy must not share the default dir"
     for t in ("events", "lineitem", "region"):
@@ -134,6 +134,10 @@ def test_permuted_copy_write_encoding_changes_bytes_not_values():
             "DICTIONARY" in e
             for e in meta.row_group(0).column(0).encodings
         ), f"{t}: nodict knob did not take effect"
+        # nostats: statistics physically absent from the chunk metadata
+        assert meta.row_group(0).column(0).statistics is None, (
+            f"{t}: nostats knob did not take effect"
+        )
         if ref.num_rows > 64:
             assert meta.num_row_groups >= ref.num_rows // 64, (
                 f"{t}: rowgroup cap did not take effect"
