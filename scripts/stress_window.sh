@@ -7,7 +7,8 @@
 # exercises low parallelism (different partition counts, merge orders),
 # shuffle=1 exercises single-partition exchanges.
 #
-#   scripts/stress_window.sh          # ~25-35 min (28 confs)
+#   scripts/stress_window.sh          # ~45-55 min (38 cells: 28 confs
+#                                     # + spill split + 9 probe cells)
 #
 # pipefail matters (ADVICE r5 item 1): every run pipes through
 # `| tail -1`, and without it a parity MISMATCH exits 0 (tail's status)
