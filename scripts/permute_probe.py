@@ -26,7 +26,7 @@ Usage:
     CATENA_PERMUTE_ROWGROUP=M CATENA_PERMUTE_INT96=1 \
     CATENA_PERMUTE_NODICT=1 CATENA_PERMUTE_PAGESIZE=B \
     CATENA_PERMUTE_NOSTATS=1 CATENA_PERMUTE_PAGEV2=1 \
-    CATENA_PERMUTE_COLORDER=reversed|mixed \
+    CATENA_PERMUTE_BSS=1 CATENA_PERMUTE_COLORDER=reversed|mixed \
         python scripts/permute_probe.py [sf_dir] [key ...]
 Defaults to /root/testdata/sf0.01, all oracle-backed keys, and a
 single file per table; SPLITS > 1 writes each permuted table as N
@@ -116,6 +116,26 @@ def _layout_slices(n: int, splits: int, layout: str) -> list[tuple[int, int]]:
 COLORDERS = (None, "reversed", "mixed")
 
 
+def _bss_columns(schema) -> list[str]:
+    """Leaf paths eligible for BYTE_STREAM_SPLIT in this schema:
+    top-level float/double columns by name, plus list<float> leaves as
+    '{name}.list.element' (the embeddings table's vector column).
+    Restricted to floating point — the encoding's original target and
+    the one every reader generation supports; BSS-on-INT is a newer
+    spec addition not worth a false-positive risk in a parity gate."""
+    import pyarrow as pa
+
+    cols: list[str] = []
+    for f in schema:
+        if pa.types.is_floating(f.type):
+            cols.append(f.name)
+        elif pa.types.is_list(f.type) and pa.types.is_floating(
+            f.type.value_type
+        ):
+            cols.append(f"{f.name}.list.element")
+    return cols
+
+
 def permuted_copy(
     sf_dir: str,
     splits: int = 1,
@@ -128,6 +148,7 @@ def permuted_copy(
     pagesize: int | None = None,
     nostats: bool = False,
     pagev2: bool = False,
+    bss: bool = False,
 ) -> str:
     """Seeded row-permuted copy of every table, same schema and values
     (pyarrow take over a shuffled index). ``splits`` > 1 writes each
@@ -210,6 +231,22 @@ def permuted_copy(
         # uncompressed ahead of the values) newer writers emit
         wkw["data_page_version"] = "2.0"
         suffix += "_pv2"
+    if bss:
+        # BYTE_STREAM_SPLIT on every floating-point leaf (incl. the
+        # embeddings ARRAY<FLOAT> elements) — the modern float
+        # encoding modern Arrow/DuckDB/parquet-cpp writers emit.
+        # FINDING (r14, pinned by probe run + isolation test): Spark
+        # 4.1.2's VectorizedColumnReader throws
+        # SparkUnsupportedOperationException("Unsupported encoding:
+        # BYTE_STREAM_SPLIT") — fail-LOUD, never silent corruption —
+        # while the row-based reader decodes BSS correctly. main()
+        # therefore pins enableVectorizedReader=false for BSS runs;
+        # at 100 TB the ops mitigation for BSS-bearing third-party
+        # partitions is the same conf (at scan-throughput cost) or
+        # rewriting them. Column list is per-table (loop below) —
+        # note BSS only materializes where dictionary encoding is off
+        # or overflows, so compose with nodict to guarantee BSS pages.
+        suffix += "_bss"
     if colorder:
         suffix += f"_co{colorder}"
     src_tag = os.path.basename(os.path.normpath(sf_dir))
@@ -227,6 +264,11 @@ def permuted_copy(
             os.remove(dst)
         tbl = pq.read_table(src)
         perm = tbl.take(rng.permutation(tbl.num_rows))
+        tkw = wkw
+        if bss:
+            bss_cols = _bss_columns(perm.schema)
+            if bss_cols:
+                tkw = dict(wkw, use_byte_stream_split=bss_cols)
         rev_names = list(reversed(perm.column_names))
         if colorder == "reversed":
             perm = perm.select(rev_names)
@@ -236,7 +278,7 @@ def permuted_copy(
             and (splits <= 1 or perm.num_rows < splits)
         )
         if single_file:
-            pq.write_table(perm, dst, **wkw)
+            pq.write_table(perm, dst, **tkw)
         else:
             os.makedirs(dst)
             for i, (off, ln) in enumerate(
@@ -248,7 +290,7 @@ def permuted_copy(
                 pq.write_table(
                     part,
                     os.path.join(dst, f"part-{i:04d}.parquet"),
-                    **wkw,
+                    **tkw,
                 )
     return out_dir
 
@@ -382,9 +424,10 @@ def main() -> int:
     pagesize = int(os.environ.get("CATENA_PERMUTE_PAGESIZE", "0")) or None
     nostats = os.environ.get("CATENA_PERMUTE_NOSTATS", "") == "1"
     pagev2 = os.environ.get("CATENA_PERMUTE_PAGEV2", "") == "1"
+    bss = os.environ.get("CATENA_PERMUTE_BSS", "") == "1"
     perm_dir = permuted_copy(
         sf_dir, splits, layout, codec, rowgroup, int96, colorder,
-        nodict, pagesize, nostats, pagev2,
+        nodict, pagesize, nostats, pagev2, bss,
     )
     print(
         f"permuted copy: {perm_dir} "
@@ -392,7 +435,7 @@ def main() -> int:
         f"codec {codec or 'default'}, rowgroup {rowgroup or 'default'}, "
         f"int96 {int96}, colorder {colorder or 'original'}, "
         f"nodict {nodict}, pagesize {pagesize or 'default'}, "
-        f"nostats {nostats}, pagev2 {pagev2})"
+        f"nostats {nostats}, pagev2 {pagev2}, bss {bss})"
     )
 
     # Contention sentinel (r14): a foreign Spark JVM sharing the CPUs
@@ -431,6 +474,15 @@ def main() -> int:
     if os.environ.get("CATENA_PERMUTE_DRIVER_MEM"):
         builder = builder.config(
             "spark.driver.memory", os.environ["CATENA_PERMUTE_DRIVER_MEM"]
+        )
+    if bss:
+        # Spark 4.1.2's vectorized reader rejects BYTE_STREAM_SPLIT
+        # pages outright (fail-loud; see the knob comment in
+        # permuted_copy) — parity through BSS bytes is only checkable
+        # via the row-based reader, which is also the production
+        # mitigation for BSS-bearing third-party partitions
+        builder = builder.config(
+            "spark.sql.parquet.enableVectorizedReader", "false"
         )
     spark = builder.getOrCreate()
 

@@ -320,6 +320,20 @@ echo "== input-permutation invariance, splits=7 zstd+rg512+int96+nodict+ps4096+n
   CATENA_PERMUTE_NOSTATS=1 CATENA_PERMUTE_PAGEV2=1 \
   python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
 
+# BYTE_STREAM_SPLIT cell (r14 finding): the modern float encoding
+# (Arrow/DuckDB/parquet-cpp writers). Spark 4.1.2's VECTORIZED reader
+# rejects BSS pages outright — fail-LOUD ("Unsupported encoding"),
+# never silent corruption — so the probe pins value parity through the
+# row-based reader, which is also the production mitigation for
+# BSS-bearing third-party partitions. Composed with nodict (BSS pages
+# only materialize where dictionary encoding is off) and the rest.
+echo "== input-permutation invariance, BSS floats (row-based reader) + all encoding knobs"
+(cd /tmp && CATENA_PERMUTE_SPLITS=7 CATENA_PERMUTE_CODEC=zstd \
+  CATENA_PERMUTE_ROWGROUP=512 CATENA_PERMUTE_INT96=1 \
+  CATENA_PERMUTE_NODICT=1 CATENA_PERMUTE_PAGESIZE=4096 \
+  CATENA_PERMUTE_NOSTATS=1 CATENA_PERMUTE_PAGEV2=1 CATENA_PERMUTE_BSS=1 \
+  python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+
 # column-order drift sub-axis (r14): part-files of the SAME table with
 # alternating physical field orders — the schema-drift shape successive
 # writer generations leave behind. Readers must resolve columns by

@@ -122,6 +122,7 @@ def test_permuted_copy_write_encoding_changes_bytes_not_values():
     enc = permute_probe.permuted_copy(
         SF_SMALL, codec="zstd", rowgroup=64, int96=True,
         nodict=True, pagesize=1024, nostats=True, pagev2=True,
+        bss=True,
     )
     assert enc != base, "encoded copy must not share the default dir"
     for t in ("events", "lineitem", "region"):
@@ -148,6 +149,18 @@ def test_permuted_copy_write_encoding_changes_bytes_not_values():
         assert got.cast(ref.schema).to_pylist() == ref.to_pylist(), (
             f"{t}: write encoding changed values or order"
         )
+    # bss: BYTE_STREAM_SPLIT physically present on a float leaf — both
+    # a top-level double (lineitem) and the embeddings vector elements
+    for t, leaf in (("lineitem", None), ("embeddings", ".list.element")):
+        m = pq.ParquetFile(os.path.join(enc, f"{t}.parquet")).metadata
+        rg = m.row_group(0)
+        hits = [
+            rg.column(i)
+            for i in range(rg.num_columns)
+            if (leaf is None or rg.column(i).path_in_schema.endswith(leaf))
+            and "BYTE_STREAM_SPLIT" in rg.column(i).encodings
+        ]
+        assert hits, f"{t}: bss knob did not take effect"
     # the int96 knob actually produced INT96 on a timestamp column
     ev = pq.ParquetFile(os.path.join(enc, "events.parquet"))
     ts_idx = [
