@@ -117,22 +117,38 @@ COLORDERS = (None, "reversed", "mixed")
 
 
 def _bss_columns(schema) -> list[str]:
-    """Leaf paths eligible for BYTE_STREAM_SPLIT in this schema:
-    top-level float/double columns by name, plus list<float> leaves as
-    '{name}.list.element' (the embeddings table's vector column).
+    """ALL floating-point leaf paths in this schema, in parquet dotted
+    notation — ADVICE r14: the previous version matched only top-level
+    float columns and list<float> leaves, so a float nested inside a
+    struct/map would silently narrow the BSS cell's coverage if a
+    fixture schema evolved. Now a full recursive walk: structs recurse
+    as '{parent}.{child}', lists as '{name}.list.element', maps as
+    '{name}.key_value.{key|value}' (the pyarrow writer accepts exactly
+    these paths in use_byte_stream_split — pinned by teeth test).
     Restricted to floating point — the encoding's original target and
     the one every reader generation supports; BSS-on-INT is a newer
     spec addition not worth a false-positive risk in a parity gate."""
     import pyarrow as pa
 
+    def walk(prefix: str, typ) -> list[str]:
+        if pa.types.is_floating(typ):
+            return [prefix]
+        if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+            return walk(f"{prefix}.list.element", typ.value_type)
+        if pa.types.is_struct(typ):
+            out: list[str] = []
+            for f in typ:
+                out += walk(f"{prefix}.{f.name}", f.type)
+            return out
+        if pa.types.is_map(typ):
+            return walk(f"{prefix}.key_value.key", typ.key_type) + walk(
+                f"{prefix}.key_value.value", typ.item_type
+            )
+        return []
+
     cols: list[str] = []
     for f in schema:
-        if pa.types.is_floating(f.type):
-            cols.append(f.name)
-        elif pa.types.is_list(f.type) and pa.types.is_floating(
-            f.type.value_type
-        ):
-            cols.append(f"{f.name}.list.element")
+        cols += walk(f.name, f.type)
     return cols
 
 
@@ -149,6 +165,7 @@ def permuted_copy(
     nostats: bool = False,
     pagev2: bool = False,
     bss: bool = False,
+    out_base: str = "/tmp",
 ) -> str:
     """Seeded row-permuted copy of every table, same schema and values
     (pyarrow take over a shuffled index). ``splits`` > 1 writes each
@@ -176,16 +193,24 @@ def permuted_copy(
     each table). Each knob lands in the output dir name so runs with
     different encodings never share bytes.
 
-    The output path is keyed by SOURCE dir basename + seed + every
-    axis knob: an sf0.001 teeth-test rebuild must never clobber an
-    sf0.01 probe's live copy (r14 forensics: exactly that collision —
-    the pytest suite rebuilt the splits=7/empty path with sf0.001 data
-    while a full-contract sf0.01 probe was mid-run reading it —
-    produced 17 spurious MISMATCHes that adjudicated in minutes only
-    because rows=75/750 made the wrong-scale read obvious). Two
-    CONCURRENT probes with identical (source, axes) still share a path
-    by design; the contention doctrine already forbids concurrent
-    Spark runs on this machine."""
+    The output path is keyed by SOURCE dir basename + an 8-hex sha256
+    of the ABSOLUTE source path + seed + every axis knob: an sf0.001
+    teeth-test rebuild must never clobber an sf0.01 probe's live copy
+    (r14 forensics: exactly that collision — the pytest suite rebuilt
+    the splits=7/empty path with sf0.001 data while a full-contract
+    sf0.01 probe was mid-run reading it — produced 17 spurious
+    MISMATCHes that adjudicated in minutes only because rows=75/750
+    made the wrong-scale read obvious). ADVICE r14 tightened the key:
+    basename alone still collided for two DIFFERENT dirs with the same
+    basename (/a/sf0.01 vs /b/sf0.01, or a tmp_path fixture named like
+    a real SF) — the abs-path hash makes that impossible; and the
+    pytest teeth now write under ``out_base=tmp_path`` so a teeth run
+    on the SAME source with the same knobs can never rebuild a live
+    probe's copy mid-read. Two CONCURRENT probes with identical
+    (source, axes, out_base) still share a path by design; the
+    contention doctrine already forbids concurrent Spark runs on this
+    machine."""
+    import hashlib
     import shutil
 
     import numpy as np
@@ -249,8 +274,14 @@ def permuted_copy(
         suffix += "_bss"
     if colorder:
         suffix += f"_co{colorder}"
-    src_tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = f"/tmp/catena_permuted_{src_tag}_{SEED}_s{splits}{suffix}"
+    src_abs = os.path.abspath(os.path.normpath(sf_dir))
+    src_tag = (
+        f"{os.path.basename(src_abs)}_"
+        f"{hashlib.sha256(src_abs.encode()).hexdigest()[:8]}"
+    )
+    out_dir = os.path.join(
+        out_base, f"catena_permuted_{src_tag}_{SEED}_s{splits}{suffix}"
+    )
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(SEED)
     for t in TABLES:
@@ -293,6 +324,38 @@ def permuted_copy(
                     **tkw,
                 )
     return out_dir
+
+
+def _assert_bss_pages(out_dir: str) -> None:
+    """ADVICE r14: CATENA_PERMUTE_BSS=1 without NODICT=1 was silently
+    vacuous — pyarrow's dictionary encoding takes precedence, so no
+    BYTE_STREAM_SPLIT pages materialize, yet a green run looked like
+    BSS parity coverage. main() now auto-enables nodict AND calls this
+    post-write check: at least one column chunk somewhere in the copy
+    must physically carry the BYTE_STREAM_SPLIT encoding (lineitem's
+    doubles and embeddings' list<float> guarantee eligible leaves in
+    the driver fixtures), else fail loudly before any key runs."""
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        files = (
+            [os.path.join(dst, p) for p in sorted(os.listdir(dst))]
+            if os.path.isdir(dst)
+            else [dst]
+        )
+        for fp in files:
+            meta = pq.ParquetFile(fp).metadata
+            for g in range(meta.num_row_groups):
+                rg = meta.row_group(g)
+                for i in range(rg.num_columns):
+                    if "BYTE_STREAM_SPLIT" in rg.column(i).encodings:
+                        return
+    raise AssertionError(
+        "BSS knob set but no BYTE_STREAM_SPLIT pages materialized in "
+        "any table — the cell is vacuous (dictionary precedence or "
+        "fixture schema drift); refusing to report BSS parity coverage"
+    )
 
 
 #: 256-bit modulus for the commutative multiset digest below.
@@ -425,10 +488,21 @@ def main() -> int:
     nostats = os.environ.get("CATENA_PERMUTE_NOSTATS", "") == "1"
     pagev2 = os.environ.get("CATENA_PERMUTE_PAGEV2", "") == "1"
     bss = os.environ.get("CATENA_PERMUTE_BSS", "") == "1"
+    if bss and not nodict:
+        # ADVICE r14: dictionary encoding takes precedence over BSS in
+        # the pyarrow writer, so BSS without NODICT writes zero BSS
+        # pages — a green run would claim coverage that never occurred
+        nodict = True
+        print(
+            "permute_probe: BSS=1 auto-enables NODICT=1 (dictionary "
+            "encoding precedence would leave the BSS cell vacuous)"
+        )
     perm_dir = permuted_copy(
         sf_dir, splits, layout, codec, rowgroup, int96, colorder,
         nodict, pagesize, nostats, pagev2, bss,
     )
+    if bss:
+        _assert_bss_pages(perm_dir)
     print(
         f"permuted copy: {perm_dir} "
         f"(seed {SEED}, splits {splits}, layout {layout}, "

@@ -327,6 +327,10 @@ echo "== input-permutation invariance, splits=7 zstd+rg512+int96+nodict+ps4096+n
 # row-based reader, which is also the production mitigation for
 # BSS-bearing third-party partitions. Composed with nodict (BSS pages
 # only materialize where dictionary encoding is off) and the rest.
+# ADVICE r14: this cell pins the ROW-BASED reader only (main() disables
+# the vectorized reader for BSS bytes); vectorized-reader coverage for
+# the other seven encoding knobs rests ENTIRELY on the non-BSS cell
+# above — the BSS cell must never replace it, only accompany it.
 echo "== input-permutation invariance, BSS floats (row-based reader) + all encoding knobs"
 (cd /tmp && CATENA_PERMUTE_SPLITS=7 CATENA_PERMUTE_CODEC=zstd \
   CATENA_PERMUTE_ROWGROUP=512 CATENA_PERMUTE_INT96=1 \

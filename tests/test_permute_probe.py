@@ -27,8 +27,14 @@ permute_probe = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(permute_probe)
 
 
-def test_permuted_copy_preserves_multiset_and_changes_order():
-    out_dir = permute_probe.permuted_copy(SF_SMALL)
+# ADVICE r14: every teeth-test copy is written under pytest's tmp_path
+# (permuted_copy(out_base=...)), so a teeth run on the SAME source with
+# the same knobs can never rebuild a live /tmp probe copy mid-read —
+# the second half of the r14 copy-path collision class.
+
+
+def test_permuted_copy_preserves_multiset_and_changes_order(tmp_path):
+    out_dir = permute_probe.permuted_copy(SF_SMALL, out_base=str(tmp_path))
     changed_any = False
     for t in permute_probe.TABLES:
         src = pq.read_table(os.path.join(SF_SMALL, f"{t}.parquet"))
@@ -46,12 +52,16 @@ def test_permuted_copy_preserves_multiset_and_changes_order():
     assert changed_any, "permuted copy kept the original row order"
 
 
-def test_permuted_copy_multifile_split_preserves_multiset():
+def test_permuted_copy_multifile_split_preserves_multiset(tmp_path):
     """splits > 1 writes each table as a part-file DIRECTORY; the
     multiset and the (sliced) permuted order must both survive, and
     the layout must actually be multi-file."""
-    out_dir = permute_probe.permuted_copy(SF_SMALL, splits=7)
-    single = permute_probe.permuted_copy(SF_SMALL, splits=1)
+    out_dir = permute_probe.permuted_copy(
+        SF_SMALL, splits=7, out_base=str(tmp_path)
+    )
+    single = permute_probe.permuted_copy(
+        SF_SMALL, splits=1, out_base=str(tmp_path)
+    )
     for t in ("lineitem", "documents", "region"):
         dst = os.path.join(out_dir, f"{t}.parquet")
         ref = pq.read_table(os.path.join(single, f"{t}.parquet"))
@@ -63,13 +73,15 @@ def test_permuted_copy_multifile_split_preserves_multiset():
         assert got.to_pylist() == ref.to_pylist()
 
 
-def test_permuted_copy_empty_layout_interleaves_zero_row_parts():
+def test_permuted_copy_empty_layout_interleaves_zero_row_parts(tmp_path):
     """layout=empty (r14): every table becomes a directory whose FIRST
     and LAST part-files are zero-row schema-only parquet (plus one in
     the middle) — the compaction-remainder shape; the multiset and the
     permuted read-back order must survive untouched."""
-    out_dir = permute_probe.permuted_copy(SF_SMALL, splits=7, layout="empty")
-    single = permute_probe.permuted_copy(SF_SMALL)
+    out_dir = permute_probe.permuted_copy(
+        SF_SMALL, splits=7, layout="empty", out_base=str(tmp_path)
+    )
+    single = permute_probe.permuted_copy(SF_SMALL, out_base=str(tmp_path))
     for t in ("lineitem", "documents", "region"):
         dst = os.path.join(out_dir, f"{t}.parquet")
         assert os.path.isdir(dst), f"{t}: empty layout must be a directory"
@@ -88,13 +100,15 @@ def test_permuted_copy_empty_layout_interleaves_zero_row_parts():
         )
 
 
-def test_permuted_copy_skew_layout_front_loads_rows():
+def test_permuted_copy_skew_layout_front_loads_rows(tmp_path):
     """layout=skew (r14): the first part-file carries ~90% of the rows
     — one scan task sees nearly everything, the rest see crumbs (some
     legitimately zero-row); multiset and order must be layout-
     invariant."""
-    out_dir = permute_probe.permuted_copy(SF_SMALL, splits=7, layout="skew")
-    single = permute_probe.permuted_copy(SF_SMALL)
+    out_dir = permute_probe.permuted_copy(
+        SF_SMALL, splits=7, layout="skew", out_base=str(tmp_path)
+    )
+    single = permute_probe.permuted_copy(SF_SMALL, out_base=str(tmp_path))
     for t in ("lineitem", "documents"):
         dst = os.path.join(out_dir, f"{t}.parquet")
         assert os.path.isdir(dst)
@@ -110,7 +124,7 @@ def test_permuted_copy_skew_layout_front_loads_rows():
         assert pq.read_table(dst).to_pylist() == ref.to_pylist()
 
 
-def test_permuted_copy_write_encoding_changes_bytes_not_values():
+def test_permuted_copy_write_encoding_changes_bytes_not_values(tmp_path):
     """Write-encoding sub-axis (r14): codec / row-group size / INT96
     timestamps must change the parquet BYTES only — values, schema
     LOGICAL types, and permuted order identical to the default-encoded
@@ -118,12 +132,15 @@ def test_permuted_copy_write_encoding_changes_bytes_not_values():
     is vacuous)."""
     import pyarrow as pa
 
-    base = permute_probe.permuted_copy(SF_SMALL)
+    base = permute_probe.permuted_copy(SF_SMALL, out_base=str(tmp_path))
     enc = permute_probe.permuted_copy(
         SF_SMALL, codec="zstd", rowgroup=64, int96=True,
         nodict=True, pagesize=1024, nostats=True, pagev2=True,
-        bss=True,
+        bss=True, out_base=str(tmp_path),
     )
+    # ADVICE r14: the post-write physical check must PASS on a real BSS
+    # copy (its raising half is pinned separately below)
+    permute_probe._assert_bss_pages(enc)
     assert enc != base, "encoded copy must not share the default dir"
     for t in ("events", "lineitem", "region"):
         ref = pq.read_table(os.path.join(base, f"{t}.parquet"))
@@ -177,32 +194,102 @@ def test_permuted_copy_path_is_keyed_by_source_dir(tmp_path):
     """r14 forensics: the copy path must embed the SOURCE dir's name —
     a teeth-test rebuild at sf0.001 clobbered a live sf0.01 probe's
     copy mid-run (same seed/splits/layout => same path), producing 17
-    spurious MISMATCHes. Different sources must never share a path."""
+    spurious MISMATCHes. ADVICE r14 tightened it: two DIFFERENT dirs
+    with the SAME basename must also never share a path (the key now
+    includes a hash of the absolute source path)."""
     import pyarrow as pa
 
+    def mk(d):
+        d.mkdir(parents=True)
+        for t in permute_probe.TABLES:
+            pq.write_table(
+                pa.table({"x": [1, 2, 3]}), str(d / f"{t}.parquet")
+            )
+
     other = tmp_path / "sfX"
-    other.mkdir()
-    for t in permute_probe.TABLES:
-        pq.write_table(
-            pa.table({"x": [1, 2, 3]}), str(other / f"{t}.parquet")
-        )
-    p_small = permute_probe.permuted_copy(SF_SMALL)
-    p_other = permute_probe.permuted_copy(str(other))
+    mk(other)
+    out = tmp_path / "out"
+    p_small = permute_probe.permuted_copy(SF_SMALL, out_base=str(out))
+    p_other = permute_probe.permuted_copy(str(other), out_base=str(out))
     assert p_small != p_other
     assert os.path.basename(os.path.normpath(SF_SMALL)) in p_small
     assert "sfX" in p_other
+    # same basename, different parent dir — the ADVICE r14 collision
+    twin = tmp_path / "twin" / "sfX"
+    mk(twin)
+    p_twin = permute_probe.permuted_copy(str(twin), out_base=str(out))
+    assert p_twin != p_other, "same-basename sources must not share a path"
+    # and out_base is honored, so pytest copies never land in /tmp
+    assert p_small.startswith(str(out)) and p_twin.startswith(str(out))
 
 
-def test_permuted_copy_colorder_changes_physical_order_not_values():
+def test_bss_columns_walks_nested_schemas():
+    """ADVICE r14: _bss_columns must find EVERY floating-point leaf —
+    floats nested inside structs, maps, and list<struct> included — in
+    the dotted-path notation the pyarrow writer accepts, so a fixture
+    schema evolving nested floats can never silently narrow the BSS
+    cell's coverage. Round-trip through an actual write proves the
+    paths are writer-valid, not just string-plausible."""
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("f", pa.float64()),
+            ("i", pa.int64()),
+            ("s", pa.struct([("a", pa.float32()),
+                             ("b", pa.list_(pa.float64())),
+                             ("t", pa.string())])),
+            ("m", pa.map_(pa.string(), pa.float32())),
+            ("ls", pa.list_(pa.struct([("x", pa.float64())]))),
+            ("v", pa.list_(pa.float32())),
+        ]
+    )
+    assert permute_probe._bss_columns(schema) == [
+        "f",
+        "s.a",
+        "s.b.list.element",
+        "m.key_value.value",
+        "ls.list.element.x",
+        "v.list.element",
+    ]
+    # no floats anywhere -> no paths (the all-string/int TPC-H tables)
+    assert permute_probe._bss_columns(
+        pa.schema([("k", pa.int64()), ("s", pa.string())])
+    ) == []
+
+
+def test_assert_bss_pages_raises_on_vacuous_copy(tmp_path):
+    """ADVICE r14: BSS=1 without nodict wrote ZERO BSS pages (dictionary
+    precedence) yet printed bss=True — the physical post-write check
+    must catch exactly that: a copy whose float leaves are dictionary-
+    encoded fails loudly."""
+    import pyarrow as pa
+
+    import pytest
+
+    for t in permute_probe.TABLES:
+        pq.write_table(
+            pa.table({"v": pa.array([1.5, 2.5, 1.5] * 40, pa.float64())}),
+            str(tmp_path / f"{t}.parquet"),
+            use_dictionary=True,  # dictionary wins; no BSS pages
+            use_byte_stream_split=["v"],
+        )
+    with pytest.raises(AssertionError, match="vacuous"):
+        permute_probe._assert_bss_pages(str(tmp_path))
+
+
+def test_permuted_copy_colorder_changes_physical_order_not_values(tmp_path):
     """COLORDER sub-axis (r14): reversed flips every file's physical
     field order; mixed alternates original/reversed between part-files
     of one table (writer-generation schema drift). Values and row
     order must be identical to the default copy once columns are
     matched BY NAME — and the drift must physically exist on disk."""
-    base = permute_probe.permuted_copy(SF_SMALL)
-    rev = permute_probe.permuted_copy(SF_SMALL, colorder="reversed")
+    base = permute_probe.permuted_copy(SF_SMALL, out_base=str(tmp_path))
+    rev = permute_probe.permuted_copy(
+        SF_SMALL, colorder="reversed", out_base=str(tmp_path)
+    )
     mix = permute_probe.permuted_copy(
-        SF_SMALL, splits=4, colorder="mixed"
+        SF_SMALL, splits=4, colorder="mixed", out_base=str(tmp_path)
     )
     assert len({base, rev, mix}) == 3, "colorder dirs must not collide"
     for t in ("lineitem", "region"):
@@ -317,14 +404,14 @@ def test_oracle_view_source_handles_directory_tables(tmp_path):
     ).fetchone()[0] == 1
 
 
-def test_permuted_copy_is_seed_deterministic():
+def test_permuted_copy_is_seed_deterministic(tmp_path):
     """Two builds must produce identical bytes-level row orders, so a
     mismatch reported by the probe is reproducible, not a dice roll."""
-    out_dir = permute_probe.permuted_copy(SF_SMALL)
+    out_dir = permute_probe.permuted_copy(SF_SMALL, out_base=str(tmp_path))
     first = pq.read_table(
         os.path.join(out_dir, "documents.parquet")
     ).to_pylist()
-    out_dir2 = permute_probe.permuted_copy(SF_SMALL)
+    out_dir2 = permute_probe.permuted_copy(SF_SMALL, out_base=str(tmp_path))
     second = pq.read_table(
         os.path.join(out_dir2, "documents.parquet")
     ).to_pylist()
