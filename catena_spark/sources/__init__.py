@@ -3,6 +3,10 @@ Spark primitives — partitioned Parquet replaces mmap'd extent files, SS
 checkpoints replace the WAL, directory deletes replace retention, a
 rewrite job replaces compaction."""
 
+from .encodings import (  # noqa: F401
+    detect_byte_stream_split,
+    mitigate_byte_stream_split,
+)
 from .ingest import (  # noqa: F401
     compact,
     partition_stats,

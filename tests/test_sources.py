@@ -166,3 +166,62 @@ def test_no_ntz_timestamp_escapes_load(spark):
             if ty == "timestamp_ntz"
         }
         assert not bad, f"{t}: NTZ columns escaped load(): {bad}"
+
+
+def test_bss_detect_and_mitigate(spark, tmp_path):
+    """VERDICT r14 item 5: the BYTE_STREAM_SPLIT mitigation must be
+    discoverable in the package, not only in the ops log. Pins the full
+    doctrine end-to-end: (1) footer scan finds BSS chunks and names the
+    columns, (2) a BSS-free directory is a strict no-op (conf untouched
+    -> the fast vectorized reader stays on), (3) the vectorized reader
+    really does reject BSS bytes fail-loud on this Spark build, and
+    (4) after mitigation the same bytes decode to the right values."""
+    import warnings
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from catena_spark.sources import encodings
+
+    clean = tmp_path / "clean"
+    dirty = tmp_path / "dirty" / "t.parquet"  # part-file directory shape
+    clean.mkdir()
+    dirty.mkdir(parents=True)
+    vals = [float(i) / 7 for i in range(500)]
+    tbl = pa.table({"k": list(range(500)), "v": pa.array(vals, pa.float64())})
+    pq.write_table(tbl, str(clean / "a.parquet"))
+    pq.write_table(tbl.slice(0, 250), str(dirty / "part-0.parquet"),
+                   use_dictionary=False, use_byte_stream_split=["v"])
+    pq.write_table(tbl.slice(250), str(dirty / "part-1.parquet"))
+
+    hits = encodings.detect_byte_stream_split(str(tmp_path / "dirty"))
+    assert len(hits) == 1 and list(hits.values()) == [["v"]]
+    assert encodings.detect_byte_stream_split(str(clean)) == {}
+
+    orig = spark.conf.get(encodings.VECTORIZED_READER_CONF)
+    try:
+        # BSS-free: no-op, conf untouched, no warning
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            assert not encodings.mitigate_byte_stream_split(
+                spark, str(clean)
+            )
+        assert spark.conf.get(encodings.VECTORIZED_READER_CONF) == orig
+
+        # the r14 platform finding, re-pinned at the package surface:
+        # vectorized read of BSS bytes fails LOUD (never wrong values)
+        if orig == "true":
+            with pytest.raises(Exception, match="BYTE_STREAM_SPLIT"):
+                spark.read.parquet(str(dirty)).orderBy("k").collect()
+
+        with pytest.warns(UserWarning, match="BYTE_STREAM_SPLIT"):
+            assert encodings.mitigate_byte_stream_split(spark, str(dirty))
+        assert (
+            spark.conf.get(encodings.VECTORIZED_READER_CONF) == "false"
+        )
+        got = [
+            r.v for r in spark.read.parquet(str(dirty)).orderBy("k").collect()
+        ]
+        assert got == vals, "row-based decode of BSS bytes must be exact"
+    finally:
+        spark.conf.set(encodings.VECTORIZED_READER_CONF, orig)
