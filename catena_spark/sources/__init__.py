@@ -5,7 +5,9 @@ rewrite job replaces compaction."""
 
 from .encodings import (  # noqa: F401
     detect_byte_stream_split,
+    merged_drifted_schema,
     mitigate_byte_stream_split,
+    read_drifted,
 )
 from .ingest import (  # noqa: F401
     compact,

@@ -124,3 +124,164 @@ def mitigate_byte_stream_split(
     )
     spark.conf.set(VECTORIZED_READER_CONF, "false")
     return True
+
+
+# ---------------------------------------------------------------------------
+# Schema drift (r15): directories written by multiple writer generations.
+#
+# The two physical drifts a long-lived lake actually contains, and what
+# Spark 4.1.2 does with them (each cell pinned empirically by
+# tests/test_sources.py::test_schema_drift_* and the permute probe's
+# drift axis):
+#
+# 1. INTEGER WIDENING (int32 part-files next to int64 ones, same column):
+#    - plain read, narrow footer sampled first: fail-LOUD
+#      [FAILED_READ_FILE.PARQUET_COLUMN_DATA_TYPE_MISMATCH] — never
+#      wrong values;
+#    - plain read, wide footer sampled first: silent SUCCESS — Spark 4's
+#      widening reads decode int32 pages into a bigint column exactly;
+#    - mergeSchema=true: fail-LOUD at schema-merge time (StructType.merge
+#      refuses int vs bigint);
+#    - EXPLICIT widened schema: correct, deterministic — the mitigation.
+# 2. MISSING COLUMN (older-writer part-files lack a column newer ones
+#    have):
+#    - plain read, full footer sampled first: missing cells surface as
+#      NULL — correct;
+#    - plain read, older footer sampled first: the column silently
+#      VANISHES from the DataFrame (queries referencing it fail loud;
+#      nothing returns wrong values, but data that exists on disk is
+#      unreachable) — footer-sampling luck, not a contract;
+#    - mergeSchema=true or explicit schema: column present, NULL-filled,
+#      deterministic — the mitigation.
+#
+# Both mitigations reduce to the same move: derive the SUPERSET schema
+# (union by name, integers/floats widened to the widest sighting) from
+# the parquet footers themselves, then read with that schema pinned.
+# ``read_drifted`` does exactly that. Footer scans are metadata-only; at
+# production file counts a table format's manifest would carry the
+# schema instead — this helper is for raw directories, where scanning
+# every footer is the only way to see a column that exists in a
+# minority of files.
+# ---------------------------------------------------------------------------
+
+#: Widening lattices: any two sighted types in the same family merge to
+#: the wider one; everything else must match exactly or fail loud.
+_INT_ORDER = {"int8": 0, "int16": 1, "int32": 2, "int64": 3}
+_FLOAT_ORDER = {"halffloat": 0, "float": 1, "double": 2}
+
+
+def _merge_arrow_types(a, b, col: str):
+    import pyarrow as pa
+
+    if a.equals(b):
+        return a
+    sa, sb = str(a), str(b)
+    if sa in _INT_ORDER and sb in _INT_ORDER:
+        return a if _INT_ORDER[sa] >= _INT_ORDER[sb] else b
+    if sa in _FLOAT_ORDER and sb in _FLOAT_ORDER:
+        return a if _FLOAT_ORDER[sa] >= _FLOAT_ORDER[sb] else b
+    if pa.types.is_list(a) and pa.types.is_list(b):
+        return pa.list_(
+            _merge_arrow_types(a.value_type, b.value_type, f"{col}.element")
+        )
+    raise ValueError(
+        f"irreconcilable schema drift on column {col!r}: {a} vs {b} — "
+        "not a widening; rewrite the offending part-files"
+    )
+
+
+def merged_drifted_schema(path: str, max_files: int | None = None):
+    """Superset pyarrow schema of every sampled footer under ``path``:
+    union of columns by NAME (first-sighting order), integer/float types
+    widened to the widest sighting, anything irreconcilable fails loud.
+
+    ``max_files=None`` (default) scans EVERY footer — required for
+    correctness when a column exists in a minority of files; pass a
+    bound only for diagnostics on directories too large to list."""
+    files = _parquet_files(path, max_files or (1 << 31))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    names: list[str] = []
+    types: dict[str, object] = {}
+    for fp in files:
+        for f in pq.read_schema(fp):
+            if f.name not in types:
+                names.append(f.name)
+                types[f.name] = f.type
+            else:
+                types[f.name] = _merge_arrow_types(
+                    types[f.name], f.type, f.name
+                )
+    return pa.schema([(n, types[n]) for n in names])
+
+
+def _spark_type(t):
+    """Arrow type -> Spark SQL type, matching what Spark's own parquet
+    schema inference would produce for the same column under this
+    package's session conf (UTC + legacy.parquet.nanosAsLong=true), so
+    a drift-safe read of UNDRIFTED data is byte-identical to the plain
+    read. Fail-loud on types no fixture uses — silently guessing a
+    mapping here could corrupt every downstream hash."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    flat = {
+        "bool": T.BooleanType(),
+        "int8": T.ByteType(),
+        "int16": T.ShortType(),
+        "int32": T.IntegerType(),
+        "int64": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "large_string": T.StringType(),
+        "binary": T.BinaryType(),
+        "large_binary": T.BinaryType(),
+        "date32[day]": T.DateType(),
+    }
+    s = str(t)
+    if s in flat:
+        return flat[s]
+    if pa.types.is_timestamp(t):
+        if t.unit == "ns" and t.tz is None:
+            # session pins legacy.parquet.nanosAsLong=true (Spark 4.1
+            # rejects TIMESTAMP(NANOS) otherwise); inference surfaces
+            # the column as bigint and tables.load converts — mirror it
+            return T.LongType()
+        return T.TimestampType() if t.tz else T.TimestampNTZType()
+    if pa.types.is_decimal(t):
+        return T.DecimalType(t.precision, t.scale)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return T.ArrayType(_spark_type(t.value_type))
+    if pa.types.is_struct(t):
+        return T.StructType(
+            [T.StructField(f.name, _spark_type(f.type)) for f in t]
+        )
+    if pa.types.is_map(t):
+        return T.MapType(_spark_type(t.key_type), _spark_type(t.item_type))
+    raise ValueError(
+        f"no Spark mapping for arrow type {t} — extend _spark_type "
+        "deliberately rather than letting inference guess"
+    )
+
+
+def read_drifted(spark: SparkSession, path: str):
+    """Read a parquet file/directory that may have been written by
+    multiple writer generations: pins the footer-derived superset schema
+    so (a) columns absent from older part-files surface as NULL — never
+    silently vanish on footer-sampling luck — and (b) integer/float
+    columns physically narrower in older part-files are widened on
+    decode (Spark 4 widening reads), never PARQUET_COLUMN_DATA_TYPE_
+    MISMATCH. On an undrifted directory this is plan-identical to
+    ``spark.read.parquet`` with inference (same schema, same pushdown,
+    same vectorized reader) at the cost of one footer sweep."""
+    from pyspark.sql import types as T
+
+    pa_schema = merged_drifted_schema(path)
+    spark_schema = T.StructType(
+        [T.StructField(f.name, _spark_type(f.type)) for f in pa_schema]
+    )
+    return spark.read.schema(spark_schema).parquet(path)

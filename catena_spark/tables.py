@@ -45,7 +45,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cast, so downstream ordering/formatting agree.
     """
     ensure_runtime_conf(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    import os
+
+    if os.environ.get("CATENA_SCHEMA_DRIFT_SAFE") == "1":
+        # Opt-in drift-safe read (r15): pin the footer-derived superset
+        # schema so part-files written by older writer generations
+        # (missing columns, narrower integer types) surface NULLs /
+        # widen on decode instead of vanishing columns or failing on
+        # footer-sampling luck. Off by default — on undrifted data it
+        # is schema- and plan-identical to the plain read below, but
+        # costs a footer sweep per load. Doctrine + empirical matrix:
+        # sources/encodings.py; exercised by the permute probe's
+        # CATENA_PERMUTE_DRIFT axis.
+        from .sources.encodings import read_drifted
+
+        df = read_drifted(spark, f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # Naive parquet timestamps (isAdjustedToUTC=false, read as

@@ -27,6 +27,8 @@ Usage:
     CATENA_PERMUTE_NODICT=1 CATENA_PERMUTE_PAGESIZE=B \
     CATENA_PERMUTE_NOSTATS=1 CATENA_PERMUTE_PAGEV2=1 \
     CATENA_PERMUTE_BSS=1 CATENA_PERMUTE_COLORDER=reversed|mixed \
+    CATENA_PERMUTE_DRIFT=widen|missing|widen,missing \
+    CATENA_PERMUTE_DRIFT_TABLE=orders CATENA_PERMUTE_DRIFT_COL=... \
         python scripts/permute_probe.py [sf_dir] [key ...]
 Defaults to /root/testdata/sf0.01, all oracle-backed keys, and a
 single file per table; SPLITS > 1 writes each permuted table as N
@@ -115,6 +117,17 @@ def _layout_slices(n: int, splits: int, layout: str) -> list[tuple[int, int]]:
 
 COLORDERS = (None, "reversed", "mixed")
 
+DRIFTS = ("widen", "missing")
+
+
+def _drift_modes(drift: str | None) -> set[str]:
+    """Parse the drift knob ('widen', 'missing', or 'widen,missing')."""
+    modes = {m for m in (drift or "").replace(" ", "").split(",") if m}
+    bad = modes - set(DRIFTS)
+    if bad:
+        raise ValueError(f"drift modes must be in {DRIFTS}, got {sorted(bad)}")
+    return modes
+
 
 def _bss_columns(schema) -> list[str]:
     """ALL floating-point leaf paths in this schema, in parquet dotted
@@ -166,6 +179,9 @@ def permuted_copy(
     pagev2: bool = False,
     bss: bool = False,
     out_base: str = "/tmp",
+    drift: str | None = None,
+    drift_table: str = "orders",
+    drift_col: str | None = None,
 ) -> str:
     """Seeded row-permuted copy of every table, same schema and values
     (pyarrow take over a shuffled index). ``splits`` > 1 writes each
@@ -193,6 +209,32 @@ def permuted_copy(
     each table). Each knob lands in the output dir name so runs with
     different encodings never share bytes.
 
+    The SCHEMA-DRIFT sub-axis (r15, VERDICT r14 item 3) goes beyond
+    field ORDER to the two drifts a multi-generation lake physically
+    contains, applied to ODD part-file indices so every affected table
+    holds both writer generations:
+
+    - ``drift='widen'``: every top-level int8/int16/int32 column (in
+      any table that has one — the fixtures: lineitem.l_linenumber,
+      customer.c_nationkey, embeddings.label) is physically widened to
+      int64 in odd parts. VALUE-preserving, so the original DuckDB
+      oracle still applies; what drifts is only the physical type.
+    - ``drift='missing'``: odd part-files of ``drift_table`` (default
+      orders) are written WITHOUT ``drift_col`` (default: the table's
+      last column — o_orderpriority), the older-writer shape. NOT
+      value-preserving (reads must surface NULLs), so main() compares
+      Spark against DuckDB reading the SAME drifted bytes with
+      union_by_name=true — engine-vs-engine null-fill parity.
+
+    Drift-affected tables always get a directory with ≥2 part-files
+    (else the drift cannot physically exist), which is why drift
+    requires ``splits >= 2``. Spark 4.1.2's unmitigated behavior on
+    these bytes is pinned in catena_spark/sources/encodings.py (the
+    empirical matrix: fail-loud or silently-vanishing column on
+    footer-sampling luck, never wrong values); the probe runs the
+    MITIGATED contract — CATENA_SCHEMA_DRIFT_SAFE=1 routes tables.load
+    through read_drifted's footer-derived superset schema.
+
     The output path is keyed by SOURCE dir basename + an 8-hex sha256
     of the ABSOLUTE source path + seed + every axis knob: an sf0.001
     teeth-test rebuild must never clobber an sf0.01 probe's live copy
@@ -214,6 +256,7 @@ def permuted_copy(
     import shutil
 
     import numpy as np
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     if layout not in LAYOUTS:
@@ -274,6 +317,16 @@ def permuted_copy(
         suffix += "_bss"
     if colorder:
         suffix += f"_co{colorder}"
+    drift_modes = _drift_modes(drift)
+    if drift_modes:
+        if splits < 2:
+            raise ValueError(
+                "drift requires splits >= 2 (odd part-files carry the "
+                "drifted writer generation)"
+            )
+        suffix += "_dr" + "-".join(sorted(drift_modes))
+        if "missing" in drift_modes:
+            suffix += f"_{drift_table}"
     src_abs = os.path.abspath(os.path.normpath(sf_dir))
     src_tag = (
         f"{os.path.basename(src_abs)}_"
@@ -303,25 +356,78 @@ def permuted_copy(
         rev_names = list(reversed(perm.column_names))
         if colorder == "reversed":
             perm = perm.select(rev_names)
+        # which drifts apply to THIS table (odd part-file indices)
+        widen_cols = (
+            [
+                f.name
+                for f in perm.schema
+                if str(f.type) in ("int8", "int16", "int32")
+            ]
+            if "widen" in drift_modes
+            else []
+        )
+        drop_col = None
+        if "missing" in drift_modes and t == drift_table:
+            drop_col = drift_col or perm.column_names[-1]
+            if drop_col not in perm.column_names:
+                raise ValueError(
+                    f"drift_col {drop_col!r} not in {t} columns "
+                    f"{perm.column_names}"
+                )
+        drifted = bool(widen_cols) or drop_col is not None
         single_file = (
             layout == "even"
             and colorder != "mixed"
+            and not drifted
             and (splits <= 1 or perm.num_rows < splits)
         )
         if single_file:
             pq.write_table(perm, dst, **tkw)
         else:
             os.makedirs(dst)
+            # a drift-affected table smaller than ``splits`` still needs
+            # >= 2 part-files or the second writer generation never
+            # physically exists
+            eff_splits = (
+                2 if (drifted and perm.num_rows < splits) else splits
+            )
             for i, (off, ln) in enumerate(
-                _layout_slices(perm.num_rows, splits, layout)
+                _layout_slices(perm.num_rows, eff_splits, layout)
             ):
                 part = perm.slice(off, ln)
-                if colorder == "mixed" and i % 2 == 1:
-                    part = part.select(rev_names)
+                if i % 2 == 1:
+                    if widen_cols:
+                        part = part.cast(
+                            pa.schema(
+                                [
+                                    (f.name, pa.int64())
+                                    if f.name in widen_cols
+                                    else (f.name, f.type)
+                                    for f in part.schema
+                                ]
+                            )
+                        )
+                    if drop_col is not None:
+                        part = part.drop_columns([drop_col])
+                    if colorder == "mixed":
+                        part = part.select(
+                            [n for n in rev_names if n in part.column_names]
+                        )
+                pkw = tkw
+                if bss and drifted:
+                    # a drifted part's schema differs — recompute the
+                    # BSS leaf list so the writer never names a column
+                    # the part no longer carries
+                    bss_cols = _bss_columns(part.schema)
+                    pkw = (
+                        dict(wkw, use_byte_stream_split=bss_cols)
+                        if bss_cols
+                        else wkw
+                    )
                 pq.write_table(
                     part,
                     os.path.join(dst, f"part-{i:04d}.parquet"),
-                    **tkw,
+                    **pkw,
                 )
     return out_dir
 
@@ -488,6 +594,16 @@ def main() -> int:
     nostats = os.environ.get("CATENA_PERMUTE_NOSTATS", "") == "1"
     pagev2 = os.environ.get("CATENA_PERMUTE_PAGEV2", "") == "1"
     bss = os.environ.get("CATENA_PERMUTE_BSS", "") == "1"
+    drift = os.environ.get("CATENA_PERMUTE_DRIFT") or None
+    drift_modes = _drift_modes(drift)
+    drift_table = os.environ.get("CATENA_PERMUTE_DRIFT_TABLE", "orders")
+    drift_col = os.environ.get("CATENA_PERMUTE_DRIFT_COL") or None
+    if drift_modes and splits < 2:
+        splits = 2
+        print(
+            "permute_probe: DRIFT auto-raises SPLITS to 2 (odd "
+            "part-files carry the drifted writer generation)"
+        )
     if bss and not nodict:
         # ADVICE r14: dictionary encoding takes precedence over BSS in
         # the pyarrow writer, so BSS without NODICT writes zero BSS
@@ -500,6 +616,7 @@ def main() -> int:
     perm_dir = permuted_copy(
         sf_dir, splits, layout, codec, rowgroup, int96, colorder,
         nodict, pagesize, nostats, pagev2, bss,
+        drift=drift, drift_table=drift_table, drift_col=drift_col,
     )
     if bss:
         _assert_bss_pages(perm_dir)
@@ -509,8 +626,22 @@ def main() -> int:
         f"codec {codec or 'default'}, rowgroup {rowgroup or 'default'}, "
         f"int96 {int96}, colorder {colorder or 'original'}, "
         f"nodict {nodict}, pagesize {pagesize or 'default'}, "
-        f"nostats {nostats}, pagev2 {pagev2}, bss {bss})"
+        f"nostats {nostats}, pagev2 {pagev2}, bss {bss}, "
+        f"drift {drift or 'none'})"
     )
+    if drift_modes:
+        # the probe pins the MITIGATED contract: tables.load routes
+        # through read_drifted's footer-derived superset schema (the
+        # doctrine for multi-generation directories). Spark's
+        # UNMITIGATED behavior on these bytes — fail-loud type
+        # mismatch, or a column silently vanishing on footer-sampling
+        # luck, never wrong values — is pinned by the unit matrix in
+        # tests/test_sources.py instead.
+        os.environ["CATENA_SCHEMA_DRIFT_SAFE"] = "1"
+        print(
+            "permute_probe: CATENA_SCHEMA_DRIFT_SAFE=1 (drift run — "
+            "tables.load pins the footer-derived superset schema)"
+        )
 
     # Contention sentinel (r14): a foreign Spark JVM sharing the CPUs
     # can wedge streaming awaitTermination bounds and slow stages into
@@ -577,11 +708,31 @@ def main() -> int:
     keys = [k for k in keys if k in oracles]
 
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{oracle_view_source(sf_dir, t)}')"
+    if "missing" in drift_modes:
+        # missing-column drift is NOT value-preserving (dropped cells
+        # must surface as NULL) — the original-bytes oracle would
+        # mismatch by construction. Point DuckDB at the SAME drifted
+        # bytes with union_by_name=true (its superset-schema read):
+        # the compare becomes engine-vs-engine null-fill parity, which
+        # is exactly the semantics the axis exists to pin. widen-only
+        # drift stays on the original oracle (values are preserved;
+        # only the physical int width moves).
+        print(
+            "permute_probe: oracle reads the DRIFTED copy "
+            "(union_by_name=true) — null-fill parity mode"
         )
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                f"'{oracle_view_source(perm_dir, t)}', "
+                f"union_by_name=true)"
+            )
+    else:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{oracle_view_source(sf_dir, t)}')"
+            )
 
     failures: list[str] = []
     for key in keys:

@@ -347,4 +347,21 @@ echo "== input-permutation invariance, splits=7 colorder=mixed"
 (cd /tmp && CATENA_PERMUTE_SPLITS=7 CATENA_PERMUTE_COLORDER=mixed \
   python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
 
+# schema-drift sub-axis (r15, VERDICT r14 item 3): beyond field ORDER to
+# the two drifts a multi-generation lake physically contains. widen =
+# int32 part-files next to int64 ones (value-preserving; original
+# oracle); missing = odd orders part-files written without
+# o_orderpriority (null-fill parity: the oracle reads the SAME drifted
+# bytes with union_by_name). Both run the MITIGATED contract — the probe
+# sets CATENA_SCHEMA_DRIFT_SAFE=1 so tables.load pins the footer-derived
+# superset schema; Spark's unmitigated fail-loud matrix is pinned by
+# tests/test_sources.py::test_schema_drift_unmitigated_is_never_silently_wrong.
+echo "== input-permutation invariance, splits=3 drift=widen"
+(cd /tmp && CATENA_PERMUTE_SPLITS=3 CATENA_PERMUTE_DRIFT=widen \
+  python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+
+echo "== input-permutation invariance, splits=3 drift=missing (null-fill parity)"
+(cd /tmp && CATENA_PERMUTE_SPLITS=3 CATENA_PERMUTE_DRIFT=missing \
+  python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+
 echo "== STRESS MATRIX ALL GREEN"

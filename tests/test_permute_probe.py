@@ -404,6 +404,128 @@ def test_oracle_view_source_handles_directory_tables(tmp_path):
     ).fetchone()[0] == 1
 
 
+def test_permuted_copy_widen_drift_widens_odd_parts_only(tmp_path):
+    """DRIFT sub-axis (r15): drift='widen' must physically widen every
+    top-level int8/16/32 column to int64 in ODD part-files only, leave
+    even parts at the original width (both writer generations exist),
+    and preserve the VALUE multiset exactly — the axis is vacuous
+    without the physical split and false-red if a value moves."""
+    import pyarrow as pa
+
+    out = permute_probe.permuted_copy(
+        SF_SMALL, splits=4, drift="widen", out_base=str(tmp_path)
+    )
+    single = permute_probe.permuted_copy(SF_SMALL, out_base=str(tmp_path))
+    saw_drift = False
+    for t, col in (("customer", "c_nationkey"), ("lineitem", "l_linenumber"),
+                   ("embeddings", "label")):
+        dst = os.path.join(out, f"{t}.parquet")
+        assert os.path.isdir(dst), f"{t}: drift-affected must be a directory"
+        parts = sorted(os.listdir(dst))
+        assert len(parts) >= 2
+        rows = []
+        for i, p in enumerate(parts):
+            pt = pq.read_table(os.path.join(dst, p))
+            typ = pt.schema.field(col).type
+            if i % 2 == 1:
+                assert typ == pa.int64(), f"{t} part {i}: {col} not widened"
+                saw_drift = True
+            else:
+                assert typ == pa.int32(), f"{t} part {i}: {col} drifted"
+            rows += pt.to_pylist()
+        ref = pq.read_table(os.path.join(single, f"{t}.parquet")).to_pylist()
+        assert rows == ref, f"{t}: widen drift changed values or order"
+    assert saw_drift
+    # a table with no narrow ints is untouched by widen drift: every
+    # part-file keeps the identical (unwidened) schema
+    odir = os.path.join(out, "orders.parquet")
+    oschemas = {
+        str(pq.read_schema(os.path.join(odir, p)).remove_metadata())
+        for p in sorted(os.listdir(odir))
+    }
+    assert len(oschemas) == 1 and "int64" in oschemas.pop()
+
+
+def test_permuted_copy_missing_drift_drops_column_in_odd_parts(tmp_path):
+    """drift='missing': odd part-files of the drift table are written
+    WITHOUT the designated column (default: the last one) — the
+    older-writer shape; even parts keep it; every other cell of every
+    row survives; other tables are untouched."""
+    out = permute_probe.permuted_copy(
+        SF_SMALL, splits=4, drift="missing", out_base=str(tmp_path)
+    )
+    single = permute_probe.permuted_copy(SF_SMALL, out_base=str(tmp_path))
+    ref = pq.read_table(os.path.join(single, "orders.parquet"))
+    drop = ref.column_names[-1]
+    assert drop == "o_orderpriority"  # FIXTURES.md orders schema
+    dst = os.path.join(out, "orders.parquet")
+    assert os.path.isdir(dst)
+    parts = sorted(os.listdir(dst))
+    rows, refrows = [], ref.to_pylist()
+    for i, p in enumerate(parts):
+        pt = pq.read_table(os.path.join(dst, p))
+        if i % 2 == 1:
+            assert drop not in pt.column_names, f"part {i} kept {drop}"
+        else:
+            assert drop in pt.column_names, f"part {i} lost {drop}"
+        rows += pt.to_pylist()
+    for got, want in zip(rows, refrows):
+        want = dict(want)
+        if drop not in got:
+            want.pop(drop)
+        assert got == want
+    assert len(rows) == len(refrows)
+    # only the drift table is affected: every events part keeps the
+    # full column set
+    edir = os.path.join(out, "events.parquet")
+    ecols = {
+        tuple(sorted(pq.read_schema(os.path.join(edir, p)).names))
+        for p in sorted(os.listdir(edir))
+    }
+    assert len(ecols) == 1 and "props" in ecols.pop()
+
+
+def test_permuted_copy_drift_validation_and_composition(tmp_path):
+    """Drift knob hostility: bad modes / splits=1 / unknown column fail
+    loudly; and the axis composes with skew layout + mixed colorder +
+    bss without corrupting the multiset (the stress matrix runs exactly
+    such composed cells)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="drift modes"):
+        permute_probe.permuted_copy(
+            SF_SMALL, splits=2, drift="sideways", out_base=str(tmp_path)
+        )
+    with pytest.raises(ValueError, match="splits >= 2"):
+        permute_probe.permuted_copy(
+            SF_SMALL, splits=1, drift="widen", out_base=str(tmp_path)
+        )
+    with pytest.raises(ValueError, match="not in orders columns"):
+        permute_probe.permuted_copy(
+            SF_SMALL, splits=2, drift="missing", drift_col="nope",
+            out_base=str(tmp_path),
+        )
+    out = permute_probe.permuted_copy(
+        SF_SMALL, splits=5, layout="skew", colorder="mixed",
+        nodict=True, bss=True, drift="widen,missing",
+        out_base=str(tmp_path),
+    )
+    permute_probe._assert_bss_pages(out)
+    single = permute_probe.permuted_copy(SF_SMALL, out_base=str(tmp_path))
+    for t in ("orders", "lineitem"):
+        ref = pq.read_table(os.path.join(single, f"{t}.parquet"))
+        dst = os.path.join(out, f"{t}.parquet")
+        got = []
+        for p in sorted(os.listdir(dst)):
+            got += pq.read_table(os.path.join(dst, p)).to_pylist()
+        for g, w in zip(got, ref.to_pylist()):
+            w = dict(w)
+            if t == "orders" and "o_orderpriority" not in g:
+                w.pop("o_orderpriority")
+            assert g == w, f"{t}: composed drift changed a value"
+        assert len(got) == ref.num_rows
+
+
 def test_permuted_copy_is_seed_deterministic(tmp_path):
     """Two builds must produce identical bytes-level row orders, so a
     mismatch reported by the probe is reproducible, not a dice roll."""

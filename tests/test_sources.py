@@ -225,3 +225,165 @@ def test_bss_detect_and_mitigate(spark, tmp_path):
         assert got == vals, "row-based decode of BSS bytes must be exact"
     finally:
         spark.conf.set(encodings.VECTORIZED_READER_CONF, orig)
+
+
+def _write_drift_fixtures(tmp_path):
+    """Two-generation parquet directories: widen (int32+int64 parts of
+    one column) and missing (a column absent from the older part)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    wd = tmp_path / "widen.parquet"
+    md = tmp_path / "missing.parquet"
+    wd.mkdir()
+    md.mkdir()
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2, 3], pa.int32()),
+                  "v": pa.array([1.0, 2.0, 3.0])}),
+        str(wd / "part-0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"k": pa.array([4, 5, 6], pa.int64()),
+                  "v": pa.array([4.0, 5.0, 6.0])}),
+        str(wd / "part-1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "extra": pa.array(["a", "b", "c"])}),
+        str(md / "part-0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"k": pa.array([4, 5, 6], pa.int64())}),
+        str(md / "part-1.parquet"),
+    )
+    return str(wd), str(md)
+
+
+def test_schema_drift_unmitigated_is_never_silently_wrong(spark, tmp_path):
+    """The r15 drift doctrine's load-bearing clause, pinned against the
+    live Spark build: a PLAIN read of a multi-generation directory may
+    fail loud or may succeed (footer-sampling luck decides), but a
+    SUCCESSFUL read must return exactly the right values — and a read
+    with an explicitly narrow schema must fail loud on wider files,
+    never truncate. If an upgrade ever turns either into silent
+    corruption, this test is the tripwire."""
+    wd, md = _write_drift_fixtures(tmp_path)
+
+    # widen dir, plain read: loud, or exactly right (today: loud —
+    # PARQUET_COLUMN_DATA_TYPE_MISMATCH — because the int32 footer of
+    # part-0 wins inference; both outcomes are within doctrine)
+    try:
+        got = sorted(
+            (r.k, r.v) for r in spark.read.parquet(wd).collect()
+        )
+        assert got == [(i, float(i)) for i in range(1, 7)]
+    except Exception as e:
+        assert "PARQUET_COLUMN_DATA_TYPE_MISMATCH" in str(e) or (
+            "SchemaColumnConvertNotSupportedException" in str(e)
+        )
+
+    # explicitly NARROW schema over int64 files: must fail loud
+    with pytest.raises(Exception, match="MISMATCH|ConvertNotSupported"):
+        spark.read.schema("k int, v double").parquet(wd).collect()
+
+    # explicitly WIDENED schema: Spark 4 widening reads decode int32
+    # pages into bigint exactly — THE widen mitigation
+    got = sorted(
+        (r.k, r.v)
+        for r in spark.read.schema("k bigint, v double").parquet(wd).collect()
+    )
+    assert got == [(i, float(i)) for i in range(1, 7)]
+
+    # missing dir, plain read: the column either surfaces (null-filled)
+    # or VANISHES with the rows still correct — never wrong values; a
+    # query referencing a vanished column fails loud at analysis
+    df = spark.read.parquet(md)
+    rows = sorted((tuple(r) for r in df.collect()), key=str)
+    if "extra" in df.columns:
+        assert rows == [(1, "a"), (2, "b"), (3, "c"),
+                        (4, None), (5, None), (6, None)]
+    else:
+        assert rows == [(1,), (2,), (3,), (4,), (5,), (6,)]
+
+
+def test_read_drifted_pins_superset_schema(spark, tmp_path):
+    """read_drifted (r15): the footer-derived superset schema makes both
+    drift shapes deterministic — int32 parts widen on decode, missing
+    columns surface as NULL — and on UNDRIFTED fixtures it is
+    schema-identical to the plain read (the zero-behavior-change
+    claim behind the CATENA_SCHEMA_DRIFT_SAFE gate)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from catena_spark.sources import encodings
+
+    wd, md = _write_drift_fixtures(tmp_path)
+
+    ws = encodings.merged_drifted_schema(wd)
+    assert ws.field("k").type == pa.int64()
+    got = sorted((r.k, r.v) for r in encodings.read_drifted(spark, wd).collect())
+    assert got == [(i, float(i)) for i in range(1, 7)]
+
+    ms = encodings.merged_drifted_schema(md)
+    assert ms.names == ["k", "extra"]
+    got = sorted(
+        (tuple(r) for r in encodings.read_drifted(spark, md).collect()),
+        key=str,
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c"),
+                   (4, None), (5, None), (6, None)]
+
+    # irreconcilable drift (int vs string) fails loud, naming the column
+    bad = tmp_path / "bad.parquet"
+    bad.mkdir()
+    pq.write_table(pa.table({"x": pa.array([1], pa.int64())}),
+                   str(bad / "part-0.parquet"))
+    pq.write_table(pa.table({"x": pa.array(["s"])}),
+                   str(bad / "part-1.parquet"))
+    with pytest.raises(ValueError, match="irreconcilable schema drift.*'x'"):
+        encodings.merged_drifted_schema(str(bad))
+
+    # zero-behavior-change: superset read == plain read on every fixture
+    for t in tables.TABLES:
+        p = f"{SF_SMALL}/{t}.parquet"
+        assert encodings.read_drifted(spark, p).schema == (
+            spark.read.parquet(p).schema
+        ), f"{t}: drift-safe read changed the surfaced schema"
+
+
+def test_tables_load_drift_safe_env_gate(spark, tmp_path, monkeypatch):
+    """CATENA_SCHEMA_DRIFT_SAFE=1 routes tables.load through the
+    superset-schema read: a two-generation orders directory loads with
+    o_orderpriority present and null-filled for older-writer rows —
+    including the events ts/NTZ normalization the loader applies after
+    the read (the gate must compose with it, not bypass it)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / "sfdrift"
+    sf.mkdir()
+    for t in tables.TABLES:
+        src = f"{SF_SMALL}/{t}.parquet"
+        if t == "orders":
+            full = pq.read_table(src)
+            d = sf / "orders.parquet"
+            d.mkdir()
+            half = full.num_rows // 2
+            pq.write_table(full.slice(0, half), str(d / "part-0.parquet"))
+            pq.write_table(
+                full.slice(half).drop_columns(["o_orderpriority"]),
+                str(d / "part-1.parquet"),
+            )
+        else:
+            shutil.copy(src, str(sf / f"{t}.parquet"))
+    monkeypatch.setenv("CATENA_SCHEMA_DRIFT_SAFE", "1")
+    df = tables.load(spark, str(sf), "orders")
+    assert "o_orderpriority" in df.columns
+    n_total = df.count()
+    n_null = df.filter("o_orderpriority IS NULL").count()
+    assert n_total == pq.read_table(f"{SF_SMALL}/orders.parquet").num_rows
+    assert n_null == n_total - n_total // 2
+    # events still loads with the ts normalization intact under the gate
+    ev = tables.load(spark, str(sf), "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
