@@ -190,14 +190,17 @@ def _merge_arrow_types(a, b, col: str):
     )
 
 
-def merged_drifted_schema(path: str, max_files: int | None = None):
-    """Superset pyarrow schema of every sampled footer under ``path``:
-    union of columns by NAME (first-sighting order), integer/float types
-    widened to the widest sighting, anything irreconcilable fails loud.
-
-    ``max_files=None`` (default) scans EVERY footer — required for
-    correctness when a column exists in a minority of files; pass a
-    bound only for diagnostics on directories too large to list."""
+def _merged_footer_info(path: str, max_files: int | None = None):
+    """(superset pyarrow schema, set of INT96-physical column paths) of
+    every sampled footer under ``path``. The INT96 set matters because
+    pyarrow reports BOTH the deprecated INT96 physical type AND the
+    modern INT64 TIMESTAMP(NANOS) logical type as ``timestamp[ns]`` —
+    but Spark reads INT96 as TimestampType while (under this package's
+    pinned ``legacy.parquet.nanosAsLong=true``) it surfaces INT64 nanos
+    as bigint. Mapping them identically broke every timestamp column
+    the moment the drift axis composed with the INT96 write-encoding
+    knob (r15 capstone finding — fail-loud, but the mitigation itself
+    must be deterministic, not footer-luck)."""
     files = _parquet_files(path, max_files or (1 << 31))
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
@@ -206,8 +209,10 @@ def merged_drifted_schema(path: str, max_files: int | None = None):
 
     names: list[str] = []
     types: dict[str, object] = {}
+    int96: set[str] = set()
     for fp in files:
-        for f in pq.read_schema(fp):
+        pf = pq.ParquetFile(fp)
+        for f in pf.schema_arrow:
             if f.name not in types:
                 names.append(f.name)
                 types[f.name] = f.type
@@ -215,16 +220,38 @@ def merged_drifted_schema(path: str, max_files: int | None = None):
                 types[f.name] = _merge_arrow_types(
                     types[f.name], f.type, f.name
                 )
-    return pa.schema([(n, types[n]) for n in names])
+        meta = pf.metadata
+        if meta.num_row_groups:  # schema-only part-files carry none
+            rg = meta.row_group(0)
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                if c.physical_type == "INT96":
+                    int96.add(c.path_in_schema)
+    return pa.schema([(n, types[n]) for n in names]), int96
 
 
-def _spark_type(t):
+def merged_drifted_schema(path: str, max_files: int | None = None):
+    """Superset pyarrow schema of every sampled footer under ``path``:
+    union of columns by NAME (first-sighting order), integer/float types
+    widened to the widest sighting, anything irreconcilable fails loud.
+
+    ``max_files=None`` (default) scans EVERY footer — required for
+    correctness when a column exists in a minority of files; pass a
+    bound only for diagnostics on directories too large to list."""
+    return _merged_footer_info(path, max_files)[0]
+
+
+def _spark_type(t, path: str = "", int96: frozenset | set = frozenset()):
     """Arrow type -> Spark SQL type, matching what Spark's own parquet
     schema inference would produce for the same column under this
     package's session conf (UTC + legacy.parquet.nanosAsLong=true), so
     a drift-safe read of UNDRIFTED data is byte-identical to the plain
-    read. Fail-loud on types no fixture uses — silently guessing a
-    mapping here could corrupt every downstream hash."""
+    read. ``path``/``int96`` disambiguate ns timestamps: arrow reports
+    the deprecated INT96 physical type and INT64 TIMESTAMP(NANOS) both
+    as timestamp[ns], but Spark reads the former as TimestampType and
+    (under nanosAsLong) the latter as bigint. Fail-loud on types no
+    fixture uses — silently guessing a mapping here could corrupt
+    every downstream hash."""
     import pyarrow as pa
     from pyspark.sql import types as T
 
@@ -247,21 +274,38 @@ def _spark_type(t):
         return flat[s]
     if pa.types.is_timestamp(t):
         if t.unit == "ns" and t.tz is None:
-            # session pins legacy.parquet.nanosAsLong=true (Spark 4.1
-            # rejects TIMESTAMP(NANOS) otherwise); inference surfaces
-            # the column as bigint and tables.load converts — mirror it
+            if path in int96:
+                # deprecated INT96 physical storage (old Hive/Impala/
+                # Spark writers, and the probe's INT96 knob): Spark
+                # always decodes it as TimestampType — nanosAsLong
+                # applies only to INT64 TIMESTAMP(NANOS)
+                return T.TimestampType()
+            # INT64 TIMESTAMP(NANOS): the session pins
+            # legacy.parquet.nanosAsLong=true (Spark 4.1 rejects the
+            # type otherwise); inference surfaces the column as bigint
+            # and tables.load converts — mirror it
             return T.LongType()
         return T.TimestampType() if t.tz else T.TimestampNTZType()
     if pa.types.is_decimal(t):
         return T.DecimalType(t.precision, t.scale)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
-        return T.ArrayType(_spark_type(t.value_type))
+        return T.ArrayType(
+            _spark_type(t.value_type, f"{path}.list.element", int96)
+        )
     if pa.types.is_struct(t):
         return T.StructType(
-            [T.StructField(f.name, _spark_type(f.type)) for f in t]
+            [
+                T.StructField(
+                    f.name, _spark_type(f.type, f"{path}.{f.name}", int96)
+                )
+                for f in t
+            ]
         )
     if pa.types.is_map(t):
-        return T.MapType(_spark_type(t.key_type), _spark_type(t.item_type))
+        return T.MapType(
+            _spark_type(t.key_type, f"{path}.key_value.key", int96),
+            _spark_type(t.item_type, f"{path}.key_value.value", int96),
+        )
     raise ValueError(
         f"no Spark mapping for arrow type {t} — extend _spark_type "
         "deliberately rather than letting inference guess"
@@ -280,8 +324,11 @@ def read_drifted(spark: SparkSession, path: str):
     same vectorized reader) at the cost of one footer sweep."""
     from pyspark.sql import types as T
 
-    pa_schema = merged_drifted_schema(path)
+    pa_schema, int96 = _merged_footer_info(path)
     spark_schema = T.StructType(
-        [T.StructField(f.name, _spark_type(f.type)) for f in pa_schema]
+        [
+            T.StructField(f.name, _spark_type(f.type, f.name, int96))
+            for f in pa_schema
+        ]
     )
     return spark.read.schema(spark_schema).parquet(path)

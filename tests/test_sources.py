@@ -387,3 +387,42 @@ def test_tables_load_drift_safe_env_gate(spark, tmp_path, monkeypatch):
     # events still loads with the ts normalization intact under the gate
     ev = tables.load(spark, str(sf), "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_read_drifted_int96_timestamps(spark, tmp_path):
+    """r15 capstone finding: pyarrow reports BOTH deprecated INT96
+    physical timestamps AND modern INT64 TIMESTAMP(NANOS) as
+    timestamp[ns] — but Spark decodes INT96 as TimestampType while
+    (under the session's nanosAsLong pin) INT64 nanos surface as
+    bigint. read_drifted must tell them apart by PHYSICAL type from the
+    footers, or every timestamp column breaks the moment drift composes
+    with INT96-era part-files (exactly the mix a lake with old
+    Hive/Impala partitions contains)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from catena_spark.sources import encodings
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    ts = [datetime.datetime(2024, 1, 1, 12, 0, i) for i in range(4)]
+    full = pa.table({
+        "k": pa.array([0, 1, 2, 3], pa.int64()),
+        "when": pa.array(ts, pa.timestamp("us")),
+        "tag": pa.array(["a", "b", "c", "d"]),
+    })
+    # older INT96-writer generation, ALSO missing the newer column
+    pq.write_table(full.slice(0, 2).drop_columns(["tag"]),
+                   str(d / "part-0.parquet"),
+                   use_deprecated_int96_timestamps=True)
+    pq.write_table(full.slice(2), str(d / "part-1.parquet"),
+                   use_deprecated_int96_timestamps=True)
+    _, int96 = encodings._merged_footer_info(str(d))
+    assert "when" in int96
+    df = encodings.read_drifted(spark, str(d))
+    assert dict(df.dtypes)["when"] == "timestamp"
+    rows = sorted((tuple(r) for r in df.collect()), key=str)
+    assert [r[1] for r in rows] == ts  # exact decode through INT96
+    assert [r[2] for r in rows] == [None, None, "c", "d"]
