@@ -364,4 +364,12 @@ echo "== input-permutation invariance, splits=3 drift=missing (null-fill parity)
 (cd /tmp && CATENA_PERMUTE_SPLITS=3 CATENA_PERMUTE_DRIFT=missing \
   python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
 
+# drift x BSS composed cell (r15): both mitigations at once — the
+# footer-derived superset schema (drift) through the row-based reader
+# (BSS). Evidenced at sf0.01 window + sf0.1 full contract in r15.
+echo "== input-permutation invariance, splits=3 drift=widen,missing + BSS (row-based)"
+(cd /tmp && CATENA_PERMUTE_SPLITS=3 CATENA_PERMUTE_DRIFT=widen,missing \
+  CATENA_PERMUTE_BSS=1 \
+  python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+
 echo "== STRESS MATRIX ALL GREEN"
