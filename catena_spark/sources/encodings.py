@@ -170,7 +170,7 @@ _INT_ORDER = {"int8": 0, "int16": 1, "int32": 2, "int64": 3}
 _FLOAT_ORDER = {"halffloat": 0, "float": 1, "double": 2}
 
 
-def _merge_arrow_types(a, b, col: str):
+def _merge_arrow_types(a, b, col: str, int96: frozenset | set = frozenset()):
     import pyarrow as pa
 
     if a.equals(b):
@@ -180,9 +180,31 @@ def _merge_arrow_types(a, b, col: str):
         return a if _INT_ORDER[sa] >= _INT_ORDER[sb] else b
     if sa in _FLOAT_ORDER and sb in _FLOAT_ORDER:
         return a if _FLOAT_ORDER[sa] >= _FLOAT_ORDER[sb] else b
+    if (
+        pa.types.is_timestamp(a)
+        and pa.types.is_timestamp(b)
+        and a.tz is None
+        and b.tz is None
+        and col in int96
+    ):
+        # INT96-era part-files (arrow-reported as naive ns) next to
+        # modern naive-µs ones — the exact mix a table spanning old
+        # Hive/Impala partitions and new Spark writes contains. Spark
+        # decodes BOTH generations exactly under an explicit
+        # TimestampType schema (empirically pinned: INT96 → LTZ
+        # natively; naive µs under an LTZ schema == the NTZ-read +
+        # UTC-cast path this package's loaders already apply). Resolve
+        # to ns and keep the column flagged INT96 so _spark_type emits
+        # TimestampType. WITHOUT an INT96 sighting a ns/µs mix stays
+        # irreconcilable: INT64 TIMESTAMP(NANOS) surfaces as bigint
+        # under the session's nanosAsLong pin, and bigint vs timestamp
+        # cannot share one read schema.
+        return pa.timestamp("ns")
     if pa.types.is_list(a) and pa.types.is_list(b):
         return pa.list_(
-            _merge_arrow_types(a.value_type, b.value_type, f"{col}.element")
+            _merge_arrow_types(
+                a.value_type, b.value_type, f"{col}.list.element", int96
+            )
         )
     raise ValueError(
         f"irreconcilable schema drift on column {col!r}: {a} vs {b} — "
@@ -207,19 +229,21 @@ def _merged_footer_info(path: str, max_files: int | None = None):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # two passes: collect every sighting first, merge after — the
+    # timestamp lattice needs the COMPLETE INT96 set (a µs-generation
+    # footer may be listed before the INT96-era one that legitimizes
+    # the unit mix)
     names: list[str] = []
-    types: dict[str, object] = {}
+    sightings: dict[str, list] = {}
     int96: set[str] = set()
     for fp in files:
         pf = pq.ParquetFile(fp)
         for f in pf.schema_arrow:
-            if f.name not in types:
+            if f.name not in sightings:
                 names.append(f.name)
-                types[f.name] = f.type
-            else:
-                types[f.name] = _merge_arrow_types(
-                    types[f.name], f.type, f.name
-                )
+                sightings[f.name] = [f.type]
+            elif not any(f.type.equals(t) for t in sightings[f.name]):
+                sightings[f.name].append(f.type)
         meta = pf.metadata
         if meta.num_row_groups:  # schema-only part-files carry none
             rg = meta.row_group(0)
@@ -227,6 +251,12 @@ def _merged_footer_info(path: str, max_files: int | None = None):
                 c = rg.column(i)
                 if c.physical_type == "INT96":
                     int96.add(c.path_in_schema)
+    types: dict[str, object] = {}
+    for n in names:
+        merged = sightings[n][0]
+        for t in sightings[n][1:]:
+            merged = _merge_arrow_types(merged, t, n, int96)
+        types[n] = merged
     return pa.schema([(n, types[n]) for n in names]), int96
 
 

@@ -426,3 +426,46 @@ def test_read_drifted_int96_timestamps(spark, tmp_path):
     rows = sorted((tuple(r) for r in df.collect()), key=str)
     assert [r[1] for r in rows] == ts  # exact decode through INT96
     assert [r[2] for r in rows] == [None, None, "c", "d"]
+
+
+def test_read_drifted_mixed_int96_and_us_generations(spark, tmp_path):
+    """A table spanning old Hive/Impala INT96 partitions AND modern
+    naive-µs ones — the timestamp mix a long-lived lake actually has.
+    read_drifted resolves it to TimestampType (both generations decode
+    exactly; µs-naive under an LTZ schema equals the NTZ-read+UTC-cast
+    path the loaders apply). A ns/µs mix WITHOUT an INT96 sighting
+    stays fail-loud: INT64 nanos surface as bigint under nanosAsLong
+    and cannot share a read schema with timestamp."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from catena_spark.sources import encodings
+
+    ts = [datetime.datetime(2024, 3, 1, 6, 30, i) for i in range(4)]
+    t = pa.table({
+        "k": pa.array([0, 1, 2, 3], pa.int64()),
+        "when": pa.array(ts, pa.timestamp("us")),
+    })
+    mix = tmp_path / "mix.parquet"
+    mix.mkdir()
+    pq.write_table(t.slice(0, 2), str(mix / "part-0.parquet"),
+                   use_deprecated_int96_timestamps=True)
+    pq.write_table(t.slice(2), str(mix / "part-1.parquet"))
+    df = encodings.read_drifted(spark, str(mix))
+    assert dict(df.dtypes)["when"] == "timestamp"
+    rows = sorted((tuple(r) for r in df.collect()), key=str)
+    assert [r[1] for r in rows] == ts
+
+    # INT64-ns next to µs, no INT96 anywhere: fail loud, name the column
+    bad = tmp_path / "nsmix.parquet"
+    bad.mkdir()
+    pq.write_table(
+        t.slice(0, 2).cast(pa.schema([("k", pa.int64()),
+                                      ("when", pa.timestamp("ns"))])),
+        str(bad / "part-0.parquet"), store_schema=False,
+    )
+    pq.write_table(t.slice(2), str(bad / "part-1.parquet"))
+    with pytest.raises(ValueError, match="irreconcilable.*'when'"):
+        encodings.merged_drifted_schema(str(bad))
