@@ -22,7 +22,7 @@ scan order in EITHER engine flips it.
 
 Usage:
     CATENA_PERMUTE_SPLITS=N CATENA_PERMUTE_LAYOUT=even|empty|skew \
-    CATENA_PERMUTE_CODEC=snappy|zstd|gzip|none \
+    CATENA_PERMUTE_CODEC=snappy|zstd|gzip|none|mixed \
     CATENA_PERMUTE_ROWGROUP=M CATENA_PERMUTE_INT96=1 \
     CATENA_PERMUTE_NODICT=1 CATENA_PERMUTE_PAGESIZE=B \
     CATENA_PERMUTE_NOSTATS=1 CATENA_PERMUTE_PAGEV2=1 \
@@ -267,7 +267,15 @@ def permuted_copy(
         )
     suffix = "" if layout == "even" else f"_{layout}"
     wkw: dict = {}
-    if codec:
+    codec_cycle: list | None = None
+    if codec == "mixed":
+        # per-part codec drift (r15): successive writer generations
+        # compress differently — one directory, three codecs. Parquet
+        # carries the codec per column chunk, so readers must dispatch
+        # decode per chunk, never per table; forces a directory.
+        codec_cycle = ["snappy", "zstd", "gzip"]
+        suffix += "_cmixed"
+    elif codec:
         wkw["compression"] = codec
         suffix += f"_c{codec}"
     if rowgroup:
@@ -379,6 +387,7 @@ def permuted_copy(
             layout == "even"
             and colorder != "mixed"
             and not drifted
+            and codec_cycle is None
             and (splits <= 1 or perm.num_rows < splits)
         )
         if single_file:
@@ -389,7 +398,12 @@ def permuted_copy(
             # >= 2 part-files or the second writer generation never
             # physically exists
             eff_splits = (
-                2 if (drifted and perm.num_rows < splits) else splits
+                2
+                if (
+                    (drifted or codec_cycle is not None)
+                    and perm.num_rows < splits
+                )
+                else splits
             )
             for i, (off, ln) in enumerate(
                 _layout_slices(perm.num_rows, eff_splits, layout)
@@ -423,6 +437,10 @@ def permuted_copy(
                         dict(wkw, use_byte_stream_split=bss_cols)
                         if bss_cols
                         else wkw
+                    )
+                if codec_cycle is not None:
+                    pkw = dict(
+                        pkw, compression=codec_cycle[i % len(codec_cycle)]
                     )
                 pq.write_table(
                     part,

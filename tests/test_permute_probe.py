@@ -538,3 +538,32 @@ def test_permuted_copy_is_seed_deterministic(tmp_path):
         os.path.join(out_dir2, "documents.parquet")
     ).to_pylist()
     assert first == second
+
+
+def test_permuted_copy_mixed_codecs_within_one_table(tmp_path):
+    """codec='mixed' (r15): part-files of ONE table cycle
+    snappy/zstd/gzip — the per-writer-generation compression drift a
+    long-lived directory contains (parquet stores the codec per column
+    chunk, so this must be a pure decode-dispatch concern). All three
+    codecs must physically appear and the multiset survive exactly."""
+    out = permute_probe.permuted_copy(
+        SF_SMALL, splits=6, codec="mixed", out_base=str(tmp_path)
+    )
+    single = permute_probe.permuted_copy(SF_SMALL, out_base=str(tmp_path))
+    for t in ("lineitem", "documents"):
+        dst = os.path.join(out, f"{t}.parquet")
+        assert os.path.isdir(dst), f"{t}: mixed codecs must force a dir"
+        parts = sorted(os.listdir(dst))
+        codecs, rows = [], []
+        for p in parts:
+            f = pq.ParquetFile(os.path.join(dst, p))
+            codecs.append(f.metadata.row_group(0).column(0).compression)
+            rows += f.read().to_pylist()
+        assert {"SNAPPY", "ZSTD", "GZIP"} <= set(codecs), (
+            f"{t}: expected all three codecs, got {codecs}"
+        )
+        ref = pq.read_table(os.path.join(single, f"{t}.parquet"))
+        assert rows == ref.to_pylist(), f"{t}: codec mix changed values"
+    # a table smaller than splits still gets >= 2 parts so the mix exists
+    rdir = os.path.join(out, "region.parquet")
+    assert os.path.isdir(rdir) and len(os.listdir(rdir)) >= 2
