@@ -51,10 +51,18 @@ MITIGATION = (
 )
 
 
-def _parquet_files(path: str, max_files: int) -> list[str]:
+def _parquet_files(path: str, max_files: int | None) -> list[str]:
     """Up to ``max_files`` parquet file paths under ``path`` (a single
     file, a ``{t}.parquet`` part-file directory, or an SF dir of those),
-    in sorted walk order so repeated scans sample the same footers."""
+    in sorted walk order so repeated scans sample the same footers.
+    ``max_files=None`` means every file; 0/negative is rejected — a
+    "scan nothing" bound can only produce a silently-empty schema or
+    detection result (ADVICE r15: ``max_files or (1 << 31)`` made 0
+    mean "everything", the opposite surprise)."""
+    if max_files is not None and max_files <= 0:
+        raise ValueError(
+            f"max_files must be a positive bound or None (got {max_files})"
+        )
     if os.path.isfile(path):
         return [path]
     out: list[str] = []
@@ -63,20 +71,21 @@ def _parquet_files(path: str, max_files: int) -> list[str]:
         for f in sorted(files):
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 out.append(os.path.join(root, f))
-                if len(out) >= max_files:
+                if max_files is not None and len(out) >= max_files:
                     return out
     return out
 
 
 def detect_byte_stream_split(
-    path: str, max_files: int = 64
+    path: str, max_files: int | None = 64
 ) -> dict[str, list[str]]:
     """Footer-metadata scan: which sampled files carry BYTE_STREAM_SPLIT
     column chunks, and on which dotted column paths.
 
     Returns ``{file_path: [column_path, ...]}`` for offending files only
     (empty dict == no BSS in the sample). Reads footers only — no data
-    pages — so the scan is cheap even on wide tables.
+    pages — so the scan is cheap even on wide tables. ``max_files=None``
+    scans every footer.
     """
     import pyarrow.parquet as pq
 
@@ -99,7 +108,7 @@ def detect_byte_stream_split(
 
 
 def mitigate_byte_stream_split(
-    spark: SparkSession, path: str, max_files: int = 64
+    spark: SparkSession, path: str, max_files: int | None = 64
 ) -> bool:
     """Detect BSS bytes under ``path`` and, if present, pin the
     row-based parquet reader on this session so the subsequent scan
@@ -108,11 +117,27 @@ def mitigate_byte_stream_split(
     Returns True iff the conf was set (BSS found). BSS-free data is a
     strict no-op — the session conf is not touched, so the fast
     vectorized reader stays on. Emits a UserWarning naming the
-    throughput cost when the mitigation engages; silence is reserved
-    for the nothing-happened path.
+    throughput cost when the mitigation engages. A no-hit result from a
+    TRUNCATED sample also warns (ADVICE r15): unsampled files may still
+    carry BSS, so a caller relying on the "mitigate" contract learns
+    the sample was bounded — pass ``max_files=None`` to scan every
+    footer (metadata-only) when certainty matters more than listing
+    cost. The later data scan still fails loud either way.
     """
     hits = detect_byte_stream_split(path, max_files)
     if not hits:
+        if (
+            max_files is not None
+            and len(_parquet_files(path, max_files + 1)) > max_files
+        ):
+            warnings.warn(
+                f"BSS sample bound reached: {max_files} footers scanned "
+                f"under {path} with no BYTE_STREAM_SPLIT hits, but more "
+                "files exist — unsampled files may still carry BSS (the "
+                "data scan would then fail loud with 'Unsupported "
+                "encoding'); pass max_files=None to scan every footer.",
+                stacklevel=2,
+            )
         return False
     sample = next(iter(hits.items()))
     warnings.warn(
@@ -222,10 +247,25 @@ def _merged_footer_info(path: str, max_files: int | None = None):
     as bigint. Mapping them identically broke every timestamp column
     the moment the drift axis composed with the INT96 write-encoding
     knob (r15 capstone finding — fail-loud, but the mitigation itself
-    must be deterministic, not footer-luck)."""
-    files = _parquet_files(path, max_files or (1 << 31))
+    must be deterministic, not footer-luck).
+
+    ``max_files=None`` (default) scans every footer. A bounded sample
+    reintroduces the footer-sampling nondeterminism this helper exists
+    to eliminate (a column present only in unsampled files is dropped
+    from the superset), so a reached bound warns loudly (ADVICE r15)."""
+    files = _parquet_files(path, None if max_files is None else max_files + 1)
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
+    if max_files is not None and len(files) > max_files:
+        files = files[:max_files]
+        warnings.warn(
+            f"schema-drift footer sample truncated at max_files="
+            f"{max_files} under {path}: columns or wider types present "
+            "only in unsampled files will be MISSING from the derived "
+            "superset schema (silently, to this helper). Pass "
+            "max_files=None to scan every footer — metadata-only.",
+            stacklevel=3,
+        )
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -244,13 +284,16 @@ def _merged_footer_info(path: str, max_files: int | None = None):
                 sightings[f.name] = [f.type]
             elif not any(f.type.equals(t) for t in sightings[f.name]):
                 sightings[f.name].append(f.type)
-        meta = pf.metadata
-        if meta.num_row_groups:  # schema-only part-files carry none
-            rg = meta.row_group(0)
-            for i in range(rg.num_columns):
-                c = rg.column(i)
-                if c.physical_type == "INT96":
-                    int96.add(c.path_in_schema)
+        # physical types come from the footer's schema DESCRIPTOR, not
+        # row_group(0) (ADVICE r15): the descriptor exists even in
+        # zero-row-group part-files and covers every row group, so a
+        # timestamp column whose only INT96 sighting lives in a
+        # schema-only part-file is still mapped to TimestampType
+        desc = pf.metadata.schema
+        for i in range(len(desc)):
+            c = desc.column(i)
+            if c.physical_type == "INT96":
+                int96.add(c.path)
     types: dict[str, object] = {}
     for n in names:
         merged = sightings[n][0]

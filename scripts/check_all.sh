@@ -12,16 +12,25 @@ set -e
 set -o pipefail
 cd "$(dirname "$0")/.."
 
-echo "== 1/6 full test suite"
+echo "== 0/7 Spark-JVM hygiene (reap orphans; fail loud on live JVMs)"
+# VERDICT r15 item 3: BENCH_r15's official sample was contention-stamped
+# by a leftover probe JVM alive at round close. Stage 0 reaps abandoned
+# (orphaned) Spark gateways and refuses to start while any live JVM
+# shares the CPUs; stage 7 re-asserts quiet AFTER the run, so a tree
+# that passes check_all leaves the machine in the only state where the
+# driver's round-close bench can be trusted.
+python scripts/reap_spark_jvms.py --kill
+
+echo "== 1/7 full test suite"
 python -m pytest tests/ -x -q
 
-echo "== 2/6 sf0.01 exact-parity mirror"
+echo "== 2/7 sf0.01 exact-parity mirror"
 CATENA_TEST_SF=/root/testdata/sf0.01 python -m pytest tests/test_driver_parity.py -q
 
-echo "== 3/6 driver-contract simulation (hostile session, foreign cwd)"
+echo "== 3/7 driver-contract simulation (hostile session, foreign cwd)"
 (cd /tmp && python /root/repo/scripts/drive_contract.py)
 
-echo "== 4/6 bench"
+echo "== 4/7 bench"
 # mktemp per run (ADVICE r9 item 2): a fixed path let two concurrent
 # gate runs — or a stale file from an aborted one — feed bench_guard
 # another run's numbers.
@@ -29,7 +38,7 @@ BENCH_OUT="$(mktemp /tmp/catena_bench_out.XXXXXX)"
 trap 'rm -f "$BENCH_OUT"' EXIT
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" python bench.py | tee "$BENCH_OUT"
 
-echo "== 5/6 per-query regression guard (vs trailing BENCH_r*.json medians)"
+echo "== 5/7 per-query regression guard (vs trailing BENCH_r*.json medians)"
 # One retry on failure (r10): the guard budget (1.4x + 15 ms floor)
 # sits inside this VM's run-to-run drift band — an idle-machine sample
 # can land 1.42x on one query minutes after a green run. Transient
@@ -37,7 +46,7 @@ echo "== 5/6 per-query regression guard (vs trailing BENCH_r*.json medians)"
 # reproduced across independent runs). So a first failure triggers ONE
 # fresh bench run and the gate fails only if the regression persists.
 if ! python scripts/bench_guard.py "$BENCH_OUT"; then
-  echo "== 5/6 guard failed — re-running bench once (drift vs regression)"
+  echo "== 5/7 guard failed — re-running bench once (drift vs regression)"
   BENCH_OUT2="$(mktemp /tmp/catena_bench_out.XXXXXX)"
   trap 'rm -f "$BENCH_OUT" "$BENCH_OUT2"' EXIT
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" python bench.py | tee "$BENCH_OUT2"
@@ -48,7 +57,10 @@ if ! python scripts/bench_guard.py "$BENCH_OUT"; then
   python scripts/bench_guard.py "$BENCH_OUT2"
 fi
 
-echo "== 6/6 plan lint (no unpartitioned windows / cartesian products, all keys)"
+echo "== 6/7 plan lint (no unpartitioned windows / cartesian products, all keys)"
 python scripts/plan_lint.py | tail -3
+
+echo "== 7/7 Spark-JVM hygiene (round-close: machine must be Spark-quiet)"
+python scripts/reap_spark_jvms.py
 
 echo "== ALL GREEN"

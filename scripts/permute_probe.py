@@ -27,7 +27,7 @@ Usage:
     CATENA_PERMUTE_NODICT=1 CATENA_PERMUTE_PAGESIZE=B \
     CATENA_PERMUTE_NOSTATS=1 CATENA_PERMUTE_PAGEV2=1 \
     CATENA_PERMUTE_BSS=1 CATENA_PERMUTE_COLORDER=reversed|mixed \
-    CATENA_PERMUTE_DRIFT=widen|missing|widen,missing \
+    CATENA_PERMUTE_DRIFT=widen|missing|widen_nested|<comma-combos> \
     CATENA_PERMUTE_DRIFT_TABLE=orders CATENA_PERMUTE_DRIFT_COL=... \
         python scripts/permute_probe.py [sf_dir] [key ...]
 Defaults to /root/testdata/sf0.01, all oracle-backed keys, and a
@@ -117,16 +117,45 @@ def _layout_slices(n: int, splits: int, layout: str) -> list[tuple[int, int]]:
 
 COLORDERS = (None, "reversed", "mixed")
 
-DRIFTS = ("widen", "missing")
+DRIFTS = ("widen", "missing", "widen_nested")
 
 
 def _drift_modes(drift: str | None) -> set[str]:
-    """Parse the drift knob ('widen', 'missing', or 'widen,missing')."""
+    """Parse the drift knob (comma-joined subset of DRIFTS)."""
     modes = {m for m in (drift or "").replace(" ", "").split(",") if m}
     bad = modes - set(DRIFTS)
     if bad:
         raise ValueError(f"drift modes must be in {DRIFTS}, got {sorted(bad)}")
     return modes
+
+
+def _widen_nested_type(t):
+    """The ``widen_nested`` drift target for one arrow type: every
+    float32 (or float16) LEAF — at any nesting depth: list elements,
+    struct fields, map keys/values — becomes float64; everything else
+    is unchanged. float->double widening is value-EXACT (every binary32
+    is representable in binary64), so the original-bytes oracle still
+    applies; what drifts is only the physical storage width — the
+    ``list<float>`` vs ``list<double>`` generation mix an embedding
+    corpus accumulates when a writer upgrades its vector dtype
+    (VERDICT r15 item 4)."""
+    import pyarrow as pa
+
+    if pa.types.is_float32(t) or pa.types.is_float16(t):
+        return pa.float64()
+    if pa.types.is_list(t):
+        return pa.list_(_widen_nested_type(t.value_type))
+    if pa.types.is_large_list(t):
+        return pa.large_list(_widen_nested_type(t.value_type))
+    if pa.types.is_struct(t):
+        return pa.struct(
+            [(f.name, _widen_nested_type(f.type)) for f in t]
+        )
+    if pa.types.is_map(t):
+        return pa.map_(
+            _widen_nested_type(t.key_type), _widen_nested_type(t.item_type)
+        )
+    return t
 
 
 def _bss_columns(schema) -> list[str]:
@@ -224,7 +253,15 @@ def permuted_copy(
       last column — o_orderpriority), the older-writer shape. NOT
       value-preserving (reads must surface NULLs), so main() compares
       Spark against DuckDB reading the SAME drifted bytes with
-      union_by_name=true — engine-vs-engine null-fill parity.
+      union_by_name=true — engine-vs-engine null-fill parity. With
+      DRIFT_TABLE=embeddings DRIFT_COL=embedding the dropped column is
+      an ARRAY — superset NULL-fill on ArrayType (r16).
+    - ``drift='widen_nested'`` (r16, VERDICT r15 item 4): every
+      float32 LEAF at any nesting depth is physically widened to
+      float64 in odd parts — in the fixtures, embeddings.embedding
+      becomes ``list<double>`` beside ``list<float>`` generations.
+      Value-EXACT (binary32 ⊂ binary64), so the original oracle
+      applies, like ``widen``.
 
     Drift-affected tables always get a directory with ≥2 part-files
     (else the drift cannot physically exist), which is why drift
@@ -335,6 +372,12 @@ def permuted_copy(
         suffix += "_dr" + "-".join(sorted(drift_modes))
         if "missing" in drift_modes:
             suffix += f"_{drift_table}"
+            if drift_col:
+                # ADVICE r15: two runs differing only in DRIFT_COL must
+                # not share an output path (the start-of-run rmtree
+                # covers staleness within one run; this removes the
+                # cross-run hazard entirely)
+                suffix += f"_{drift_col}"
     src_abs = os.path.abspath(os.path.normpath(sf_dir))
     src_tag = (
         f"{os.path.basename(src_abs)}_"
@@ -374,6 +417,17 @@ def permuted_copy(
             if "widen" in drift_modes
             else []
         )
+        # nested float leaves (embeddings.embedding list<float> in the
+        # fixtures) physically widened to double in odd parts
+        nested_cols = (
+            {
+                f.name: _widen_nested_type(f.type)
+                for f in perm.schema
+                if not _widen_nested_type(f.type).equals(f.type)
+            }
+            if "widen_nested" in drift_modes
+            else {}
+        )
         drop_col = None
         if "missing" in drift_modes and t == drift_table:
             drop_col = drift_col or perm.column_names[-1]
@@ -382,7 +436,9 @@ def permuted_copy(
                     f"drift_col {drop_col!r} not in {t} columns "
                     f"{perm.column_names}"
                 )
-        drifted = bool(widen_cols) or drop_col is not None
+        drifted = (
+            bool(widen_cols) or bool(nested_cols) or drop_col is not None
+        )
         single_file = (
             layout == "even"
             and colorder != "mixed"
@@ -410,13 +466,16 @@ def permuted_copy(
             ):
                 part = perm.slice(off, ln)
                 if i % 2 == 1:
-                    if widen_cols:
+                    if widen_cols or nested_cols:
                         part = part.cast(
                             pa.schema(
                                 [
                                     (f.name, pa.int64())
                                     if f.name in widen_cols
-                                    else (f.name, f.type)
+                                    else (
+                                        f.name,
+                                        nested_cols.get(f.name, f.type),
+                                    )
                                     for f in part.schema
                                 ]
                             )

@@ -419,3 +419,47 @@ def test_expired_acceptance_lets_fresh_creep_fail(tmp_path, monkeypatch, capsys)
     with pytest.raises(SystemExit):
         bench_guard.main()
     assert "RATCHET" in capsys.readouterr().out
+
+
+def test_reap_spark_jvms_classification(tmp_path):
+    """Round-close JVM hygiene gate (r16, VERDICT r15 item 3): the
+    scanner must find exactly the Spark gateways (java argv0 +
+    org.apache.spark in cmdline), classify ppid==1 as ORPHAN (safe to
+    reap) vs live-parent (fail loud, never kill), and ignore everything
+    else — pinned against a fake /proc so the test never touches real
+    processes."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "reap_spark_jvms",
+        os.path.join(
+            os.path.dirname(__file__), "..", "scripts", "reap_spark_jvms.py"
+        ),
+    )
+    reap = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(reap)
+
+    def fake_proc(pid, cmdline_parts, ppid):
+        d = tmp_path / str(pid)
+        d.mkdir()
+        (d / "cmdline").write_bytes(b"\0".join(cmdline_parts) + b"\0")
+        (d / "stat").write_text(
+            f"{pid} (java thing) S {ppid} 1 1 0 -1 0 0 0 0 0 0 0"
+        )
+
+    fake_proc(100, [b"/usr/lib/jvm/java-17/bin/java", b"-cp", b"x",
+                    b"org.apache.spark.deploy.SparkSubmit",
+                    b"pyspark-shell"], ppid=1)      # orphan gateway
+    fake_proc(200, [b"java", b"org.apache.spark.deploy.SparkSubmit"],
+              ppid=99)                              # live-parent gateway
+    fake_proc(300, [b"python3", b"bench.py"], ppid=1)   # not a JVM
+    fake_proc(400, [b"java", b"-jar", b"other.jar"], ppid=1)  # non-Spark
+    (tmp_path / "not-a-pid").mkdir()
+
+    jvms = reap.spark_jvms(str(tmp_path))
+    assert [(j["pid"], j["orphan"]) for j in jvms] == [
+        (100, True), (200, False)
+    ]
+    assert jvms[1]["ppid"] == 99
+    assert "SparkSubmit" in jvms[0]["cmd"]

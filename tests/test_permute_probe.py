@@ -567,3 +567,90 @@ def test_permuted_copy_mixed_codecs_within_one_table(tmp_path):
     # a table smaller than splits still gets >= 2 parts so the mix exists
     rdir = os.path.join(out, "region.parquet")
     assert os.path.isdir(rdir) and len(os.listdir(rdir)) >= 2
+
+
+def test_permuted_copy_widen_nested_drift_widens_float_leaves(tmp_path):
+    """drift='widen_nested' (r16, VERDICT r15 item 4): odd part-files
+    must physically carry list<double> where even parts keep the
+    original list<float> — the writer-dtype-upgrade generation mix an
+    embedding corpus accumulates — with the value multiset preserved
+    EXACTLY (float->double is binary-exact), and tables without a
+    float32 leaf untouched."""
+    import pyarrow as pa
+
+    out = permute_probe.permuted_copy(
+        SF_SMALL, splits=4, drift="widen_nested", out_base=str(tmp_path)
+    )
+    single = permute_probe.permuted_copy(SF_SMALL, out_base=str(tmp_path))
+    dst = os.path.join(out, "embeddings.parquet")
+    assert os.path.isdir(dst), "embeddings must be a drift directory"
+    parts = sorted(os.listdir(dst))
+    assert len(parts) >= 2
+    rows = []
+    saw_drift = False
+    for i, p in enumerate(parts):
+        pt = pq.read_table(os.path.join(dst, p))
+        typ = pt.schema.field("embedding").type
+        if i % 2 == 1:
+            assert typ == pa.list_(pa.float64()), f"part {i} not widened"
+            saw_drift = True
+        else:
+            assert typ.value_type == pa.float32(), f"part {i} drifted"
+        # compare through a common (widened) schema — float->double cast
+        # of the even parts must reproduce the odd-part representation
+        rows += pt.cast(
+            pa.schema(
+                [
+                    (f.name, permute_probe._widen_nested_type(f.type))
+                    for f in pt.schema
+                ]
+            )
+        ).to_pylist()
+    assert saw_drift
+    ref = (
+        pq.read_table(os.path.join(single, "embeddings.parquet"))
+        .cast(
+            pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("embedding", pa.list_(pa.float64())),
+                    ("label", pa.int32()),
+                ]
+            )
+        )
+        .to_pylist()
+    )
+    assert rows == ref, "widen_nested changed values or order"
+    # no float32 leaf in lineitem: every part keeps one identical schema
+    ldir = os.path.join(out, "lineitem.parquet")
+    lschemas = {
+        str(pq.read_schema(os.path.join(ldir, p)).remove_metadata())
+        for p in sorted(os.listdir(ldir))
+    }
+    assert len(lschemas) == 1
+
+
+def test_permuted_copy_missing_drift_on_array_column(tmp_path):
+    """The r16 ArrayType null-fill target: drift='missing' with
+    DRIFT_TABLE=embeddings DRIFT_COL=embedding drops the ARRAY column
+    from odd parts — and the output path is keyed by drift_col
+    (ADVICE r15: two runs differing only in DRIFT_COL must never share
+    a copy path)."""
+    out = permute_probe.permuted_copy(
+        SF_SMALL, splits=4, drift="missing", drift_table="embeddings",
+        drift_col="embedding", out_base=str(tmp_path),
+    )
+    out_default = permute_probe.permuted_copy(
+        SF_SMALL, splits=4, drift="missing", drift_table="embeddings",
+        out_base=str(tmp_path),
+    )
+    assert out != out_default, "copy path must be keyed by drift_col"
+    dst = os.path.join(out, "embeddings.parquet")
+    parts = sorted(os.listdir(dst))
+    assert len(parts) >= 2
+    for i, p in enumerate(parts):
+        names = pq.read_schema(os.path.join(dst, p)).names
+        if i % 2 == 1:
+            assert "embedding" not in names, f"part {i} kept embedding"
+        else:
+            assert "embedding" in names, f"part {i} lost embedding"

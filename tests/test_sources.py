@@ -469,3 +469,179 @@ def test_read_drifted_mixed_int96_and_us_generations(spark, tmp_path):
     pq.write_table(t.slice(2), str(bad / "part-1.parquet"))
     with pytest.raises(ValueError, match="irreconcilable.*'when'"):
         encodings.merged_drifted_schema(str(bad))
+
+
+def test_int96_detection_uses_schema_descriptor(spark, tmp_path):
+    """ADVICE r15: INT96 physical-type detection must come from the
+    footer's schema DESCRIPTOR, not row_group(0) — a timestamp column
+    whose only INT96 sighting lives in a ZERO-row-group part-file (the
+    shape the probe's empty layout writes) must still map to
+    TimestampType in the superset schema. Pinned empirically: a
+    ParquetWriter closed without writing carries 0 row groups yet its
+    descriptor records INT96."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from catena_spark.sources import encodings
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    sch = pa.schema([("k", pa.int64()), ("when", pa.timestamp("us"))])
+    w = pq.ParquetWriter(
+        str(d / "part-0.parquet"), sch, use_deprecated_int96_timestamps=True
+    )
+    w.close()  # schema-only: zero row groups, INT96 descriptor
+    assert pq.ParquetFile(str(d / "part-0.parquet")).metadata.num_row_groups == 0
+    ts = [datetime.datetime(2024, 5, 1, 8, 0, i) for i in range(3)]
+    pq.write_table(
+        pa.table({"k": pa.array([0, 1, 2], pa.int64()),
+                  "when": pa.array(ts, pa.timestamp("us"))}),
+        str(d / "part-1.parquet"),
+    )
+    _, int96 = encodings._merged_footer_info(str(d))
+    assert "when" in int96, "descriptor-only INT96 sighting missed"
+    df = encodings.read_drifted(spark, str(d))
+    assert dict(df.dtypes)["when"] == "timestamp"
+    assert sorted(r.when for r in df.collect()) == ts
+
+
+def test_footer_sample_bounds_are_loud(spark, tmp_path):
+    """ADVICE r15 sampling semantics: max_files=0 is rejected (it used
+    to silently mean 'scan everything'), a truncating bound on the
+    superset-schema derivation WARNS (a column only in unsampled files
+    is otherwise silently dropped), and a truncated no-hit BSS
+    mitigation sample WARNS that unsampled files may still carry BSS."""
+    import warnings
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from catena_spark.sources import encodings
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    for i in range(3):
+        cols = {"k": pa.array([i], pa.int64())}
+        if i == 2:  # a column only the LAST (unsampled) file carries
+            cols["late"] = pa.array(["x"])
+        pq.write_table(pa.table(cols), str(d / f"part-{i:04d}.parquet"))
+
+    with pytest.raises(ValueError, match="max_files"):
+        encodings.detect_byte_stream_split(str(d), max_files=0)
+    with pytest.raises(ValueError, match="max_files"):
+        encodings.merged_drifted_schema(str(d), max_files=-1)
+
+    with pytest.warns(UserWarning, match="truncated at max_files"):
+        sch = encodings.merged_drifted_schema(str(d), max_files=2)
+    assert "late" not in sch.names  # documented bounded-sample gap
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        full = encodings.merged_drifted_schema(str(d))  # default: all
+    assert "late" in full.names
+
+    with pytest.warns(UserWarning, match="sample bound reached"):
+        assert not encodings.mitigate_byte_stream_split(
+            spark, str(d), max_files=2
+        )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # unbounded no-hit scan is silent
+        assert not encodings.mitigate_byte_stream_split(
+            spark, str(d), max_files=None
+        )
+
+
+def test_read_drifted_nested_float_widening_and_array_null_fill(
+    spark, tmp_path
+):
+    """r16 (VERDICT r15 item 4) runtime side of the nested-drift axis:
+    a directory mixing list<float> and list<double> writer generations
+    merges to list<double> and Spark's widening read decodes the FLOAT
+    pages under the double schema EXACTLY; and a part-file missing an
+    ARRAY column NULL-fills it under the superset schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from catena_spark.sources import encodings
+
+    wd = tmp_path / "wide.parquet"
+    wd.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([[1.5, 2.25], [3.125, 4.0]],
+                                pa.list_(pa.float32()))}),
+        str(wd / "part-0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([3], pa.int64()),
+                  "v": pa.array([[5.5, 6.75]], pa.list_(pa.float64()))}),
+        str(wd / "part-1.parquet"),
+    )
+    sch = encodings.merged_drifted_schema(str(wd))
+    assert sch.field("v").type == pa.list_(pa.float64())
+    df = encodings.read_drifted(spark, str(wd))
+    assert dict(df.dtypes)["v"] == "array<double>"
+    got = {r.id: r.v for r in df.collect()}
+    assert got == {1: [1.5, 2.25], 2: [3.125, 4.0], 3: [5.5, 6.75]}
+
+    md = tmp_path / "miss.parquet"
+    md.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int64()),
+                  "v": pa.array([[9.5]], pa.list_(pa.float32()))}),
+        str(md / "part-0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([2], pa.int64())}),
+        str(md / "part-1.parquet"),
+    )
+    df = encodings.read_drifted(spark, str(md))
+    got = {r.id: r.v for r in df.collect()}
+    assert got == {1: [9.5], 2: None}, "ArrayType NULL-fill broken"
+
+
+def test_decimal_generation_drift_fails_loud(tmp_path):
+    """VERDICT r15 item 5 doctrine: a writer generation that wrote a
+    price column as DECIMAL(12,2) beside double part-files is NOT a
+    widening — double cannot represent every decimal exactly and the
+    reverse cast changes comparison/rounding semantics — so the merge
+    must FAIL LOUD naming the column, never silently widen. The 100 TB
+    remediations are (a) rewrite the minority generation, or (b) an
+    explicit per-generation cast view where the exactness loss is a
+    deliberate, named decision (SCALE.md r16)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from catena_spark.sources import encodings
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"k": pa.array([1], pa.int64()),
+                  "price": pa.array([901.0], pa.float64())}),
+        str(d / "part-0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"k": pa.array([2], pa.int64()),
+                  "price": pa.array([1], pa.decimal128(12, 2))}),
+        str(d / "part-1.parquet"),
+    )
+    with pytest.raises(ValueError, match="irreconcilable.*'price'"):
+        encodings.merged_drifted_schema(str(d))
+    # decimal PRECISION drift is likewise refused (12,2 vs 18,2): scale
+    # rules differ per engine — no silent precision unification either
+    d2 = tmp_path / "t2.parquet"
+    d2.mkdir()
+    pq.write_table(
+        pa.table({"price": pa.array([1], pa.decimal128(12, 2))}),
+        str(d2 / "part-0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"price": pa.array([2], pa.decimal128(18, 2))}),
+        str(d2 / "part-1.parquet"),
+    )
+    with pytest.raises(ValueError, match="irreconcilable.*'price'"):
+        encodings.merged_drifted_schema(str(d2))
