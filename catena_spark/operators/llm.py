@@ -917,6 +917,7 @@ def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS BIGINT)) AS DOUBLE)
                / CAST(1000000 * count(*) AS DOUBLE) AS c
     FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos) g
+    WHERE embedding IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -935,6 +936,14 @@ def llm_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation does nearly all the work map-side.
     """
     e = tables.load(spark, sf_dir, "embeddings")
+    # NULL-vector doctrine (r16, found by the missing-ARRAY drift cell):
+    # a row whose embedding is NULL — an older writer generation that
+    # lacked the column — contributes NOTHING to a centroid: neither
+    # component sums nor the count denominator. posexplode already
+    # drops NULL arrays; the explicit guard declares the semantics and
+    # keeps the oracle's count(*) denominator aligned. No-op on
+    # NULL-free data.
+    e = e.where(F.col("embedding").isNotNull())
     micro = F.round(F.col("v").cast("double") * 1000000, 0).cast("long")
     return (
         e.select("label", F.posexplode("embedding").alias("pos0", "v"))
@@ -1894,7 +1903,7 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (SELECT vec_id, label,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL),
     ix AS (SELECT vec_id, t.i AS d,
                   CAST(round(v[t.i + 1] * 1000000) AS BIGINT) AS xi
            FROM e, range(64) t(i)),
@@ -1928,6 +1937,14 @@ def llm_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy-mean; iterate the two for full k-means.
     """
     e = tables.load(spark, sf_dir, "embeddings")
+    # NULL-vector doctrine (r16, missing-ARRAY drift cell): a vector
+    # that does not exist cannot be assigned to a cluster (and a
+    # NULL-embedding seed row cannot serve as a centroid — its NULL
+    # distances would poison every assignment; Spark additionally
+    # orders NULLs FIRST in ASC windows where DuckDB orders them LAST,
+    # so any NULL reaching the argmin is an engine-divergence hazard).
+    # Drop them at entry, both engines. No-op on NULL-free data.
+    e = e.where(F.col("embedding").isNotNull())
     v = e.select(
         "vec_id",
         F.col("label").cast("long").alias("label"),
@@ -2552,7 +2569,7 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL),
     ix AS (SELECT vec_id, t.i AS d,
                   CAST(round(v[t.i + 1] * 1000000) AS BIGINT) AS xi
            FROM e, range(64) t(i)),

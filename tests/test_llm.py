@@ -237,3 +237,81 @@ def test_winnowing_window_state_is_doc_bounded_at_production_conf(spark):
     # in-memory buffer, so production runs never touch the spill path
     # this operator was exempted from in the synthetic stress regime
     assert max_grams * 4 < threshold, (max_grams, threshold)
+
+
+def test_null_vector_doctrine(spark, tmp_path):
+    """NULL-vector doctrine (r16, found by the missing-ARRAY drift
+    cell): a row whose embedding is NULL — an older writer generation
+    written before the column existed — contributes NOTHING to vector
+    operators: not a centroid component, not a centroid-count
+    denominator, not a k-means assignment, not a semdedup cluster
+    member. Before the guards, NULL distances hit the engines'
+    OPPOSITE null-sort defaults (Spark ASC = NULLS FIRST, DuckDB ASC =
+    NULLS LAST) and the oracle's count(*) counted ghost rows — three
+    hash mismatches under drift (/tmp/r16_missing_array_probe.log)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from catena_spark import tables
+    from catena_spark.operators.llm import (
+        llm_centroid_by_label,
+        llm_kmeans_assign,
+        llm_semdedup_representatives,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for t in tables.TABLES:
+        if t != "embeddings":
+            shutil.copy(f"{SF_SMALL}/{t}.parquet", str(sf / f"{t}.parquet"))
+    full = pq.read_table(f"{SF_SMALL}/embeddings.parquet")
+    n = full.num_rows
+    # vec_id 3 (a centroid seed) and the back half lose their vectors —
+    # the older-generation NULL-fill shape read_drifted produces
+    null_mask = pa.array(
+        [bool(i == 3 or i >= n // 2) for i in range(n)]
+    )
+    emb = pa.compute.if_else(
+        null_mask,
+        pa.scalar(None, full.schema.field("embedding").type),
+        full.column("embedding").combine_chunks(),
+    )
+    pq.write_table(
+        full.set_column(
+            full.schema.get_field_index("embedding"), "embedding", emb
+        ),
+        str(sf / "embeddings.parquet"),
+    )
+    kept = {
+        i for i in range(n) if not (i == 3 or i >= n // 2)
+    }
+
+    asg = llm_kmeans_assign(spark, str(sf))
+    got = {r.vec_id for r in asg.select("vec_id").collect()}
+    assert got == kept, "NULL-embedding rows must not be assigned"
+    cids = {r.cluster_id for r in asg.select("cluster_id").distinct().collect()}
+    assert 3 not in cids, "a NULL-embedding seed must not serve as centroid"
+
+    sem = llm_semdedup_representatives(spark, str(sf))
+    assert {r.vec_id for r in sem.select("vec_id").collect()} == kept
+
+    cen = llm_centroid_by_label(spark, str(sf)).collect()
+    # denominator check: recompute one (label, pos) cell from the kept
+    # vectors only; the oracle's count(*) used to count ghost rows
+    import collections
+
+    sums: dict = collections.defaultdict(int)
+    cnts: dict = collections.Counter()
+    labels = full.column("label").to_pylist()
+    vecs = full.column("embedding").to_pylist()
+    for i in sorted(kept):
+        cnts[labels[i]] += 1
+        for pos, x in enumerate(vecs[i], start=1):
+            sums[(labels[i], pos)] += round(float(x) * 1_000_000)
+    want = {
+        (r.label, r.pos): r.c for r in cen
+    }
+    for (lab, pos), s in list(sums.items())[:64]:
+        assert want[(lab, pos)] == s / (1_000_000 * cnts[lab])
