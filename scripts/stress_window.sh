@@ -7,8 +7,8 @@
 # exercises low parallelism (different partition counts, merge orders),
 # shuffle=1 exercises single-partition exchanges.
 #
-#   scripts/stress_window.sh          # ~45-55 min (38 cells: 28 confs
-#                                     # + spill split + 9 probe cells)
+#   scripts/stress_window.sh          # ~50-60 min (44 cells: 28 confs
+#                                     # + spill split + 15 probe cells)
 #
 # pipefail matters (ADVICE r5 item 1): every run pipes through
 # `| tail -1`, and without it a parity MISMATCH exits 0 (tail's status)
@@ -370,6 +370,24 @@ echo "== input-permutation invariance, splits=3 drift=missing (null-fill parity)
 echo "== input-permutation invariance, splits=3 drift=widen,missing + BSS (row-based)"
 (cd /tmp && CATENA_PERMUTE_SPLITS=3 CATENA_PERMUTE_DRIFT=widen,missing \
   CATENA_PERMUTE_BSS=1 \
+  python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+
+# nested-leaf drift cells (r16, VERDICT r15 item 4). widen_nested =
+# list<float> part-files next to list<double> ones on
+# embeddings.embedding (value-exact; original oracle). The missing-
+# ARRAY cell drops embeddings.embedding itself from odd parts
+# (ArrayType null-fill parity) — the cell that caught the NULL-vector
+# engine divergence in centroid/kmeans/semdedup (NULLS FIRST vs LAST,
+# ghost-row count(*) denominators) and forced the NOT-NULL entry-guard
+# doctrine. Window-scoped like every cell; the embedding consumers
+# rotate through with the window.
+echo "== input-permutation invariance, splits=4 drift=widen_nested (list<float> -> list<double>)"
+(cd /tmp && CATENA_PERMUTE_SPLITS=4 CATENA_PERMUTE_DRIFT=widen_nested \
+  python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+
+echo "== input-permutation invariance, splits=4 drift=missing ARRAY col (embeddings.embedding)"
+(cd /tmp && CATENA_PERMUTE_SPLITS=4 CATENA_PERMUTE_DRIFT=missing \
+  CATENA_PERMUTE_DRIFT_TABLE=embeddings CATENA_PERMUTE_DRIFT_COL=embedding \
   python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
 
 echo "== STRESS MATRIX ALL GREEN"
