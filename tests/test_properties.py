@@ -930,3 +930,133 @@ def test_grouped_positions_rejects_tied_order_keys(spark):
         ).collect()
     }
     assert got == {1: (1, 2), 2: (2, 2), 3: (1, 1)}
+
+
+# ---------------------------------------------------------------- r16:
+# the schema-merge lattice's algebraic contract. merged_drifted_schema
+# folds _merge_arrow_types over footers in WALK ORDER — for the superset
+# schema to be deterministic regardless of which writer generation's
+# file is listed first (the whole point of the mitigation), the merge
+# must be commutative, associative, and idempotent over every type pair
+# it accepts, and must refuse (ValueError) symmetrically. Enumerating
+# the full closure of the fixture-relevant flat types plus their
+# list-nestings is exhaustive, not sampled — the lattice is small.
+
+def _lattice_types():
+    import pyarrow as pa
+
+    flat = [
+        pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+        pa.float16(), pa.float32(), pa.float64(),
+        pa.string(), pa.bool_(), pa.date32(),
+        pa.timestamp("us"), pa.timestamp("ns"),
+        pa.decimal128(12, 2), pa.decimal128(18, 2),
+    ]
+    return flat + [pa.list_(t) for t in flat]
+
+
+def _merge_or_none(a, b, int96=frozenset()):
+    from catena_spark.sources.encodings import _merge_arrow_types
+
+    try:
+        return _merge_arrow_types(a, b, "c", int96)
+    except ValueError:
+        return None
+
+
+def test_merge_lattice_commutative_and_symmetric_refusal():
+    types = _lattice_types()
+    for a in types:
+        for b in types:
+            ab, ba = _merge_or_none(a, b), _merge_or_none(b, a)
+            if ab is None:
+                assert ba is None, f"asymmetric refusal: {a} vs {b}"
+            else:
+                assert ab.equals(ba), f"non-commutative: {a} vs {b}"
+
+
+def test_merge_lattice_idempotent_and_absorbing():
+    # merge(a, a) == a, and the merged result absorbs both inputs:
+    # merge(m, a) == m == merge(m, b) — so footer ORDER cannot matter
+    types = _lattice_types()
+    for a in types:
+        m = _merge_or_none(a, a)
+        assert m is not None and m.equals(a), f"not idempotent: {a}"
+    for a in types:
+        for b in types:
+            m = _merge_or_none(a, b)
+            if m is None:
+                continue
+            for x in (a, b):
+                mx = _merge_or_none(m, x)
+                assert mx is not None and mx.equals(m), (
+                    f"not absorbing: merge({a},{b})={m} then {x} -> {mx}"
+                )
+
+
+def test_merge_lattice_associative():
+    types = _lattice_types()
+    for a in types:
+        for b in types:
+            for c in types:
+                ab = _merge_or_none(a, b)
+                bc = _merge_or_none(b, c)
+                left = _merge_or_none(ab, c) if ab is not None else None
+                right = _merge_or_none(a, bc) if bc is not None else None
+                # a refusal anywhere must not let a different
+                # association order produce a value the other refuses
+                # UNLESS the intermediate itself refused (fail-loud
+                # beats order-dependence: both orders either agree on
+                # the value or at least one path fails loud — never two
+                # different silent values)
+                if left is not None and right is not None:
+                    assert left.equals(right), (
+                        f"associativity value-split: ({a},{b},{c}) -> "
+                        f"{left} vs {right}"
+                    )
+
+
+def test_merge_lattice_never_crosses_families():
+    # int stays int, float stays float, timestamps never merge with
+    # either (absent the INT96 flag), decimals never widen to double
+    import pyarrow as pa
+
+    types = _lattice_types()
+    for a in types:
+        for b in types:
+            m = _merge_or_none(a, b)
+            if m is None or a.equals(b):
+                continue
+            fams = set()
+            for t in (a, b):
+                base = t.value_type if pa.types.is_list(t) else t
+                if str(base) in ("int8", "int16", "int32", "int64"):
+                    fams.add("int")
+                elif str(base) in ("halffloat", "float", "double"):
+                    fams.add("float")
+                else:
+                    fams.add(str(base))
+            assert len(fams) == 1, (
+                f"cross-family merge slipped through: {a} + {b} -> {m}"
+            )
+
+
+def test_merge_lattice_int96_flagged_branch():
+    # with the column flagged INT96-physical, naive ns/us timestamps
+    # merge to ns (both generations decode exactly as TimestampType);
+    # the flag must not leak into any OTHER pair, and tz-aware
+    # timestamps stay out of the naive merge either way
+    import pyarrow as pa
+
+    flagged = frozenset({"c", "c.list.element"})
+    ns, us = pa.timestamp("ns"), pa.timestamp("us")
+    m = _merge_or_none(ns, us, flagged)
+    assert m is not None and m.equals(ns)
+    m = _merge_or_none(us, ns, flagged)
+    assert m is not None and m.equals(ns)
+    lm = _merge_or_none(pa.list_(us), pa.list_(ns), flagged)
+    assert lm is not None and lm.equals(pa.list_(ns))
+    assert _merge_or_none(ns, us, frozenset()) is None
+    assert _merge_or_none(pa.timestamp("us", "UTC"), us, flagged) is None
+    for other in (pa.int64(), pa.string(), pa.date32()):
+        assert _merge_or_none(ns, other, flagged) is None
