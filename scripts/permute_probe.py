@@ -306,11 +306,18 @@ def permuted_copy(
     wkw: dict = {}
     codec_cycle: list | None = None
     if codec == "mixed":
-        # per-part codec drift (r15): successive writer generations
-        # compress differently — one directory, three codecs. Parquet
-        # carries the codec per column chunk, so readers must dispatch
-        # decode per chunk, never per table; forces a directory.
-        codec_cycle = ["snappy", "zstd", "gzip"]
+        # per-part codec drift (r15, widened r16): successive writer
+        # generations compress differently — one directory, four
+        # codecs. Parquet carries the codec per column chunk, so
+        # readers must dispatch decode per chunk, never per table;
+        # forces a directory. NOT brotli: Spark 4.1.2 has no
+        # BrotliCodec on the classpath — page decode fails LOUD
+        # (ClassNotFoundException) while count(*) silently SUCCEEDS
+        # off footer metadata (r16 finding, teeth-pinned in
+        # tests/test_sources.py::test_brotli_parquet_is_fail_loud) —
+        # so brotli parity is unverifiable on this build, exactly like
+        # BSS under the vectorized reader but with no conf mitigation.
+        codec_cycle = ["snappy", "zstd", "gzip", "lz4"]
         suffix += "_cmixed"
     elif codec:
         wkw["compression"] = codec

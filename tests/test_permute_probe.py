@@ -541,13 +541,16 @@ def test_permuted_copy_is_seed_deterministic(tmp_path):
 
 
 def test_permuted_copy_mixed_codecs_within_one_table(tmp_path):
-    """codec='mixed' (r15): part-files of ONE table cycle
-    snappy/zstd/gzip — the per-writer-generation compression drift a
-    long-lived directory contains (parquet stores the codec per column
-    chunk, so this must be a pure decode-dispatch concern). All three
-    codecs must physically appear and the multiset survive exactly."""
+    """codec='mixed' (r15, widened to four codecs r16): part-files of
+    ONE table cycle snappy/zstd/gzip/lz4 — the per-writer-generation
+    compression drift a long-lived directory contains (parquet stores
+    the codec per column chunk, so this must be a pure decode-dispatch
+    concern). All four codecs must physically appear and the multiset
+    survive exactly. Brotli is deliberately NOT in the cycle: Spark
+    4.1.2 ships no BrotliCodec (fail-loud page decode, teeth-pinned in
+    test_sources.py)."""
     out = permute_probe.permuted_copy(
-        SF_SMALL, splits=6, codec="mixed", out_base=str(tmp_path)
+        SF_SMALL, splits=8, codec="mixed", out_base=str(tmp_path)
     )
     single = permute_probe.permuted_copy(SF_SMALL, out_base=str(tmp_path))
     for t in ("lineitem", "documents"):
@@ -559,8 +562,8 @@ def test_permuted_copy_mixed_codecs_within_one_table(tmp_path):
             f = pq.ParquetFile(os.path.join(dst, p))
             codecs.append(f.metadata.row_group(0).column(0).compression)
             rows += f.read().to_pylist()
-        assert {"SNAPPY", "ZSTD", "GZIP"} <= set(codecs), (
-            f"{t}: expected all three codecs, got {codecs}"
+        assert {"SNAPPY", "ZSTD", "GZIP", "LZ4"} <= set(codecs), (
+            f"{t}: expected all four codecs, got {codecs}"
         )
         ref = pq.read_table(os.path.join(single, f"{t}.parquet"))
         assert rows == ref.to_pylist(), f"{t}: codec mix changed values"

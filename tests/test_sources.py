@@ -645,3 +645,37 @@ def test_decimal_generation_drift_fails_loud(tmp_path):
     )
     with pytest.raises(ValueError, match="irreconcilable.*'price'"):
         encodings.merged_drifted_schema(str(d2))
+
+
+def test_brotli_parquet_is_fail_loud(spark, tmp_path):
+    """r16 platform finding (caught by widening the mixed-codec probe
+    cycle): Spark 4.1.2 ships NO BrotliCodec — reading VALUES from a
+    brotli-compressed parquet file fails LOUD with
+    ClassNotFoundException — while count(*) silently SUCCEEDS, because
+    count-star is answered from footer row-group metadata without
+    decoding a single page. Never wrong values, but a pipeline that
+    smoke-tests a third-party partition with count() will pass and
+    then fail at first real read; pyarrow and DuckDB both write and
+    read brotli happily, so such partitions WILL occur at 100 TB. No
+    conf mitigates it on this build (unlike BSS's row-based reader) —
+    the remediation is rewriting the partition (pyarrow round-trip) or
+    adding a brotli codec jar to the cluster."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    p = str(tmp_path / "b.parquet")
+    vals = [float(i) / 3 for i in range(200)]
+    pq.write_table(
+        pa.table({"k": list(range(200)), "v": vals}), p, compression="brotli"
+    )
+    # count-star: metadata-only, succeeds — the trap half of the finding
+    assert spark.read.parquet(p).count() == 200
+    # any value read: fail LOUD naming the missing codec
+    with pytest.raises(Exception, match="[Bb]rotli"):
+        spark.read.parquet(p).agg({"v": "sum"}).collect()
+    # the pyarrow rewrite remediation restores readability exactly
+    rw = str(tmp_path / "rw.parquet")
+    pq.write_table(pq.read_table(p), rw)
+    got = [r.v for r in spark.read.parquet(rw).orderBy("k").collect()]
+    assert got == vals
