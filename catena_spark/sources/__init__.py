@@ -5,6 +5,7 @@ rewrite job replaces compaction."""
 
 from .encodings import (  # noqa: F401
     detect_byte_stream_split,
+    enable_bitrot_detection,
     merged_drifted_schema,
     mitigate_byte_stream_split,
     read_drifted,

@@ -385,6 +385,62 @@ def _spark_type(t, path: str = "", int96: frozenset | set = frozenset()):
     )
 
 
+# ---------------------------------------------------------------------------
+# Bitrot (r16): a single flipped byte in a parquet data page.
+#
+# Empirical matrix on this build (Spark 4.1.2 + parquet-mr, pinned by
+# tests/test_sources.py::test_bitrot_detection_requires_verify_conf and
+# the /tmp/r16_scratch experiments):
+#
+# - Default session, pyarrow-written file (PLAIN or snappy or zstd
+#   pages, no dictionary): the corrupted page DECODES — the read
+#   "succeeds" and returns WRONG VALUES silently. Compression does NOT
+#   imply integrity: a mid-page flip in a snappy/zstd stream can decode
+#   to garbage-but-well-formed output (143 and 1534 silently wrong
+#   doubles out of 2000 in the pinned experiment).
+# - Some offsets instead break the page structurally and fail loud
+#   (e.g. the same flip in a Spark-written file hit a snappy frame
+#   header) — bitrot outcomes are OFFSET-DEPENDENT; the hazard is that
+#   the silent case exists at all.
+# - Parquet page CRCs close it: a file written WITH page checksums read
+#   under ``parquet.page.verify-checksum.enabled=true`` fails LOUD at
+#   the corrupted page. Verification is OFF by default in Spark.
+# - Writer asymmetry, the 100 TB trap: parquet-mr (Spark) writes page
+#   CRCs by default, but pyarrow's ``write_page_checksum`` defaults to
+#   FALSE — so exactly the third-party / Arrow-pipeline partitions most
+#   likely to have aged outside your control typically carry NO CRCs,
+#   and no reader conf can detect their rot; storage-layer checksums
+#   (object-store etags, fsck) are the only backstop there.
+# - Verification is per page READ, not per file: column pruning means a
+#   query that never touches the corrupted column's pages cannot raise
+#   (pinned: an agg over column v read clean while the flip sat in
+#   column k). An integrity AUDIT therefore needs a deliberate
+#   all-columns pass (SELECT every column, or a checksum job), not the
+#   production query mix.
+# ---------------------------------------------------------------------------
+
+#: Hadoop conf gating parquet page-CRC verification at scan time.
+PAGE_VERIFY_CONF = "parquet.page.verify-checksum.enabled"
+
+
+def enable_bitrot_detection(spark: SparkSession, enabled: bool = True) -> None:
+    """Turn parquet page-checksum VERIFICATION on (or off) for this
+    session's subsequent scans — the discoverable runtime hook for the
+    bitrot doctrine above, shaped like mitigate_byte_stream_split.
+
+    Flipping it on makes scans of CRC-bearing files fail LOUD on any
+    corrupted page instead of silently returning garbage values; the
+    cost is a CRC32 pass per page (cheap next to decompression). It
+    cannot help files written without page checksums (pyarrow default)
+    — rewrite those with ``write_page_checksum=True`` or rely on
+    storage-layer integrity. Set it for ingest scans of aged or
+    third-party partitions; leave the default for trusted hot paths if
+    the CRC pass ever measures."""
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        PAGE_VERIFY_CONF, "true" if enabled else "false"
+    )
+
+
 def read_drifted(spark: SparkSession, path: str):
     """Read a parquet file/directory that may have been written by
     multiple writer generations: pins the footer-derived superset schema

@@ -679,3 +679,74 @@ def test_brotli_parquet_is_fail_loud(spark, tmp_path):
     pq.write_table(pq.read_table(p), rw)
     got = [r.v for r in spark.read.parquet(rw).orderBy("k").collect()]
     assert got == vals
+
+
+def test_bitrot_detection_requires_verify_conf(spark, tmp_path):
+    """r16 bitrot doctrine (encodings.py): a single flipped byte in a
+    parquet data page is SILENT corruption on a default session — the
+    read succeeds and returns wrong values — even though the file
+    carries page CRCs, because Spark's parquet.page.verify-checksum
+    verification is OFF by default. enable_bitrot_detection turns the
+    same bytes fail-LOUD. Also pins the trap half: compression is not
+    integrity (a corrupted zstd page decodes to garbage 'successfully'
+    at this offset)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from catena_spark.sources import encodings
+
+    vals = [float(i) for i in range(2000)]
+    t = pa.table({"k": pa.array(range(2000), pa.int64()),
+                  "v": pa.array(vals, pa.float64())})
+
+    def corrupted(name, **kw):
+        p = str(tmp_path / name)
+        pq.write_table(t, p, use_dictionary=False, **kw)
+        size = (tmp_path / name).stat().st_size
+        off = (size - 2000) // 2  # mid data pages, clear of the footer
+        with open(p, "r+b") as f:
+            f.seek(off)
+            b = f.read(1)
+            f.seek(off)
+            f.write(bytes([b[0] ^ 0xFF]))
+        return p
+
+    crc = corrupted("crc.parquet", compression="none",
+                    write_page_checksum=True)
+    zstd = corrupted("zstd.parquet", compression="zstd",
+                     write_page_checksum=False)
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    orig = hconf.get(encodings.PAGE_VERIFY_CONF)
+    try:
+        encodings.enable_bitrot_detection(spark, enabled=False)
+        got = [r.v for r in spark.read.parquet(crc).orderBy("k").collect()]
+        n_bad = sum(1 for g, w in zip(got, vals) if g != w)
+        assert n_bad > 0, (
+            "expected SILENT corruption on the default session — if "
+            "this build started verifying CRCs by default, the bitrot "
+            "doctrine in encodings.py needs rewriting (good news)"
+        )
+        zgot = [r.v for r in spark.read.parquet(zstd).orderBy("k").collect()]
+        assert sum(1 for g, w in zip(zgot, vals) if g != w) > 0, (
+            "compressed-page corruption decoded clean — offset drifted; "
+            "adjust the flip offset so the trap half stays pinned"
+        )
+
+        encodings.enable_bitrot_detection(spark)
+        # read BOTH columns: column pruning means a scan that never
+        # touches the corrupted column's pages cannot raise (pinned the
+        # hard way: an agg(sum(v)) here passed while the flip sat in
+        # k's pages — verification is per page READ, not per file)
+        with pytest.raises(Exception):
+            spark.read.parquet(crc).orderBy("k").collect()
+        # CRC-less files stay undetectable even with verification on —
+        # the writer-asymmetry half of the doctrine (pyarrow default)
+        zgot2 = [r.v for r in spark.read.parquet(zstd).orderBy("k").collect()]
+        assert zgot2 == zgot
+    finally:
+        if orig is None:
+            hconf.unset(encodings.PAGE_VERIFY_CONF)
+        else:
+            hconf.set(encodings.PAGE_VERIFY_CONF, orig)
