@@ -254,9 +254,26 @@ def _git(root: str, *args: str) -> str | None:
     return p.stdout if p.returncode == 0 else None
 
 
-def _changed_since_record(root: str | None = None) -> set[str]:
-    """Keys whose implementation fingerprint differs from the blob at
-    the commit that added their latest green CORRECTNESS record."""
+def _changed_since_record(root: str | None = None) -> dict[str, str]:
+    """{key: "direct" | "transitive"} for keys whose implementation
+    fingerprint differs from the blob at the commit that added their
+    latest green CORRECTNESS record.
+
+    "direct" = the key's OWN registered function body changed;
+    "transitive" = only a reachable helper changed. The distinction is
+    the VERDICT r16 item 2 sub-tier: a shared-helper edit (tables.load,
+    encodings) can flag 60+ keys at once, and with >50 changed keys
+    competing for the 50-slot window, a settled-count-only tiebreak can
+    push out exactly the keys carrying the round's real semantic edits
+    (r16: llm_centroid_by_label / llm_kmeans_assign missed the window
+    behind 65 transitively-flagged keys). Direct changes must never
+    wait rounds for a driver re-record (VERDICT r11 item 2), so they
+    outrank every transitively-flagged key regardless of settled count.
+
+    The own-function entry is always the FIRST key of the fingerprint
+    dict (_impl_fingerprint records ``fn`` before recursing into its
+    callees), so direct detection needs no extra git work.
+    """
     import os
 
     if root is None:
@@ -265,10 +282,10 @@ def _changed_since_record(root: str | None = None) -> set[str]:
     try:
         latest = _scan_history(root)[2]
     except Exception:
-        return set()
+        return {}
     commit_cache: dict[int, str | None] = {}
     old_index_cache: dict[tuple[str, str], dict[str, str] | None] = {}
-    changed: set[str] = set()
+    changed: dict[str, str] = {}
     for key, spec in _REGISTRY.items():
         rnd = latest.get(key)
         if rnd is None:
@@ -292,6 +309,7 @@ def _changed_since_record(root: str | None = None) -> set[str]:
             cur = _impl_fingerprint(spec.fn)
         except Exception:
             continue
+        own_key = next(iter(cur), None)
         for (rel, name), src in cur.items():
             ck = (sha, rel)
             if ck not in old_index_cache:
@@ -306,15 +324,22 @@ def _changed_since_record(root: str | None = None) -> set[str]:
             # a file that did not exist (or parse) at the record commit
             # means the implementation moved/was created since: changed
             if idx is None or idx.get(name) != src:
-                changed.add(key)
+                changed[key] = (
+                    "direct" if (rel, name) == own_key else "transitive"
+                )
                 break
     return changed
 
 
-_CHANGED_CACHE: set[str] | None = None
+_CHANGED_CACHE: dict[str, str] | None = None
+
+#: Rotation tier per change kind (specs() sort key, VERDICT r16 item 2):
+#: direct edits front the window unconditionally, transitive flags beat
+#: unchanged keys but yield to direct ones.
+_CHANGE_TIER = {"direct": 0, "transitive": 1}
 
 
-def _changed_keys() -> set[str]:
+def _changed_keys() -> dict[str, str]:
     """Process-cached _changed_since_record (specs() is called several
     times per driver run; the git scan is ~1s and cannot change
     mid-process — the working tree and record commits are fixed)."""
@@ -325,20 +350,38 @@ def _changed_keys() -> set[str]:
 
 
 def specs() -> dict[str, QuerySpec]:
+    """Registry in driver-rotation order (the driver checks a 50-key
+    PREFIX). Sort key, most significant first:
+
+    1. change tier — direct edits, then transitive flags, then
+       unchanged (VERDICT r16 item 2);
+    2. latest green record round, ascending — oldest-record-first
+       makes the rotation a true LRU (VERDICT r16 item 3): with 166
+       keys and a 50-key window, a key just re-recorded waits behind at
+       most 116 older keys = ceil(116/50) = 3 rounds, so steady-state
+       staleness is bounded at 3 rounds REGARDLESS of how many keys a
+       shared-helper edit flags (never-recorded keys sort as round 0
+       and front everything in their tier);
+    3. settled count ascending (least-verified tiebreak);
+    4. non-green history first (VERDICT r4 item 5: flaky keys get
+       their confirming re-check soonest);
+    5. registration order (stable).
+    """
     _load_all()
     try:
-        settled, shaky = _scan_history()[:2]
+        settled, shaky, latest = _scan_history()
     except Exception:
-        settled, shaky = {}, set()
+        settled, shaky, latest = {}, set(), {}
     try:
         changed = _changed_keys()
     except Exception:
-        changed = set()
+        changed = {}
     order = {k: i for i, k in enumerate(_REGISTRY)}
     keys = sorted(
         _REGISTRY,
         key=lambda k: (
-            0 if k in changed else 1,
+            _CHANGE_TIER.get(changed.get(k), 2),
+            latest.get(k, 0),
             settled.get(k, 0),
             0 if k in shaky else 1,
             order[k],

@@ -80,8 +80,7 @@ def test_nongreen_history_breaks_ties_first():
     stale rows-only record) must precede always-green keys, so their
     confirming re-check lands in the next 50-key window."""
     registry._load_all()
-    counts = registry._settled_counts()
-    shaky = registry._nongreen_keys()
+    counts, shaky, latest = registry._scan_history()
     changed = registry._changed_keys()  # r12: recency boost outranks
     keys = list(registry.specs())
     for k in shaky:
@@ -91,7 +90,9 @@ def test_nongreen_history_breaks_ties_first():
         for j, other in enumerate(keys):
             same_tier = (
                 counts.get(other, 0) == counts.get(k, 0)
-                and (other in changed) == (k in changed)
+                and latest.get(other, 0) == latest.get(k, 0)
+                and registry._CHANGE_TIER.get(changed.get(other), 2)
+                == registry._CHANGE_TIER.get(changed.get(k), 2)
             )
             if same_tier and other not in shaky and j < ki:
                 raise AssertionError(
@@ -150,8 +151,61 @@ def test_changed_keys_front_the_window(monkeypatch):
     registry._load_all()
     counts = registry._settled_counts()
     most_settled = max(counts, key=lambda k: counts[k])
-    monkeypatch.setattr(registry, "_changed_keys", lambda: {most_settled})
+    monkeypatch.setattr(
+        registry, "_changed_keys", lambda: {most_settled: "direct"}
+    )
     assert registry.next_window(1) == [most_settled]
+
+
+def test_rotation_is_lru_within_tier(monkeypatch):
+    """VERDICT r16 item 3: within a change tier the OLDEST latest green
+    record fronts, so the 50-window always takes the 50 stalest keys
+    and steady-state staleness is bounded at ceil((166-50)/50) = 3
+    rounds no matter how many keys a shared-helper edit flags. Pinned
+    live: with the change boost neutralized, no key outside the window
+    may be staler than any key inside it."""
+    registry._load_all()
+    monkeypatch.setattr(registry, "_changed_keys", lambda: {})
+    latest = registry._scan_history()[2]
+    win = registry.next_window(50)
+    worst_in = max(latest.get(k, 0) for k in win)
+    best_out = min(
+        latest.get(k, 0) for k in registry._REGISTRY if k not in win
+    )
+    assert worst_in <= best_out, (
+        f"window holds a round-{worst_in} key while a round-{best_out} "
+        "key waits outside — rotation is not LRU"
+    )
+
+
+def test_direct_change_outranks_transitive(monkeypatch):
+    """VERDICT r16 item 2: within the changed tier, a key whose OWN
+    function body changed must outrank a transitively-flagged key even
+    when the transitive key has the LOWER settled count (in r16 the
+    settled-count tiebreak pushed the round's only two directly-edited
+    keys out of a 67-keys-for-50-slots window). Uses the real settled
+    counts: direct = max-settled key, transitive = min-settled key."""
+    registry._load_all()
+    counts = registry._settled_counts()
+    greenest = max(counts, key=lambda k: counts[k])
+    least = min(registry._REGISTRY, key=lambda k: counts.get(k, 0))
+    assert counts.get(least, 0) < counts[greenest]
+    monkeypatch.setattr(
+        registry,
+        "_changed_keys",
+        lambda: {greenest: "direct", least: "transitive"},
+    )
+    window = list(registry.specs())
+    assert window.index(greenest) < window.index(least), (
+        "a directly-edited key must front every transitively-flagged "
+        "key regardless of settled count"
+    )
+    # and both still precede the entire unchanged population
+    assert window.index(least) < min(
+        window.index(k)
+        for k in registry._REGISTRY
+        if k not in (greenest, least)
+    )
 
 
 def test_changed_since_record_is_subset_and_survives_no_git(monkeypatch):
@@ -161,9 +215,10 @@ def test_changed_since_record_is_subset_and_survives_no_git(monkeypatch):
     control)."""
     registry._load_all()
     changed = registry._changed_since_record()
-    assert changed <= set(registry._REGISTRY)
+    assert set(changed) <= set(registry._REGISTRY)
+    assert set(changed.values()) <= {"direct", "transitive"}
     monkeypatch.setattr(registry, "_git", lambda *a: None)
-    assert registry._changed_since_record() == set()
+    assert registry._changed_since_record() == {}
 
 
 def test_changed_since_record_end_to_end(monkeypatch):
@@ -192,7 +247,7 @@ def test_changed_since_record_end_to_end(monkeypatch):
         return None
 
     monkeypatch.setattr(registry, "_git", git_identity)
-    assert registry._changed_since_record() == set()
+    assert registry._changed_since_record() == {}
 
     def git_without_grouped_positions(rootarg, *args):
         out = git_identity(rootarg, *args)
@@ -215,13 +270,41 @@ def test_changed_since_record_end_to_end(monkeypatch):
 
     monkeypatch.setattr(registry, "_git", git_without_grouped_positions)
     changed = registry._changed_since_record()
-    assert "win_ntile_dense" in changed
-    assert "win_percent_rank_cume" in changed
+    # the helper (not the keys' own bodies) differs => transitive kind
+    assert changed.get("win_ntile_dense") == "transitive"
+    assert changed.get("win_percent_rank_cume") == "transitive"
     # a key that never touches twophase must NOT be boosted
     assert "ts_range_scan" not in changed
     # callers of the OTHER helper in the same file must not be boosted
     # by a diff scoped to grouped_positions alone
     assert "llm_token_packing" not in changed
+
+    # and when the key's OWN body differs, the kind is "direct" —
+    # even though its transitive closure (twophase helpers) also
+    # reaches edited code in other scenarios
+    def git_without_own_fn(rootarg, *args):
+        out = git_identity(rootarg, *args)
+        if (
+            out is not None
+            and args[0] == "show"
+            and args[1].endswith("catena_spark/operators/relational.py")
+        ):
+            tree = ast.parse(out)
+            tree.body = [
+                n
+                for n in tree.body
+                if not (
+                    isinstance(n, ast.FunctionDef)
+                    and n.name == "win_ntile_dense"
+                )
+            ]
+            return ast.unparse(tree)
+        return out
+
+    monkeypatch.setattr(registry, "_git", git_without_own_fn)
+    changed = registry._changed_since_record()
+    assert changed.get("win_ntile_dense") == "direct"
+    assert "win_percent_rank_cume" not in changed
 
 
 def test_every_round_record_has_a_resolvable_adding_commit():
