@@ -347,7 +347,7 @@ def llm_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL),
     ix AS (SELECT vec_id, t.i AS d,
                   CAST(round(v[t.i + 1] * 1000000) AS BIGINT) AS xi
            FROM e, range(64) t(i)),
@@ -389,6 +389,11 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = (
         tables.load(spark, sf_dir, "embeddings")
+        # NULL-vector doctrine (r16, extended per ADVICE r16): a row
+        # whose writer generation lacked the embedding column can be
+        # neither query nor neighbor; pushed-down scan filter, no-op on
+        # NULL-free data.
+        .where(F.col("embedding").isNotNull())
         .select("vec_id", micro_ints("embedding").alias("iv"))
         .withColumn("n2", dot_long("iv", "iv"))
     )
@@ -431,7 +436,7 @@ NEAR_DUP_MAX_ROWS = 10_000
     oracle="""
     WITH e AS (SELECT vec_id, label,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL),
     ix AS (SELECT vec_id, t.i AS d,
                   CAST(round(v[t.i + 1] * 1000000) AS BIGINT) AS xi
            FROM e, range(64) t(i)),
@@ -486,12 +491,17 @@ def llm_embedding_near_dup(
     )
     e = (
         tables.load(spark, sf_dir, "embeddings")
+        # NULL-vector doctrine (r16, extended per ADVICE r16): NULL
+        # embeddings form no pairs; no-op on NULL-free data.
+        .where(F.col("embedding").isNotNull())
         .select("vec_id", "label", micro_ints("embedding").alias("iv"))
         .withColumn("n2", dot_long("iv", "iv"))
     )
     if cap:
         probe = (
             tables.load(spark, sf_dir, "embeddings")
+            # the O(n^2) cap counts the rows that actually pair
+            .where(F.col("embedding").isNotNull())
             .select("vec_id")
             .limit(cap + 1)
             .agg(F.count(F.lit(1)).cast("long").alias("_n_probe"))
@@ -581,7 +591,7 @@ def _ann_lsh_oracle() -> str:
     return """
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL),
     ix AS (SELECT vec_id, t.i AS d,
                   CAST(round(v[t.i + 1] * 1000000) AS BIGINT) AS xi
            FROM e, range(64) t(i)),
@@ -647,6 +657,10 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm.py.
     """
     e = tables.load(spark, sf_dir, "embeddings")
+    # NULL-vector doctrine (r16, extended per ADVICE r16): a NULL
+    # embedding has no sign bits, no bucket, no pairs; no-op on
+    # NULL-free data.
+    e = e.where(F.col("embedding").isNotNull())
     planes = _hyperplanes()
     e = e.withColumn("ix", micro_ints("embedding"))
     bits = [
@@ -995,7 +1009,8 @@ def mm_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ix AS (SELECT vec_id, label,
                        CAST(round(CAST(embedding[t.i + 1] AS DOUBLE) * 1000000)
                             AS BIGINT) AS xi
-                FROM embeddings, range(64) t(i)),
+                FROM embeddings, range(64) t(i)
+                WHERE embedding IS NOT NULL),
     n2 AS (SELECT vec_id, label, CAST(sum(xi * xi) AS BIGINT) AS n2
            FROM ix GROUP BY vec_id, label)
     SELECT d.doc_id, d.lang, n2.label, d.n_chars,
@@ -1011,8 +1026,14 @@ def llm_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cosine keys): sqrt of the exact BIGINT micro-unit norm-squared,
     scaled back — bit-identical across engines by construction."""
     d = tables.load(spark, sf_dir, "documents")
-    e = tables.load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", micro_ints("embedding").alias("iv")
+    e = (
+        tables.load(spark, sf_dir, "embeddings")
+        # NULL-vector doctrine (r16, extended per ADVICE r16): a doc
+        # whose embedding row carries NULL has no norm to report — it
+        # drops from the inner join on both engines; no-op on NULL-free
+        # data.
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "label", micro_ints("embedding").alias("iv"))
     )
     return d.join(e, d.doc_id == e.vec_id).select(
         "doc_id",
@@ -1032,7 +1053,7 @@ def llm_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_IVF_ORACLE = """
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
+               FROM embeddings WHERE embedding IS NOT NULL),
     ix AS (SELECT vec_id, t.i AS d,
                   CAST(round(v[t.i + 1] * 1000000) AS BIGINT) AS xi
            FROM e, range(64) t(i)),
@@ -1122,6 +1143,10 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     e = (
         tables.load(spark, sf_dir, "embeddings")
+        # NULL-vector doctrine (r16, extended per ADVICE r16): NULL
+        # embeddings can neither seed, join, nor query a list; no-op on
+        # NULL-free data.
+        .where(F.col("embedding").isNotNull())
         .select("vec_id", micro_ints("embedding").alias("iv"))
         .withColumn("n2", dot_long("iv", "iv"))
     )
@@ -1560,6 +1585,7 @@ def llm_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               x -> abs(CAST(x AS DOUBLE)))),
                       1e-12) / 127.0 AS scale
       FROM embeddings
+      WHERE embedding IS NOT NULL
     )
     SELECT vec_id, CAST(label AS BIGINT) AS label, scale,
            list_sum(list_transform(
@@ -1582,6 +1608,10 @@ def llm_vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure per-row array HOFs — codegen'd, zero shuffle.
     """
     e = tables.load(spark, sf_dir, "embeddings")
+    # NULL-vector doctrine (r16, extended per ADVICE r16): a NULL
+    # vector has no scale or MSE (the oracle's list_max would be NULL);
+    # no-op on NULL-free data.
+    e = e.where(F.col("embedding").isNotNull())
     xd = F.transform("embedding", lambda x: x.cast("double"))
     df = e.select("vec_id", F.col("label").cast("long").alias("label"), xd.alias("xd"))
     df = df.withColumn(

@@ -76,21 +76,23 @@ def _parquet_files(path: str, max_files: int | None) -> list[str]:
     return out
 
 
-def detect_byte_stream_split(
-    path: str, max_files: int | None = 64
-) -> dict[str, list[str]]:
-    """Footer-metadata scan: which sampled files carry BYTE_STREAM_SPLIT
-    column chunks, and on which dotted column paths.
-
-    Returns ``{file_path: [column_path, ...]}`` for offending files only
-    (empty dict == no BSS in the sample). Reads footers only — no data
-    pages — so the scan is cheap even on wide tables. ``max_files=None``
-    scans every footer.
-    """
+def _bss_scan(
+    path: str, max_files: int | None
+) -> tuple[dict[str, list[str]], bool]:
+    """(hits, truncated) from ONE directory listing (ADVICE r16: the
+    truncation signal must come from the same walk the scan uses, not a
+    second listing — directory listings are expensive on object-store
+    paths). Lists max_files+1 entries when bounded and scans only the
+    first max_files footers; the extra entry existing IS the truncation
+    signal."""
     import pyarrow.parquet as pq
 
+    files = _parquet_files(path, None if max_files is None else max_files + 1)
+    truncated = max_files is not None and len(files) > max_files
+    if truncated:
+        files = files[:max_files]
     hits: dict[str, list[str]] = {}
-    for fp in _parquet_files(path, max_files):
+    for fp in files:
         meta = pq.ParquetFile(fp).metadata
         cols: list[str] = []
         for g in range(meta.num_row_groups):
@@ -104,7 +106,27 @@ def detect_byte_stream_split(
                     cols.append(c.path_in_schema)
         if cols:
             hits[fp] = cols
-    return hits
+    return hits, truncated
+
+
+def detect_byte_stream_split(
+    path: str, max_files: int | None = 64
+) -> dict[str, list[str]]:
+    """Footer-metadata scan: which sampled files carry BYTE_STREAM_SPLIT
+    column chunks, and on which dotted column paths.
+
+    Returns ``{file_path: [column_path, ...]}`` for offending files only
+    (empty dict == no BSS in the sample). Reads footers only — no data
+    pages — so the scan is cheap even on wide tables. ``max_files=None``
+    scans every footer.
+    """
+    if max_files is not None and max_files <= 0:
+        # preserve the positive-bound contract _parquet_files enforces
+        # (the +1 in _bss_scan would otherwise let 0 slip through)
+        raise ValueError(
+            f"max_files must be a positive bound or None (got {max_files})"
+        )
+    return _bss_scan(path, max_files)[0]
 
 
 def mitigate_byte_stream_split(
@@ -124,12 +146,13 @@ def mitigate_byte_stream_split(
     footer (metadata-only) when certainty matters more than listing
     cost. The later data scan still fails loud either way.
     """
-    hits = detect_byte_stream_split(path, max_files)
+    if max_files is not None and max_files <= 0:
+        raise ValueError(
+            f"max_files must be a positive bound or None (got {max_files})"
+        )
+    hits, truncated = _bss_scan(path, max_files)
     if not hits:
-        if (
-            max_files is not None
-            and len(_parquet_files(path, max_files + 1)) > max_files
-        ):
+        if truncated:
             warnings.warn(
                 f"BSS sample bound reached: {max_files} footers scanned "
                 f"under {path} with no BYTE_STREAM_SPLIT hits, but more "

@@ -61,6 +61,9 @@ echo "== 6/7 plan lint (no unpartitioned windows / cartesian products, all keys)
 python scripts/plan_lint.py | tail -3
 
 echo "== 7/7 Spark-JVM hygiene (round-close: machine must be Spark-quiet)"
-python scripts/reap_spark_jvms.py
+# --wait 5 (ADVICE r16): a py4j gateway can outlive its python driver
+# by a moment during stage-6 teardown; only JVMs still alive after the
+# bounded re-scan trip the gate.
+python scripts/reap_spark_jvms.py --wait 5
 
 echo "== ALL GREEN"

@@ -13,9 +13,16 @@ Classification (same /proc cmdline scan bench.py's contention sentinel
 uses — java argv0 + org.apache.spark in the cmdline, which catches
 SparkSubmit/pyspark-shell gateways regardless of app name):
 
-- ORPHAN (parent exited, ppid == 1): an abandoned gateway from a
-  crashed or interrupted python run. Nothing can be using it; --kill
-  SIGTERMs it (then SIGKILL after a grace period if it ignores TERM).
+- ORPHAN GATEWAY (parent exited, ppid == 1, and the cmdline is a
+  SparkSubmit/pyspark-shell gateway with NO daemon main class): an
+  abandoned gateway from a crashed or interrupted python run. Nothing
+  can be using it; --kill SIGTERMs it (then SIGKILL after a grace
+  period if it ignores TERM).
+- DAEMON (ADVICE r16: Master/Worker/HistoryServer/ThriftServer/shuffle
+  service/executor backend class in the cmdline): daemonized services
+  double-fork to ppid 1 BY DESIGN, so ppid==1 does not mean abandoned.
+  Never killed — fail LOUD so the operator stops the service
+  deliberately (a live daemon still contends the CPUs).
 - LIVE-PARENT: some python process still owns it — killing could
   corrupt an in-flight run, and the contention doctrine says that run
   should not be sharing the machine with us in the first place. Fail
@@ -24,7 +31,12 @@ SparkSubmit/pyspark-shell gateways regardless of app name):
 
 Usage:
     python scripts/reap_spark_jvms.py          # assert none; exit 1 if any
-    python scripts/reap_spark_jvms.py --kill   # reap orphans, then assert
+    python scripts/reap_spark_jvms.py --kill   # reap orphan gateways, assert
+    python scripts/reap_spark_jvms.py --wait 5 # re-scan up to 5 s before
+                                               # failing (ADVICE r16: a py4j
+                                               # gateway can outlive its
+                                               # python driver by a moment
+                                               # during teardown)
 
 Exit 0 == the machine is Spark-quiet (the only state in which a bench
 sample or a driver round-close is trustworthy).
@@ -37,11 +49,26 @@ import signal
 import sys
 import time
 
+#: Main classes that mark a JVM as a long-running Spark SERVICE rather
+#: than a py4j gateway. These daemonize to ppid 1 on purpose (sbin
+#: scripts double-fork), so the orphan heuristic must never reap them
+#: (ADVICE r16 item 1). Matched as bytes against the raw cmdline.
+DAEMON_CLASSES = (
+    b"org.apache.spark.deploy.master.Master",
+    b"org.apache.spark.deploy.worker.Worker",
+    b"org.apache.spark.deploy.history.HistoryServer",
+    b"org.apache.spark.sql.hive.thriftserver.HiveThriftServer2",
+    b"org.apache.spark.deploy.ExternalShuffleService",
+    b"org.apache.spark.executor.CoarseGrainedExecutorBackend",
+)
+
 
 def spark_jvms(proc_root: str = "/proc") -> list[dict]:
-    """Every live Spark JVM: [{pid, ppid, orphan, cmd}] — the same
-    detection bench.py's contention sentinel uses, plus the ppid-based
-    orphan classification the reaper needs."""
+    """Every live Spark JVM: [{pid, ppid, orphan, daemon, reapable,
+    cmd}] — the same detection bench.py's contention sentinel uses,
+    plus the classification the reaper needs. ``reapable`` is True only
+    for ppid==1 NON-daemon gateways: a daemonized service reaches
+    ppid 1 by double-forking, so it must fail loud, never be killed."""
     out: list[dict] = []
     try:
         entries = os.listdir(proc_root)
@@ -65,11 +92,15 @@ def spark_jvms(proc_root: str = "/proc") -> list[dict]:
                 ppid = int(f.read().rsplit(")", 1)[1].split()[1])
         except (OSError, IndexError, ValueError):
             ppid = -1
+        orphan = ppid == 1
+        daemon = any(cls in cmd for cls in DAEMON_CLASSES)
         out.append(
             {
                 "pid": int(entry),
                 "ppid": ppid,
-                "orphan": ppid == 1,
+                "orphan": orphan,
+                "daemon": daemon,
+                "reapable": orphan and not daemon,
                 "cmd": b" ".join(cmd.split(b"\0")).decode(
                     "utf-8", "replace"
                 )[:160],
@@ -79,38 +110,59 @@ def spark_jvms(proc_root: str = "/proc") -> list[dict]:
 
 
 def reap_orphans(jvms: list[dict], grace: float = 5.0) -> list[int]:
-    """SIGTERM every orphan JVM, escalate to SIGKILL after ``grace``
-    seconds for any that ignore TERM. Returns the reaped pids."""
-    orphans = [j["pid"] for j in jvms if j["orphan"]]
+    """SIGTERM every reapable (orphan, non-daemon) JVM, then poll the
+    WHOLE set in one loop until the shared ``grace`` deadline and only
+    then SIGKILL survivors (ADVICE r16 item 2: a per-pid sequential
+    wait let the first stubborn pid consume the grace and every later
+    orphan got KILLed with zero TERM window). Returns the reaped
+    pids."""
+    orphans = [j["pid"] for j in jvms if j["reapable"]]
     for pid in orphans:
         try:
             os.kill(pid, signal.SIGTERM)
         except ProcessLookupError:
             pass
     deadline = time.monotonic() + grace
-    for pid in orphans:
-        while time.monotonic() < deadline:
+    pending = set(orphans)
+    while pending and time.monotonic() < deadline:
+        for pid in list(pending):
             try:
                 os.kill(pid, 0)
             except ProcessLookupError:
-                break
+                pending.discard(pid)
+        if pending:
             time.sleep(0.2)
-        else:
-            try:
-                os.kill(pid, signal.SIGKILL)
-                print(f"reap_spark_jvms: pid {pid} ignored TERM — KILLed")
-            except ProcessLookupError:
-                pass
+    for pid in pending:
+        try:
+            os.kill(pid, signal.SIGKILL)
+            print(f"reap_spark_jvms: pid {pid} ignored TERM — KILLed")
+        except ProcessLookupError:
+            pass
     return orphans
 
 
 def main(argv: list[str]) -> int:
     kill = "--kill" in argv
+    wait = 0.0
+    if "--wait" in argv:
+        try:
+            wait = float(argv[argv.index("--wait") + 1])
+        except (IndexError, ValueError):
+            print("reap_spark_jvms: --wait needs seconds", file=sys.stderr)
+            return 2
     jvms = spark_jvms()
     if kill:
         reaped = reap_orphans(jvms)
         for pid in reaped:
             print(f"reap_spark_jvms: reaped orphan Spark JVM pid {pid}")
+        jvms = spark_jvms()
+    # ADVICE r16 item 3: at round close a py4j gateway can outlive its
+    # python driver by a moment during teardown — give the non-kill
+    # assert a bounded re-scan window so only genuinely lingering JVMs
+    # trip the gate.
+    deadline = time.monotonic() + wait
+    while jvms and time.monotonic() < deadline:
+        time.sleep(0.5)
         jvms = spark_jvms()
     if not jvms:
         print("reap_spark_jvms: machine is Spark-quiet")
@@ -122,7 +174,14 @@ def main(argv: list[str]) -> int:
         file=sys.stderr,
     )
     for j in jvms:
-        kind = "ORPHAN" if j["orphan"] else f"owned by ppid {j['ppid']}"
+        if j["daemon"]:
+            kind = "DAEMON (never auto-killed)"
+            if j["orphan"]:
+                kind = "DAEMON, daemonized to ppid 1 (never auto-killed)"
+        elif j["orphan"]:
+            kind = "ORPHAN"
+        else:
+            kind = f"owned by ppid {j['ppid']}"
         print(
             f"  pid {j['pid']} ({kind}): {j['cmd']}",
             file=sys.stderr,

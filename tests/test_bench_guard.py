@@ -455,11 +455,76 @@ def test_reap_spark_jvms_classification(tmp_path):
               ppid=99)                              # live-parent gateway
     fake_proc(300, [b"python3", b"bench.py"], ppid=1)   # not a JVM
     fake_proc(400, [b"java", b"-jar", b"other.jar"], ppid=1)  # non-Spark
+    # ADVICE r16 item 1: daemonized Spark services double-fork to
+    # ppid 1 BY DESIGN — they must be detected (they contend the CPUs)
+    # but never classified reapable, even at ppid 1.
+    fake_proc(500, [b"java", b"-cp", b"x",
+                    b"org.apache.spark.deploy.master.Master",
+                    b"--host", b"h"], ppid=1)       # daemonized master
+    fake_proc(600, [b"java",
+                    b"org.apache.spark.sql.hive.thriftserver."
+                    b"HiveThriftServer2"], ppid=1)  # daemonized thrift
     (tmp_path / "not-a-pid").mkdir()
 
     jvms = reap.spark_jvms(str(tmp_path))
-    assert [(j["pid"], j["orphan"]) for j in jvms] == [
-        (100, True), (200, False)
+    assert [(j["pid"], j["orphan"], j["daemon"], j["reapable"])
+            for j in jvms] == [
+        (100, True, False, True),
+        (200, False, False, False),
+        (500, True, True, False),
+        (600, True, True, False),
     ]
     assert jvms[1]["ppid"] == 99
     assert "SparkSubmit" in jvms[0]["cmd"]
+    # reap_orphans must target exactly the reapable set — pinned
+    # without signalling: fake pids don't exist, so ProcessLookupError
+    # paths exercise and the returned list IS the kill list
+    assert reap.reap_orphans(jvms, grace=0.01) == [100]
+
+
+def test_reap_orphans_shared_deadline_polls_whole_set(monkeypatch, tmp_path):
+    """ADVICE r16 item 2: the grace window is shared by POLLING the
+    whole orphan set in one loop — a first pid that ignores TERM for
+    the entire grace must not cost later orphans their TERM window.
+    Pinned by tracking kill() calls: with two fake orphans where both
+    'stay alive' to every liveness poll, BOTH must receive SIGTERM
+    before either receives SIGKILL."""
+    import importlib.util
+    import os
+    import signal
+
+    spec = importlib.util.spec_from_file_location(
+        "reap_spark_jvms2",
+        os.path.join(
+            os.path.dirname(__file__), "..", "scripts", "reap_spark_jvms.py"
+        ),
+    )
+    reap = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(reap)
+
+    calls = []
+
+    def fake_kill(pid, sig):
+        calls.append((pid, sig))
+        # sig 0 liveness probes: pretend both stay alive (no exception)
+
+    monkeypatch.setattr(reap.os, "kill", fake_kill)
+    monkeypatch.setattr(reap.time, "sleep", lambda s: None)
+    jvms = [
+        {"pid": 11, "reapable": True},
+        {"pid": 22, "reapable": True},
+        {"pid": 33, "reapable": False},
+    ]
+    assert reap.reap_orphans(jvms, grace=0.05) == [11, 22]
+    terms = [p for p, s in calls if s == signal.SIGTERM]
+    kills = [p for p, s in calls if s == signal.SIGKILL]
+    assert terms == [11, 22]
+    assert sorted(kills) == [11, 22]
+    # every TERM precedes every KILL: the shared deadline never
+    # pre-empts a later orphan's TERM grace
+    last_term = max(i for i, (p, s) in enumerate(calls)
+                    if s == signal.SIGTERM)
+    first_kill = min(i for i, (p, s) in enumerate(calls)
+                     if s == signal.SIGKILL)
+    assert last_term < first_kill
+    assert 33 not in terms and 33 not in kills
