@@ -29,6 +29,8 @@ Usage:
     CATENA_PERMUTE_BSS=1 CATENA_PERMUTE_COLORDER=reversed|mixed \
     CATENA_PERMUTE_DRIFT=widen|missing|widen_nested|<comma-combos> \
     CATENA_PERMUTE_DRIFT_TABLE=orders CATENA_PERMUTE_DRIFT_COL=... \
+    CATENA_PERMUTE_LIST2=1 \
+    CATENA_PERMUTE_BITROT=1 CATENA_PERMUTE_BITROT_TABLE=lineitem \
         python scripts/permute_probe.py [sf_dir] [key ...]
 Defaults to /root/testdata/sf0.01, all oracle-backed keys, and a
 single file per table; SPLITS > 1 writes each permuted table as N
@@ -211,6 +213,8 @@ def permuted_copy(
     drift: str | None = None,
     drift_table: str = "orders",
     drift_col: str | None = None,
+    list2: bool = False,
+    bitrot: bool = False,
 ) -> str:
     """Seeded row-permuted copy of every table, same schema and values
     (pyarrow take over a shuffled index). ``splits`` > 1 writes each
@@ -367,8 +371,38 @@ def permuted_copy(
         # note BSS only materializes where dictionary encoding is off
         # or overflows, so compose with nodict to guarantee BSS pages.
         suffix += "_bss"
+    if bitrot:
+        # BITROT cell (r17, VERDICT r16 item 5): the copy is written
+        # WITH page checksums (pyarrow defaults to none — the writer
+        # asymmetry half of the r16 doctrine) so that main()'s
+        # one-byte flip is DETECTABLE: scans must fail LOUD under
+        # enable_bitrot_detection and are documented-silent without
+        # it. Own suffix: a corrupted copy must never share a path
+        # with a parity run's bytes.
+        wkw["write_page_checksum"] = True
+        suffix += "_bitrot"
     if colorder:
         suffix += f"_co{colorder}"
+    if list2:
+        # LEGACY LIST LAYOUT axis (r17, VERDICT r16 item 4): even
+        # part-file indices of every list-bearing table are REWRITTEN
+        # post-copy into the legacy parquet list layouts old writers
+        # (parquet-mr < 1.x configs, legacy Hive/Avro paths, Spark
+        # writeLegacyFormat) produced — the true TWO-level
+        # ``repeated <type> array`` and the three-level
+        # ``bag { optional <type> array }`` — beside modern
+        # ``list { element }`` generations in the same directory.
+        # pyarrow cannot WRITE these layouts, so permuted_copy only
+        # reserves the axis here (suffix + forced directory); the
+        # caller owns the Spark session that does the rewrite
+        # (legacy_list_rewrite) — main() wires both.
+        if splits < 4:
+            raise ValueError(
+                "list2 requires splits >= 4 (even part-file indices 0 "
+                "and 2 carry the TWO legacy layouts — 2-level and bag — "
+                "beside modern odd parts)"
+            )
+        suffix += "_list2"
     drift_modes = _drift_modes(drift)
     if drift_modes:
         if splits < 2:
@@ -446,10 +480,15 @@ def permuted_copy(
         drifted = (
             bool(widen_cols) or bool(nested_cols) or drop_col is not None
         )
+        has_list = any(
+            pa.types.is_list(f.type) or pa.types.is_large_list(f.type)
+            for f in perm.schema
+        )
         single_file = (
             layout == "even"
             and colorder != "mixed"
             and not drifted
+            and not (list2 and has_list)
             and codec_cycle is None
             and (splits <= 1 or perm.num_rows < splits)
         )
@@ -460,14 +499,21 @@ def permuted_copy(
             # a drift-affected table smaller than ``splits`` still needs
             # >= 2 part-files or the second writer generation never
             # physically exists
-            eff_splits = (
-                2
-                if (
-                    (drifted or codec_cycle is not None)
-                    and perm.num_rows < splits
-                )
-                else splits
-            )
+            # a drift/codec/list2-affected table smaller than ``splits``
+            # still needs enough part-files for every writer generation
+            # to physically exist (list2: indices 0/2 carry the two
+            # legacy layouts, so 4); a table too small even for that
+            # degenerates to one file and the post-write layout assert
+            # catches the vacuous cell
+            if perm.num_rows < splits:
+                if list2 and has_list:
+                    eff_splits = 4
+                elif drifted or codec_cycle is not None:
+                    eff_splits = 2
+                else:
+                    eff_splits = splits
+            else:
+                eff_splits = splits
             for i, (off, ln) in enumerate(
                 _layout_slices(perm.num_rows, eff_splits, layout)
             ):
@@ -546,6 +592,281 @@ def _assert_bss_pages(out_dir: str) -> None:
         "any table — the cell is vacuous (dictionary precedence or "
         "fixture schema drift); refusing to report BSS parity coverage"
     )
+
+
+#: Non-null fill literals per Spark element type, used ONLY to flip an
+#: ArrayType's containsNull to false ahead of a legacy 2-level write —
+#: never evaluated on data (the rewrite verifies no NULL element exists
+#: first, so the coalesce is a types-only no-op).
+_LIST2_ZERO = {
+    "float": "CAST(0.0 AS FLOAT)",
+    "double": "CAST(0.0 AS DOUBLE)",
+    "int": "0",
+    "bigint": "CAST(0 AS BIGINT)",
+    "smallint": "CAST(0 AS SMALLINT)",
+    "tinyint": "CAST(0 AS TINYINT)",
+    "string": "''",
+}
+
+
+def legacy_list_rewrite(spark, out_dir: str) -> list[str]:
+    """Rewrite EVEN part-file indices of every list-bearing table under
+    ``out_dir`` into the legacy parquet list layouts (r17, VERDICT r16
+    item 4) — alternating between the TRUE two-level layout
+    (``repeated <type> array`` directly under the LIST group; written
+    by parquet-mr < 1.x configs and old Hive/Avro converter paths) and
+    Spark's legacy three-level ``bag { optional <type> array }``.
+    Values are preserved exactly (float bytes round-trip; verified by
+    the digest compare every probe key performs); ODD indices keep the
+    modern ``list { element }`` layout — and keep any drift-axis
+    schema generation — so one directory holds three writer
+    generations.
+
+    The two-level layout cannot represent a NULL ELEMENT (the element
+    field is ``repeated``, i.e. required); a part-file whose list
+    column carries one falls back to the bag layout (which can). NULL
+    top-level arrays survive both layouts. Spark is the writer
+    (``spark.sql.parquet.writeLegacyFormat=true`` — pyarrow cannot
+    emit these layouts); the two-level variant additionally needs
+    containsNull=false, which a parquet READ cannot surface (Spark
+    forces read-schema nullability), so the rewrite flips it with a
+    types-only ``transform(x -> coalesce(x, <zero>))`` that never
+    evaluates the fill (no NULL elements exist on that path).
+
+    Returns the rewritten file paths. Zero-row part-files rewrite too
+    (their footers still advertise the legacy layout — the
+    schema-inference shape a compaction remainder from an old writer
+    leaves behind)."""
+    import glob as _glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    rewritten: list[str] = []
+    old = spark.conf.get("spark.sql.parquet.writeLegacyFormat", "false")
+    spark.conf.set("spark.sql.parquet.writeLegacyFormat", "true")
+    try:
+        for t in TABLES:
+            dst = os.path.join(out_dir, f"{t}.parquet")
+            if not os.path.isdir(dst):
+                continue
+            parts = sorted(
+                p for p in os.listdir(dst) if p.endswith(".parquet")
+            )
+            for i, p in enumerate(parts):
+                if i % 2 == 1:
+                    continue  # odd parts stay modern (and carry drift)
+                fp = os.path.join(dst, p)
+                sch = pq.read_schema(fp)
+                if not any(
+                    pa.types.is_list(f.type) or pa.types.is_large_list(f.type)
+                    for f in sch
+                ):
+                    continue
+                df = spark.read.parquet(fp)
+                list_cols = [
+                    f.name
+                    for f in df.schema.fields
+                    if f.dataType.typeName() == "array"
+                ]
+                if (i // 2) % 2 == 0:
+                    # TRUE 2-level: needs containsNull=false on every
+                    # list column; verify no NULL element exists (the
+                    # coalesce must stay types-only), else this file
+                    # falls back to the bag layout
+                    elem_ok = all(
+                        df.schema[c].dataType.elementType.simpleString()
+                        in _LIST2_ZERO
+                        for c in list_cols
+                    )
+                    null_pred = None
+                    for c in list_cols:
+                        pred = F.exists(F.col(c), lambda x: x.isNull())
+                        null_pred = (
+                            pred if null_pred is None else null_pred | pred
+                        )
+                    if elem_ok and df.where(null_pred).limit(1).count() == 0:
+                        # closure factory, not a default arg: pyspark
+                        # derives the HOF's lambda arity from the
+                        # python signature, so a second parameter would
+                        # be bound to the array index
+                        def _fill(zero_sql):
+                            return lambda x: F.coalesce(x, F.expr(zero_sql))
+
+                        for c in list_cols:
+                            zero = _LIST2_ZERO[
+                                df.schema[c].dataType.elementType.simpleString()
+                            ]
+                            df = df.withColumn(c, F.transform(c, _fill(zero)))
+                tmp = fp + ".legacy_tmp"
+                shutil.rmtree(tmp, ignore_errors=True)
+                df.coalesce(1).write.parquet(tmp)
+                written = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+                assert len(written) == 1, (tmp, written)
+                os.replace(written[0], fp)
+                shutil.rmtree(tmp)
+                rewritten.append(fp)
+    finally:
+        spark.conf.set("spark.sql.parquet.writeLegacyFormat", old)
+    return rewritten
+
+
+def _assert_legacy_list_layouts(
+    out_dir: str, expect_modern: bool = True
+) -> None:
+    """Post-rewrite teeth (the _assert_bss_pages pattern): the copy must
+    PHYSICALLY contain both legacy layouts — a descriptor path
+    ``<col>.array`` (two-level: repeated element directly under the
+    LIST group) and a ``<col>.bag.array`` path (legacy three-level) —
+    plus a modern ``<col>.list.element`` generation, else the cell is
+    vacuous and must fail before any key reports parity coverage.
+    ``expect_modern=False`` waives only the modern generation — the
+    missing-ARRAY drift composition legitimately drops the sole list
+    column from every odd (modern) part, so no modern layout can
+    physically exist there."""
+    import pyarrow.parquet as pq
+
+    shapes: set[str] = set()
+    for t in TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        files = (
+            [os.path.join(dst, p) for p in sorted(os.listdir(dst))]
+            if os.path.isdir(dst)
+            else [dst]
+        )
+        for fp in files:
+            desc = pq.ParquetFile(fp).metadata.schema
+            for i in range(len(desc)):
+                seg = desc.column(i).path.split(".")
+                if len(seg) == 2 and seg[1] == "array":
+                    shapes.add("two_level")
+                elif len(seg) >= 3 and seg[-2] == "bag":
+                    shapes.add("legacy_bag")
+                elif len(seg) >= 3 and seg[-2:] == ["list", "element"]:
+                    shapes.add("modern")
+    required = {"two_level", "legacy_bag"}
+    if expect_modern:
+        required.add("modern")
+    missing = required - shapes
+    if missing:
+        raise AssertionError(
+            f"LIST2 knob set but the copy lacks layout(s) {sorted(missing)} "
+            f"(found {sorted(shapes)}) — the legacy-list cell is vacuous; "
+            "refusing to report parity coverage"
+        )
+
+
+def bitrot_flip(out_dir: str, table: str = "lineitem") -> tuple[str, int]:
+    """Flip ONE byte in the MIDDLE of the first column chunk of
+    ``table``'s first part-file under ``out_dir`` — mid-chunk lands in
+    page DATA with overwhelming probability (a flip near the chunk
+    start can hit the page header's thrift STATISTICS, which no full
+    scan reads: an inert flip that made the first cut of this cell
+    silently vacuous — the caller must still verify effectiveness
+    against a pre-flip baseline). Returns (file path, offset).
+    Deterministic, so a cell's corruption is reproducible
+    byte-for-byte across runs of the same copy."""
+    import pyarrow.parquet as pq
+
+    dst = os.path.join(out_dir, f"{table}.parquet")
+    fp = (
+        os.path.join(
+            dst,
+            sorted(p for p in os.listdir(dst) if p.endswith(".parquet"))[0],
+        )
+        if os.path.isdir(dst)
+        else dst
+    )
+    col = pq.ParquetFile(fp).metadata.row_group(0).column(0)
+    start = (
+        col.dictionary_page_offset
+        if col.dictionary_page_offset is not None
+        else col.data_page_offset
+    )
+    off = start + col.total_compressed_size // 2
+    with open(fp, "r+b") as f:
+        f.seek(off)
+        b = f.read(1)
+        f.seek(off)
+        f.write(bytes([b[0] ^ 0xFF]))
+    return fp, off
+
+
+def _bitrot_cell(spark, out_dir: str, table: str = "lineitem") -> int:
+    """The standing bitrot stress cell (r17, VERDICT r16 item 5): one
+    flipped byte in a CRC-bearing permuted copy. The cell asserts the
+    doctrine's ASYMMETRY, which is the whole point:
+
+    - hook OFF (Spark default): the all-columns scan is DOCUMENTED,
+      not asserted — outcomes are offset-dependent (silent wrong
+      values, or a loud decode error if the flip broke page structure;
+      both within doctrine, only silence-with-hook-ON is a defect);
+    - hook ON (enable_bitrot_detection): the same scan MUST fail loud
+      at the corrupted page — this is the assertion; rc 1 otherwise.
+
+    The scan hashes EVERY column (column pruning means verification is
+    per page READ — a pruned column's corruption cannot raise; the r16
+    doctrine's audit clause)."""
+    from pyspark.sql import functions as F
+
+    from catena_spark.sources import encodings
+
+    dst = os.path.join(out_dir, f"{table}.parquet")
+
+    def scan():
+        df = spark.read.parquet(dst)
+        return df.select(
+            F.sum(F.hash(*df.columns)).alias("h")
+        ).collect()[0].h
+
+    # pre-flip baseline on the CLEAN copy: the cell must prove its
+    # flip is EFFECTIVE (changes decoded values or breaks decode) —
+    # a flip landing in page-header statistics is inert for a full
+    # scan and would report coverage that never occurred
+    encodings.enable_bitrot_detection(spark, enabled=False)
+    h0 = scan()
+    fp, off = bitrot_flip(out_dir, table)
+    print(f"bitrot cell: flipped byte at {fp}:{off}")
+    try:
+        h = scan()
+        if h == h0:
+            print(
+                "BITROT CELL: FAIL — the flip was INERT (hash "
+                f"unchanged, {h}): it landed outside decoded page "
+                "data; the cell is vacuous"
+            )
+            return 1
+        print(
+            "bitrot cell: hook OFF -> scan SUCCEEDED with WRONG values"
+            f" (hash {h} != clean {h0}) — the documented "
+            "default-session silent-corruption hazard"
+        )
+    except Exception as ex:
+        print(
+            "bitrot cell: hook OFF -> scan failed loud anyway "
+            f"({type(ex).__name__}) — offset broke page structure; "
+            "within doctrine"
+        )
+
+    encodings.enable_bitrot_detection(spark, enabled=True)
+    try:
+        h = scan()
+    except Exception as ex:
+        tail = str(ex).strip().splitlines()[-1:] or [""]
+        print(
+            f"bitrot cell: hook ON -> LOUD-OK ({type(ex).__name__}: "
+            f"{tail[0][-200:]})"
+        )
+        print("BITROT CELL: PASS (fail-loud under verification)")
+        return 0
+    print(
+        f"BITROT CELL: FAIL — hook ON scan returned hash {h}: a "
+        "corrupted CRC-bearing page decoded without an error; the "
+        "bitrot doctrine in encodings.py is broken on this build"
+    )
+    return 1
 
 
 #: 256-bit modulus for the commutative multiset digest below.
@@ -682,11 +1003,22 @@ def main() -> int:
     drift_modes = _drift_modes(drift)
     drift_table = os.environ.get("CATENA_PERMUTE_DRIFT_TABLE", "orders")
     drift_col = os.environ.get("CATENA_PERMUTE_DRIFT_COL") or None
+    list2 = os.environ.get("CATENA_PERMUTE_LIST2", "") == "1"
+    bitrot = os.environ.get("CATENA_PERMUTE_BITROT", "") == "1"
+    bitrot_table = os.environ.get(
+        "CATENA_PERMUTE_BITROT_TABLE", "lineitem"
+    )
     if drift_modes and splits < 2:
         splits = 2
         print(
             "permute_probe: DRIFT auto-raises SPLITS to 2 (odd "
             "part-files carry the drifted writer generation)"
+        )
+    if list2 and splits < 4:
+        splits = 4
+        print(
+            "permute_probe: LIST2 auto-raises SPLITS to 4 (even "
+            "part-file indices 0/2 carry the two legacy list layouts)"
         )
     if bss and not nodict:
         # ADVICE r14: dictionary encoding takes precedence over BSS in
@@ -701,6 +1033,7 @@ def main() -> int:
         sf_dir, splits, layout, codec, rowgroup, int96, colorder,
         nodict, pagesize, nostats, pagev2, bss,
         drift=drift, drift_table=drift_table, drift_col=drift_col,
+        list2=list2, bitrot=bitrot,
     )
     if bss:
         _assert_bss_pages(perm_dir)
@@ -711,7 +1044,7 @@ def main() -> int:
         f"int96 {int96}, colorder {colorder or 'original'}, "
         f"nodict {nodict}, pagesize {pagesize or 'default'}, "
         f"nostats {nostats}, pagev2 {pagev2}, bss {bss}, "
-        f"drift {drift or 'none'})"
+        f"drift {drift or 'none'}, list2 {list2}, bitrot {bitrot})"
     )
     if drift_modes:
         # the probe pins the MITIGATED contract: tables.load routes
@@ -774,6 +1107,44 @@ def main() -> int:
             "spark.sql.parquet.enableVectorizedReader", "false"
         )
     spark = builder.getOrCreate()
+
+    if list2:
+        # the rewrite needs a Spark writer (pyarrow cannot emit legacy
+        # list layouts) — same JVM, before any key or oracle view reads
+        # the copy's bytes
+        files = legacy_list_rewrite(spark, perm_dir)
+        # composed with the missing-ARRAY drift, odd (modern) parts
+        # legitimately lack the list column, so no modern layout can
+        # exist beside the legacy ones — waive exactly that shape
+        dropped_list = False
+        if "missing" in drift_modes:
+            import glob as _glob
+
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            _src = os.path.join(sf_dir, f"{drift_table}.parquet")
+            if os.path.isdir(_src):
+                _src = sorted(_glob.glob(os.path.join(_src, "*.parquet")))[0]
+            _sch = _pq.read_schema(_src)
+            _col = drift_col or _sch.names[-1]
+            if _col in _sch.names:
+                _t = _sch.field(_col).type
+                dropped_list = _pa.types.is_list(_t) or _pa.types.is_large_list(_t)
+        _assert_legacy_list_layouts(perm_dir, expect_modern=not dropped_list)
+        print(
+            f"permute_probe: LIST2 rewrote {len(files)} even part-"
+            "file(s) into legacy list layouts (2-level + bag) — "
+            "layout assert passed"
+            + (" (modern waived: missing drift drops the list column "
+               "from odd parts)" if dropped_list else "")
+        )
+
+    if bitrot:
+        # the bitrot cell is a NEGATIVE test (the copy is deliberately
+        # corrupted) — it replaces the parity run entirely; parity keys
+        # on corrupted bytes would be meaningless
+        return _bitrot_cell(spark, perm_dir, bitrot_table)
 
     import __spark_entry__ as e
 

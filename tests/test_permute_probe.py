@@ -657,3 +657,126 @@ def test_permuted_copy_missing_drift_on_array_column(tmp_path):
             assert "embedding" not in names, f"part {i} kept embedding"
         else:
             assert "embedding" in names, f"part {i} lost embedding"
+
+
+def test_list2_legacy_layouts_roundtrip(spark, tmp_path):
+    """r17 (VERDICT r16 item 4): the legacy parquet LIST layout axis.
+    permuted_copy(list2=True) + legacy_list_rewrite must leave one
+    directory holding all three list writer generations — TRUE
+    two-level (``repeated float array`` directly under the LIST
+    group), legacy three-level ``bag { optional float array }``, and
+    modern ``list { element }`` — with the VALUES exactly preserved:
+    Spark plain read, DuckDB union_by_name, and read_drifted's
+    footer-derived superset schema must all equal the original table.
+    If Spark or DuckDB ever stopped decoding a legacy layout exactly,
+    or the merge lattice stopped reconciling ``list<array: float>``
+    with ``list<element: float>``, this is the tripwire."""
+    import duckdb
+
+    from catena_spark.sources import encodings
+
+    out = permute_probe.permuted_copy(
+        SF_SMALL, splits=4, list2=True, out_base=str(tmp_path)
+    )
+    files = permute_probe.legacy_list_rewrite(spark, out)
+    assert files, "no part-file was rewritten — vacuous cell"
+    permute_probe._assert_legacy_list_layouts(out)
+
+    d = os.path.join(out, "embeddings.parquet")
+
+    def paths(part):
+        desc = pq.ParquetFile(os.path.join(d, part)).metadata.schema
+        return {desc.column(i).path for i in range(len(desc))}
+
+    parts = sorted(os.listdir(d))
+    assert "embedding.array" in paths(parts[0])  # TRUE 2-level (i=0)
+    assert "embedding.list.element" in paths(parts[1])  # modern (i=1)
+    assert "embedding.bag.array" in paths(parts[2])  # legacy bag (i=2)
+
+    digest = (
+        "sum(hash(vec_id, embedding, label)) AS h",
+        "count(*) AS n",
+        "sum(cast(element_at(embedding, 1) as double)) AS s",
+    )
+    orig = (
+        spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+        .selectExpr(*digest)
+        .collect()[0]
+    )
+    got = spark.read.parquet(d).selectExpr(*digest).collect()[0]
+    assert (got.h, got.n, got.s) == (orig.h, orig.n, orig.s)
+
+    rd = encodings.read_drifted(spark, d).selectExpr(*digest).collect()[0]
+    assert (rd.h, rd.n, rd.s) == (orig.h, orig.n, orig.s)
+
+    con = duckdb.connect()
+    q = (
+        "SELECT count(*), sum(vec_id), "
+        "round(sum(CAST(embedding[1] AS DOUBLE)), 9) "
+        "FROM read_parquet('{}', union_by_name=true)"
+    )
+    assert con.execute(q.format(f"{d}/*.parquet")).fetchone() == con.execute(
+        q.format(os.path.join(SF_SMALL, "embeddings.parquet"))
+    ).fetchone()
+
+
+def test_list2_null_element_falls_back_to_bag(spark, tmp_path):
+    """The two-level layout cannot represent a NULL ELEMENT (the
+    element field is ``repeated`` == required). A part-file whose list
+    column carries one must fall back to the legacy BAG layout — and
+    keep the NULL exactly — never silently substitute the fill value."""
+    import pyarrow as pa
+
+    src = tmp_path / "sf"
+    src.mkdir()
+    d = src / "embeddings.parquet"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, None], [3.0, 4.0]], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0, 1], pa.int32()),
+        }),
+        str(d / "part-0000.parquet"),
+    )
+    files = permute_probe.legacy_list_rewrite(spark, str(src))
+    assert files == [str(d / "part-0000.parquet")]
+    desc = pq.ParquetFile(files[0]).metadata.schema
+    paths = {desc.column(i).path for i in range(len(desc))}
+    assert "embedding.bag.array" in paths, (
+        "NULL element must force the bag fallback"
+    )
+    rows = sorted(
+        (r.vec_id, r.embedding) for r in spark.read.parquet(str(d)).collect()
+    )
+    assert rows[0][1][0] == 1.0 and rows[0][1][1] is None
+    assert rows[1][1] == [3.0, 4.0]
+
+
+def test_bitrot_cell_passes_and_catches_inert_flips(spark, tmp_path):
+    """r17 (VERDICT r16 item 5): the standing bitrot cell. On a
+    CRC-bearing permuted copy (permuted_copy(bitrot=True) forces
+    write_page_checksum) the cell must PASS: one mid-chunk flipped
+    byte is silent (or structurally loud) with verification off and
+    fail-LOUD with enable_bitrot_detection on. The cell must also
+    self-police: it verifies the flip changed decoded values against a
+    pre-flip baseline (the first cut flipped page-header STATISTICS —
+    inert for a full scan — and would have reported coverage that
+    never occurred)."""
+    from catena_spark.sources import encodings
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    orig = hconf.get(encodings.PAGE_VERIFY_CONF)
+    try:
+        out = permute_probe.permuted_copy(
+            SF_SMALL, bitrot=True, out_base=str(tmp_path)
+        )
+        assert out.endswith("_bitrot")
+        assert permute_probe._bitrot_cell(spark, out, "lineitem") == 0
+    finally:
+        if orig is None:
+            hconf.unset(encodings.PAGE_VERIFY_CONF)
+        else:
+            hconf.set(encodings.PAGE_VERIFY_CONF, orig)
