@@ -215,7 +215,62 @@ def mitigate_byte_stream_split(
 #: Widening lattices: any two sighted types in the same family merge to
 #: the wider one; everything else must match exactly or fail loud.
 _INT_ORDER = {"int8": 0, "int16": 1, "int32": 2, "int64": 3}
+#: Unsigned sightings (r17): Arrow pipelines write real UINT parquet
+#: columns. A uintN needs the signed type of rank N+1 to hold its full
+#: range — and the stakes are real: Spark decodes unsigned pages under
+#: a TOO-NARROW signed schema by silent bit-reinterpretation (uint16's
+#: 65535 under smallint reads back as -1 — the one silent-wrong-values
+#: integer shape on this build, pinned by
+#: tests/test_sources.py::test_uint_parquet_generations), so the merge
+#: must never under-size. uint64's only exact Spark mapping is
+#: DECIMAL(20,0); signed pages decode under decimal exactly, but
+#: SMALLER UNSIGNED pages do NOT (uint32-under-decimal fails loud) —
+#: a uint64 generation beside a smaller unsigned one is therefore
+#: irreconcilable and refuses loud, decimal-drift-style.
+_UINT_ORDER = {"uint8": 0, "uint16": 1, "uint32": 2, "uint64": 3}
 _FLOAT_ORDER = {"halffloat": 0, "float": 1, "double": 2}
+
+
+def _merge_int_family(a, b, sa: str, sb: str, col: str):
+    """Merge two integer-family sightings (signed, unsigned, or the
+    decimal(20,0) a previous uint64 merge produced) to the narrowest
+    type BOTH generations' pages decode exactly under, or raise."""
+    import pyarrow as pa
+
+    signed_rank = {
+        **{s: r for s, r in _INT_ORDER.items()},
+        # a uintN's range needs signed rank N+1
+        **{s: r + 1 for s, r in _UINT_ORDER.items()},
+        "decimal128(20, 0)": 4,
+    }
+    if sa in _UINT_ORDER and sb in _UINT_ORDER:
+        # both unsigned: wider unsigned (Spark maps it to the
+        # containing signed type, under which narrower unsigned pages
+        # decode exactly) — unless uint64 is involved: its decimal
+        # mapping cannot decode smaller unsigned pages
+        if (sa == "uint64") != (sb == "uint64"):
+            raise ValueError(
+                f"irreconcilable schema drift on column {col!r}: {a} vs "
+                f"{b} — uint64's only exact Spark read type is "
+                "DECIMAL(20,0), which cannot decode smaller unsigned "
+                "pages; rewrite one generation"
+            )
+        return a if _UINT_ORDER[sa] >= _UINT_ORDER[sb] else b
+    rank = max(signed_rank[sa], signed_rank[sb])
+    if rank <= 3:
+        return (pa.int8(), pa.int16(), pa.int32(), pa.int64())[rank]
+    # rank 4: a uint64 or decimal(20,0) sighting. Signed pages decode
+    # under DecimalType(20,0) exactly (empirically pinned down to
+    # int8); smaller UNSIGNED pages do not — refuse.
+    for s, t in ((sa, a), (sb, b)):
+        if s in _UINT_ORDER and s != "uint64":
+            raise ValueError(
+                f"irreconcilable schema drift on column {col!r}: {a} vs "
+                f"{b} — {s} pages cannot decode under DECIMAL(20,0) "
+                "(uint64's only exact Spark mapping); rewrite one "
+                "generation"
+            )
+    return pa.decimal128(20, 0)
 
 
 def _merge_arrow_types(a, b, col: str, int96: frozenset | set = frozenset()):
@@ -224,8 +279,9 @@ def _merge_arrow_types(a, b, col: str, int96: frozenset | set = frozenset()):
     if a.equals(b):
         return a
     sa, sb = str(a), str(b)
-    if sa in _INT_ORDER and sb in _INT_ORDER:
-        return a if _INT_ORDER[sa] >= _INT_ORDER[sb] else b
+    int_family = set(_INT_ORDER) | set(_UINT_ORDER) | {"decimal128(20, 0)"}
+    if sa in int_family and sb in int_family:
+        return _merge_int_family(a, b, sa, sb, col)
     if sa in _FLOAT_ORDER and sb in _FLOAT_ORDER:
         return a if _FLOAT_ORDER[sa] >= _FLOAT_ORDER[sb] else b
     if (
@@ -357,6 +413,14 @@ def _spark_type(t, path: str = "", int96: frozenset | set = frozenset()):
         "int16": T.ShortType(),
         "int32": T.IntegerType(),
         "int64": T.LongType(),
+        # unsigned (r17): Spark's own parquet inference maps each uintN
+        # to the containing SIGNED type (pinned by
+        # test_uint_parquet_generations) — uint64 has no signed int64
+        # superset, so Spark uses DECIMAL(20,0)
+        "uint8": T.ShortType(),
+        "uint16": T.IntegerType(),
+        "uint32": T.LongType(),
+        "uint64": T.DecimalType(20, 0),
         "float": T.FloatType(),
         "double": T.DoubleType(),
         "string": T.StringType(),

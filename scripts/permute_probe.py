@@ -27,7 +27,7 @@ Usage:
     CATENA_PERMUTE_NODICT=1 CATENA_PERMUTE_PAGESIZE=B \
     CATENA_PERMUTE_NOSTATS=1 CATENA_PERMUTE_PAGEV2=1 \
     CATENA_PERMUTE_BSS=1 CATENA_PERMUTE_COLORDER=reversed|mixed \
-    CATENA_PERMUTE_DRIFT=widen|missing|widen_nested|<comma-combos> \
+    CATENA_PERMUTE_DRIFT=widen|missing|widen_nested|unsigned|<combos> \
     CATENA_PERMUTE_DRIFT_TABLE=orders CATENA_PERMUTE_DRIFT_COL=... \
     CATENA_PERMUTE_LIST2=1 \
     CATENA_PERMUTE_BITROT=1 CATENA_PERMUTE_BITROT_TABLE=lineitem \
@@ -119,7 +119,7 @@ def _layout_slices(n: int, splits: int, layout: str) -> list[tuple[int, int]]:
 
 COLORDERS = (None, "reversed", "mixed")
 
-DRIFTS = ("widen", "missing", "widen_nested")
+DRIFTS = ("widen", "missing", "widen_nested", "unsigned")
 
 
 def _drift_modes(drift: str | None) -> set[str]:
@@ -260,6 +260,13 @@ def permuted_copy(
       union_by_name=true — engine-vs-engine null-fill parity. With
       DRIFT_TABLE=embeddings DRIFT_COL=embedding the dropped column is
       an ARRAY — superset NULL-fill on ArrayType (r16).
+    - ``drift='unsigned'`` (r17): eligible small-int columns (every
+      value >= 0; int8/16/32, minus any 'widen' columns) are stored
+      UNSIGNED same-width in odd parts — the signed/unsigned
+      generation mix Arrow pipelines leave. Value-preserving; the
+      merge lattice resolves to the containing signed type (unsigned
+      pages under a too-narrow signed schema silently bit-wrap — the
+      r17 uint matrix in encodings.py / test_uint_parquet_generations).
     - ``drift='widen_nested'`` (r16, VERDICT r15 item 4): every
       float32 LEAF at any nesting depth is physically widened to
       float64 in odd parts — in the fixtures, embeddings.embedding
@@ -469,6 +476,34 @@ def permuted_copy(
             if "widen_nested" in drift_modes
             else {}
         )
+        # 'unsigned' (r17): odd parts store eligible small-int columns
+        # as the SAME-WIDTH UNSIGNED physical type (int32 -> uint32
+        # etc.) — the generation mix an Arrow pipeline leaves behind.
+        # Value-preserving (eligibility = every value >= 0, checked on
+        # the full permuted column so all odd parts share one
+        # generation type), so the original-bytes oracle still
+        # applies; what drifts is the SIGNEDNESS, which the merge
+        # lattice must reconcile to the containing signed type (the
+        # silent-wrap hazard: unsigned pages under a too-narrow signed
+        # schema bit-reinterpret). int64 is excluded: uint64's only
+        # exact Spark mapping is DECIMAL(20,0), which would change
+        # query output types, not just physical storage. When composed
+        # with 'widen', widen wins the column (it already moves those
+        # columns to int64 in odd parts).
+        unsigned_cols: dict = {}
+        if "unsigned" in drift_modes:
+            import pyarrow.compute as pc
+
+            u_map = {
+                "int8": pa.uint8(),
+                "int16": pa.uint16(),
+                "int32": pa.uint32(),
+            }
+            for f in perm.schema:
+                if str(f.type) in u_map and f.name not in widen_cols:
+                    mn = pc.min(perm.column(f.name)).as_py()
+                    if mn is not None and mn >= 0:
+                        unsigned_cols[f.name] = u_map[str(f.type)]
         drop_col = None
         if "missing" in drift_modes and t == drift_table:
             drop_col = drift_col or perm.column_names[-1]
@@ -478,7 +513,10 @@ def permuted_copy(
                     f"{perm.column_names}"
                 )
         drifted = (
-            bool(widen_cols) or bool(nested_cols) or drop_col is not None
+            bool(widen_cols)
+            or bool(nested_cols)
+            or bool(unsigned_cols)
+            or drop_col is not None
         )
         has_list = any(
             pa.types.is_list(f.type) or pa.types.is_large_list(f.type)
@@ -519,7 +557,7 @@ def permuted_copy(
             ):
                 part = perm.slice(off, ln)
                 if i % 2 == 1:
-                    if widen_cols or nested_cols:
+                    if widen_cols or nested_cols or unsigned_cols:
                         part = part.cast(
                             pa.schema(
                                 [
@@ -527,7 +565,10 @@ def permuted_copy(
                                     if f.name in widen_cols
                                     else (
                                         f.name,
-                                        nested_cols.get(f.name, f.type),
+                                        unsigned_cols.get(
+                                            f.name,
+                                            nested_cols.get(f.name, f.type),
+                                        ),
                                     )
                                     for f in part.schema
                                 ]

@@ -780,3 +780,55 @@ def test_bitrot_cell_passes_and_catches_inert_flips(spark, tmp_path):
             hconf.unset(encodings.PAGE_VERIFY_CONF)
         else:
             hconf.set(encodings.PAGE_VERIFY_CONF, orig)
+
+
+def test_permuted_copy_unsigned_drift(tmp_path):
+    """r17 'unsigned' drift: odd parts of every table store eligible
+    small-int columns (all values >= 0, not widened) as the SAME-WIDTH
+    UNSIGNED physical type; even parts keep the signed original. The
+    multiset of VALUES is unchanged (the axis drifts signedness only),
+    and a column with any negative value is never touched."""
+    import pyarrow as pa
+
+    out = permute_probe.permuted_copy(
+        SF_SMALL, splits=4, drift="unsigned", out_base=str(tmp_path)
+    )
+    saw_unsigned = False
+    for t in permute_probe.TABLES:
+        src = pq.read_table(os.path.join(SF_SMALL, f"{t}.parquet"))
+        dst = os.path.join(out, f"{t}.parquet")
+        parts = (
+            [os.path.join(dst, p) for p in sorted(os.listdir(dst))]
+            if os.path.isdir(dst)
+            else [dst]
+        )
+        got = pa.concat_tables(
+            [pq.read_table(p) for p in parts], promote_options="permissive"
+        )
+        assert got.num_rows == src.num_rows, t
+        for i, p in enumerate(parts):
+            sch = pq.read_schema(p)
+            for f in sch:
+                if pa.types.is_unsigned_integer(f.type):
+                    saw_unsigned = True
+                    assert i % 2 == 1, f"{t}.{f.name}: even part drifted"
+                    import pyarrow.compute as pc
+
+                    # the signed original must be all-non-negative
+                    mn = pc.min(src.column(f.name)).as_py()
+                    assert mn is not None and mn >= 0, f"{t}.{f.name}"
+        # value multiset preserved per int column (cast back to compare)
+        for f in src.schema:
+            if str(f.type) in ("int8", "int16", "int32"):
+                a = sorted(src.column(f.name).to_pylist(), key=str)
+                b = sorted(
+                    got.column(f.name)
+                    .cast(f.type)
+                    .to_pylist(),
+                    key=str,
+                )
+                assert a == b, f"{t}.{f.name} multiset changed"
+    assert saw_unsigned, (
+        "no column drifted unsigned — fixtures lost their non-negative "
+        "small ints; the axis is vacuous"
+    )

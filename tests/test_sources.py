@@ -750,3 +750,120 @@ def test_bitrot_detection_requires_verify_conf(spark, tmp_path):
             hconf.unset(encodings.PAGE_VERIFY_CONF)
         else:
             hconf.set(encodings.PAGE_VERIFY_CONF, orig)
+
+
+def test_uint_parquet_generations(spark, tmp_path):
+    """r17 platform matrix: UNSIGNED parquet integers (Arrow pipelines
+    write real uint columns; a signed/unsigned generation mix is the
+    natural successor to int widening). Empirically pinned:
+
+    - Spark's native inference maps each uintN to the CONTAINING signed
+      type (uint8->smallint, uint16->int, uint32->bigint) and uint64 to
+      DECIMAL(20,0) — values exact to the extremes.
+    - The one SILENT-WRONG-VALUES integer shape on this build: unsigned
+      pages under a too-NARROW signed schema bit-reinterpret (uint16's
+      65535 under smallint reads back as -1). The merge lattice exists
+      so no generated schema is ever under-sized.
+    - read_drifted reconciles int32+uint32 generations to bigint and
+      int64+uint64 to DECIMAL(20,0), both value-exact; uint64 beside a
+      smaller unsigned generation refuses loud (uint32 pages cannot
+      decode under decimal — no common read type exists).
+    - DuckDB union_by_name reads the same mixes exactly (BIGINT /
+      HUGEINT), so drifted-bytes oracle parity holds.
+    """
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from catena_spark.sources import encodings
+
+    # native inference + extremes
+    singles = {
+        "uint8": (pa.uint8(), [0, 255], "smallint"),
+        "uint16": (pa.uint16(), [0, 65535], "int"),
+        "uint32": (pa.uint32(), [0, 2**32 - 1], "bigint"),
+        "uint64": (pa.uint64(), [0, 2**64 - 1], "decimal(20,0)"),
+    }
+    for name, (t, vals, want) in singles.items():
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(pa.table({"x": pa.array(vals, t)}), p)
+        df = spark.read.parquet(p)
+        assert dict(df.dtypes)["x"] == want, name
+        assert sorted(int(r.x) for r in df.collect()) == vals, name
+        # read_drifted on a single-generation uint dir mirrors inference
+        rd = encodings.read_drifted(spark, p)
+        assert rd.schema == df.schema, name
+
+    # the silent-wrap hazard (documented, not mitigated by Spark):
+    # 65535 under an explicitly narrow smallint schema wraps to -1
+    wrapped = sorted(
+        r.x
+        for r in spark.read.schema("x smallint")
+        .parquet(str(tmp_path / "uint16.parquet"))
+        .collect()
+    )
+    assert wrapped == [-1, 0], (
+        "uint16-under-smallint no longer silently wraps — if this "
+        "build started failing loud, celebrate and update the doctrine"
+    )
+
+    # mixed generations
+    m32 = tmp_path / "m32.parquet"
+    m32.mkdir()
+    pq.write_table(pa.table({"x": pa.array([-7, 3], pa.int32())}),
+                   str(m32 / "part-0.parquet"))
+    pq.write_table(pa.table({"x": pa.array([0, 2**32 - 1], pa.uint32())}),
+                   str(m32 / "part-1.parquet"))
+    ms = encodings.merged_drifted_schema(str(m32))
+    assert ms.field("x").type == pa.int64()
+    got = sorted(int(r.x) for r in encodings.read_drifted(spark, str(m32)).collect())
+    assert got == [-7, 0, 3, 2**32 - 1]
+
+    m64 = tmp_path / "m64.parquet"
+    m64.mkdir()
+    pq.write_table(pa.table({"x": pa.array([-5, 7], pa.int64())}),
+                   str(m64 / "part-0.parquet"))
+    pq.write_table(pa.table({"x": pa.array([0, 2**64 - 1], pa.uint64())}),
+                   str(m64 / "part-1.parquet"))
+    ms = encodings.merged_drifted_schema(str(m64))
+    assert ms.field("x").type == pa.decimal128(20, 0)
+    got = sorted(int(r.x) for r in encodings.read_drifted(spark, str(m64)).collect())
+    assert got == [-5, 0, 7, 2**64 - 1]
+
+    # DuckDB reads the same mixed bytes exactly — oracle parity holds
+    con = duckdb.connect()
+    assert sorted(
+        int(v[0])
+        for v in con.execute(
+            f"SELECT x FROM read_parquet('{m32}/*.parquet', union_by_name=true)"
+        ).fetchall()
+    ) == [-7, 0, 3, 2**32 - 1]
+    assert sorted(
+        int(v[0])
+        for v in con.execute(
+            f"SELECT x FROM read_parquet('{m64}/*.parquet', union_by_name=true)"
+        ).fetchall()
+    ) == [-5, 0, 7, 2**64 - 1]
+
+    # wider-unsigned merge: uint8 + uint32 -> uint32 (-> bigint read,
+    # under which uint8 pages decode exactly)
+    mu = tmp_path / "mu.parquet"
+    mu.mkdir()
+    pq.write_table(pa.table({"x": pa.array([0, 255], pa.uint8())}),
+                   str(mu / "part-0.parquet"))
+    pq.write_table(pa.table({"x": pa.array([0, 2**32 - 1], pa.uint32())}),
+                   str(mu / "part-1.parquet"))
+    assert encodings.merged_drifted_schema(str(mu)).field("x").type == pa.uint32()
+    got = sorted(int(r.x) for r in encodings.read_drifted(spark, str(mu)).collect())
+    assert got == [0, 0, 255, 2**32 - 1]
+
+    # uint64 beside a smaller unsigned generation: no common read type
+    bad = tmp_path / "bad.parquet"
+    bad.mkdir()
+    pq.write_table(pa.table({"x": pa.array([1], pa.uint32())}),
+                   str(bad / "part-0.parquet"))
+    pq.write_table(pa.table({"x": pa.array([2], pa.uint64())}),
+                   str(bad / "part-1.parquet"))
+    with pytest.raises(ValueError, match="irreconcilable.*'x'.*uint64"):
+        encodings.merged_drifted_schema(str(bad))
