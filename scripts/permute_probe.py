@@ -26,7 +26,8 @@ Usage:
     CATENA_PERMUTE_ROWGROUP=M CATENA_PERMUTE_INT96=1 \
     CATENA_PERMUTE_NODICT=1 CATENA_PERMUTE_PAGESIZE=B \
     CATENA_PERMUTE_NOSTATS=1 CATENA_PERMUTE_PAGEV2=1 \
-    CATENA_PERMUTE_BSS=1 CATENA_PERMUTE_COLORDER=reversed|mixed \
+    CATENA_PERMUTE_BSS=1 CATENA_PERMUTE_DELTA=1 \
+    CATENA_PERMUTE_COLORDER=reversed|mixed \
     CATENA_PERMUTE_DRIFT=widen|missing|widen_nested|unsigned|<combos> \
     CATENA_PERMUTE_DRIFT_TABLE=orders CATENA_PERMUTE_DRIFT_COL=... \
     CATENA_PERMUTE_LIST2=1 \
@@ -196,6 +197,41 @@ def _bss_columns(schema) -> list[str]:
     return cols
 
 
+def _delta_columns(schema) -> dict[str, str]:
+    """{dotted leaf path: parquet encoding} for the DELTA knob (r17):
+    integer leaves get DELTA_BINARY_PACKED, string leaves get
+    DELTA_BYTE_ARRAY except the LAST string leaf per table, which gets
+    DELTA_LENGTH_BYTE_ARRAY so all three v2 encodings materialize
+    (the fixtures carry no binary columns, DLBA's usual home).
+    Timestamps are excluded (INT96-knob composition: the deprecated
+    physical type takes no v2 encoding); floats stay the BSS knob's
+    domain."""
+    import pyarrow as pa
+
+    def walk(prefix: str, typ) -> list[tuple[str, str]]:
+        if pa.types.is_integer(typ):
+            return [(prefix, "DELTA_BINARY_PACKED")]
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return [(prefix, "DELTA_BYTE_ARRAY")]
+        if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+            return walk(f"{prefix}.list.element", typ.value_type)
+        if pa.types.is_struct(typ):
+            out: list[tuple[str, str]] = []
+            for f in typ:
+                out += walk(f"{prefix}.{f.name}", f.type)
+            return out
+        return []
+
+    pairs: list[tuple[str, str]] = []
+    for f in schema:
+        pairs += walk(f.name, f.type)
+    out = dict(pairs)
+    last_str = [p for p, e in pairs if e == "DELTA_BYTE_ARRAY"]
+    if last_str:
+        out[last_str[-1]] = "DELTA_LENGTH_BYTE_ARRAY"
+    return out
+
+
 def permuted_copy(
     sf_dir: str,
     splits: int = 1,
@@ -209,6 +245,7 @@ def permuted_copy(
     nostats: bool = False,
     pagev2: bool = False,
     bss: bool = False,
+    delta: bool = False,
     out_base: str = "/tmp",
     drift: str | None = None,
     drift_table: str = "orders",
@@ -378,6 +415,17 @@ def permuted_copy(
         # note BSS only materializes where dictionary encoding is off
         # or overflows, so compose with nodict to guarantee BSS pages.
         suffix += "_bss"
+    if delta:
+        # DELTA-encodings axis (r17): ints as DELTA_BINARY_PACKED,
+        # strings as DELTA_BYTE_ARRAY / DELTA_LENGTH_BYTE_ARRAY — the
+        # parquet v2 encodings modern writers emit. Unlike BSS these
+        # decode EXACTLY on this build's BOTH readers (empirical matrix
+        # in SCALE.md r17); the knob keeps the cell standing so a Spark
+        # upgrade that regresses any of the three decode paths flips a
+        # hash. Requires nodict (dictionary takes precedence) — main()
+        # auto-enables, same as BSS. Column lists are per-table/per-
+        # part (loop below), like BSS.
+        suffix += "_delta"
     if bitrot:
         # BITROT cell (r17, VERDICT r16 item 5): the copy is written
         # WITH page checksums (pyarrow defaults to none — the writer
@@ -447,11 +495,23 @@ def permuted_copy(
             os.remove(dst)
         tbl = pq.read_table(src)
         perm = tbl.take(rng.permutation(tbl.num_rows))
-        tkw = wkw
-        if bss:
-            bss_cols = _bss_columns(perm.schema)
-            if bss_cols:
-                tkw = dict(wkw, use_byte_stream_split=bss_cols)
+
+        def _enc_kw(schema):
+            # per-schema write kwargs: BSS float leaves and DELTA
+            # int/string leaves are disjoint column sets, so the two
+            # knobs compose in one writer call
+            kw = wkw
+            if bss:
+                cols = _bss_columns(schema)
+                if cols:
+                    kw = dict(kw, use_byte_stream_split=cols)
+            if delta:
+                dcols = _delta_columns(schema)
+                if dcols:
+                    kw = dict(kw, column_encoding=dcols)
+            return kw
+
+        tkw = _enc_kw(perm.schema)
         rev_names = list(reversed(perm.column_names))
         if colorder == "reversed":
             perm = perm.select(rev_names)
@@ -581,16 +641,11 @@ def permuted_copy(
                             [n for n in rev_names if n in part.column_names]
                         )
                 pkw = tkw
-                if bss and drifted:
+                if (bss or delta) and drifted:
                     # a drifted part's schema differs — recompute the
-                    # BSS leaf list so the writer never names a column
-                    # the part no longer carries
-                    bss_cols = _bss_columns(part.schema)
-                    pkw = (
-                        dict(wkw, use_byte_stream_split=bss_cols)
-                        if bss_cols
-                        else wkw
-                    )
+                    # encoding column lists so the writer never names a
+                    # column the part no longer carries
+                    pkw = _enc_kw(part.schema)
                 if codec_cycle is not None:
                     pkw = dict(
                         pkw, compression=codec_cycle[i % len(codec_cycle)]
@@ -797,6 +852,41 @@ def _assert_legacy_list_layouts(
             f"(found {sorted(shapes)}) — the legacy-list cell is vacuous; "
             "refusing to report parity coverage"
         )
+
+
+def _assert_delta_pages(out_dir: str) -> None:
+    """Post-write teeth (the _assert_bss_pages pattern): the copy must
+    physically carry ALL THREE v2 encodings somewhere — DBP on an int
+    chunk, DBA and DLBA on string chunks — else the DELTA cell is
+    vacuous (dictionary precedence, or fixture schema drift)."""
+    import pyarrow.parquet as pq
+
+    want = {
+        "DELTA_BINARY_PACKED",
+        "DELTA_BYTE_ARRAY",
+        "DELTA_LENGTH_BYTE_ARRAY",
+    }
+    seen: set[str] = set()
+    for t in TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        files = (
+            [os.path.join(dst, p) for p in sorted(os.listdir(dst))]
+            if os.path.isdir(dst)
+            else [dst]
+        )
+        for fp in files:
+            meta = pq.ParquetFile(fp).metadata
+            for g in range(meta.num_row_groups):
+                rg = meta.row_group(g)
+                for i in range(rg.num_columns):
+                    seen |= want & set(rg.column(i).encodings)
+            if seen >= want:
+                return
+    raise AssertionError(
+        f"DELTA knob set but encodings {sorted(want - seen)} never "
+        "materialized in any table — the cell is vacuous; refusing to "
+        "report DELTA parity coverage"
+    )
 
 
 def bitrot_flip(out_dir: str, table: str = "lineitem") -> tuple[str, int]:
@@ -1040,6 +1130,7 @@ def main() -> int:
     nostats = os.environ.get("CATENA_PERMUTE_NOSTATS", "") == "1"
     pagev2 = os.environ.get("CATENA_PERMUTE_PAGEV2", "") == "1"
     bss = os.environ.get("CATENA_PERMUTE_BSS", "") == "1"
+    delta = os.environ.get("CATENA_PERMUTE_DELTA", "") == "1"
     drift = os.environ.get("CATENA_PERMUTE_DRIFT") or None
     drift_modes = _drift_modes(drift)
     drift_table = os.environ.get("CATENA_PERMUTE_DRIFT_TABLE", "orders")
@@ -1061,23 +1152,26 @@ def main() -> int:
             "permute_probe: LIST2 auto-raises SPLITS to 4 (even "
             "part-file indices 0/2 carry the two legacy list layouts)"
         )
-    if bss and not nodict:
-        # ADVICE r14: dictionary encoding takes precedence over BSS in
-        # the pyarrow writer, so BSS without NODICT writes zero BSS
-        # pages — a green run would claim coverage that never occurred
+    if (bss or delta) and not nodict:
+        # ADVICE r14: dictionary encoding takes precedence over BSS
+        # (and over the DELTA encodings, r17) in the pyarrow writer,
+        # so either knob without NODICT writes zero such pages — a
+        # green run would claim coverage that never occurred
         nodict = True
         print(
-            "permute_probe: BSS=1 auto-enables NODICT=1 (dictionary "
-            "encoding precedence would leave the BSS cell vacuous)"
+            "permute_probe: BSS/DELTA auto-enables NODICT=1 (dictionary "
+            "encoding precedence would leave the cell vacuous)"
         )
     perm_dir = permuted_copy(
         sf_dir, splits, layout, codec, rowgroup, int96, colorder,
-        nodict, pagesize, nostats, pagev2, bss,
+        nodict, pagesize, nostats, pagev2, bss, delta,
         drift=drift, drift_table=drift_table, drift_col=drift_col,
         list2=list2, bitrot=bitrot,
     )
     if bss:
         _assert_bss_pages(perm_dir)
+    if delta:
+        _assert_delta_pages(perm_dir)
     print(
         f"permuted copy: {perm_dir} "
         f"(seed {SEED}, splits {splits}, layout {layout}, "
@@ -1085,6 +1179,7 @@ def main() -> int:
         f"int96 {int96}, colorder {colorder or 'original'}, "
         f"nodict {nodict}, pagesize {pagesize or 'default'}, "
         f"nostats {nostats}, pagev2 {pagev2}, bss {bss}, "
+        f"delta {delta}, "
         f"drift {drift or 'none'}, list2 {list2}, bitrot {bitrot})"
     )
     if drift_modes:

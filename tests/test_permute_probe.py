@@ -832,3 +832,34 @@ def test_permuted_copy_unsigned_drift(tmp_path):
         "no column drifted unsigned — fixtures lost their non-negative "
         "small ints; the axis is vacuous"
     )
+
+
+def test_permuted_copy_delta_encodings(tmp_path):
+    """r17 DELTA axis: the copy must physically carry all three v2
+    encodings (DELTA_BINARY_PACKED on ints, DELTA_BYTE_ARRAY +
+    DELTA_LENGTH_BYTE_ARRAY on strings) — _assert_delta_pages is the
+    vacuity tripwire — with the value multiset unchanged. These decode
+    exactly on both Spark readers and DuckDB (SCALE.md r17 matrix);
+    the standing cell exists so an upgrade regression flips a hash."""
+    out = permute_probe.permuted_copy(
+        SF_SMALL, nodict=True, delta=True, out_base=str(tmp_path)
+    )
+    assert out.endswith("_delta")
+    permute_probe._assert_delta_pages(out)
+    # multiset spot-check on a table with int + string + timestamp
+    src = pq.read_table(os.path.join(SF_SMALL, "orders.parquet"))
+    dst = os.path.join(out, "orders.parquet")
+    got = pq.read_table(dst)
+    assert sorted(src.column("o_orderkey").to_pylist()) == sorted(
+        got.column("o_orderkey").to_pylist()
+    )
+    assert sorted(src.column("o_orderpriority").to_pylist()) == sorted(
+        got.column("o_orderpriority").to_pylist()
+    )
+    # vacuity tripwire actually trips: a dict-encoded copy has no
+    # DELTA pages
+    plain = permute_probe.permuted_copy(SF_SMALL, out_base=str(tmp_path))
+    import pytest
+
+    with pytest.raises(AssertionError, match="vacuous"):
+        permute_probe._assert_delta_pages(plain)
