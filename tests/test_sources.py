@@ -867,3 +867,76 @@ def test_uint_parquet_generations(spark, tmp_path):
                    str(bad / "part-1.parquet"))
     with pytest.raises(ValueError, match="irreconcilable.*'x'.*uint64"):
         encodings.merged_drifted_schema(str(bad))
+
+
+def test_encrypted_parquet_is_fail_loud_with_count_trap(spark, tmp_path):
+    """r17 platform finding (probed alongside the codec cycle): parquet
+    MODULAR ENCRYPTION — the format third-party secure pipelines write
+    (pyarrow/parquet-mr both support it; this Spark has no KMS conf).
+
+    - Encrypted FOOTER: both engines fail loud immediately
+      (ParquetCryptoRuntimeException 'No keys available' /
+      DuckDB 'encryption_config was not set') — even count(*).
+    - PLAINTEXT-FOOTER mode (a real mode: footer readable, pages
+      encrypted): the brotli trap shape EXACTLY — count(*) silently
+      SUCCEEDS on BOTH Spark and DuckDB (answered from footer
+      metadata, zero pages decoded) while the first VALUE read fails
+      loud ('Null File Decryptor'). A pipeline that smoke-tests
+      partitions with count() passes and dies at first real scan.
+    Never wrong values on either engine — fail-loud class, pinned so
+    an upgrade changing either half (or worse, making it silent) is
+    caught."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    pe = pytest.importorskip("pyarrow.parquet.encryption")
+    import base64
+
+    class Kms(pe.KmsClient):
+        def __init__(self, config=None):
+            pe.KmsClient.__init__(self)
+
+        def wrap_key(self, key_bytes, master_key_identifier):
+            return base64.b64encode(key_bytes)
+
+        def unwrap_key(self, wrapped_key, master_key_identifier):
+            return base64.b64decode(wrapped_key)
+
+    t = pa.table({"k": pa.array(range(50), pa.int64()),
+                  "v": pa.array([float(i) for i in range(50)])})
+    factory = pe.CryptoFactory(lambda config: Kms(config))
+    kc = pe.KmsConnectionConfig()
+
+    def write(name, plaintext_footer):
+        conf = pe.EncryptionConfiguration(
+            footer_key="master", column_keys={"master": ["k", "v"]},
+            plaintext_footer=plaintext_footer,
+        )
+        p = str(tmp_path / name)
+        fep = factory.file_encryption_properties(kc, conf)
+        with pq.ParquetWriter(p, t.schema, encryption_properties=fep) as w:
+            w.write_table(t)
+        return p
+
+    enc = write("enc.parquet", False)
+    enc_pf = write("enc_pf.parquet", True)
+    con = duckdb.connect()
+
+    # encrypted footer: loud everywhere, immediately
+    with pytest.raises(Exception, match="(?i)encrypt|keys"):
+        spark.read.parquet(enc).count()
+    with pytest.raises(Exception, match="(?i)encrypt"):
+        con.execute(f"SELECT count(*) FROM read_parquet('{enc}')").fetchone()
+
+    # plaintext footer: the count trap on BOTH engines...
+    assert spark.read.parquet(enc_pf).count() == 50
+    assert con.execute(
+        f"SELECT count(*) FROM read_parquet('{enc_pf}')"
+    ).fetchone() == (50,)
+    # ...and loud on the first value read
+    with pytest.raises(Exception, match="(?i)decrypt"):
+        spark.read.parquet(enc_pf).agg({"v": "sum"}).collect()
+    with pytest.raises(Exception):
+        con.execute(f"SELECT sum(v) FROM read_parquet('{enc_pf}')").fetchone()
