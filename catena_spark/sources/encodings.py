@@ -506,6 +506,33 @@ def _spark_type(t, path: str = "", int96: frozenset | set = frozenset()):
 #   production query mix.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# NaN statistics (r17): the silent wrong-ROWS class for foreign writers.
+#
+# Empirical matrix on this build (pinned by tests/test_sources.py::
+# test_nan_stats_pruning_drops_rows_on_foreign_writers):
+#
+# - Both engines ORDER NaN greater than every number in comparisons
+#   (Spark and DuckDB alike): `v > 5.0` is TRUE for a NaN cell.
+# - pyarrow writes row-group min/max EXCLUDING NaN (no marker), so a
+#   row group holding [NaN, 1.0..3.0] advertises max=3.0. Under
+#   predicate pushdown BOTH engines prune that group for `v > 5.0`
+#   and the NaN row SILENTLY VANISHES — the same Spark query returns
+#   different rows with spark.sql.parquet.filterPushdown on vs off.
+#   Engine-vs-engine hashes still match (both prune identically),
+#   which is exactly why only a within-engine conf flip exposes it.
+# - Spark's own writer includes NaN in max (self-consistent: no wrong
+#   pruning); DuckDB's writer omits min/max entirely for NaN-bearing
+#   chunks (no pruning possible). The hazard is therefore specific to
+#   pyarrow/Arrow-pipeline-written partitions — the most common
+#   third-party shape at 100 TB.
+#
+# Mitigations, by preference: rewrite the offending partitions with a
+# NaN-safe writer; add `OR isnan(col)` to predicates where NaN rows
+# matter; or set spark.sql.parquet.filterPushdown=false for the scan
+# (stock conf — no wrapper needed; costs full-scan filtering).
+# ---------------------------------------------------------------------------
+
 #: Hadoop conf gating parquet page-CRC verification at scan time.
 PAGE_VERIFY_CONF = "parquet.page.verify-checksum.enabled"
 

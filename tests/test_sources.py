@@ -940,3 +940,82 @@ def test_encrypted_parquet_is_fail_loud_with_count_trap(spark, tmp_path):
         spark.read.parquet(enc_pf).agg({"v": "sum"}).collect()
     with pytest.raises(Exception):
         con.execute(f"SELECT sum(v) FROM read_parquet('{enc_pf}')").fetchone()
+
+
+def test_nan_stats_pruning_drops_rows_on_foreign_writers(spark, tmp_path):
+    """r17 NaN-statistics doctrine (encodings.py): both engines order
+    NaN greater than every number, but pyarrow writes row-group
+    min/max EXCLUDING NaN — so under predicate pushdown a comparison
+    filter prunes the NaN row's group and the row silently vanishes.
+    Pins all three writers and the within-Spark pushdown divergence
+    (the only observable symptom — engine-vs-engine hashes agree on
+    the wrong answer)."""
+    import glob
+    import math
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    nan = float("nan")
+    # pyarrow-written: NaN in row group 0, stats exclude it
+    pya = str(tmp_path / "pya.parquet")
+    pq.write_table(
+        pa.table({"k": list(range(8)),
+                  "v": pa.array([nan, 1.0, 2.0, 3.0,
+                                 10.0, 11.0, 12.0, 13.0], pa.float64())}),
+        pya, row_group_size=4,
+    )
+    st = pq.ParquetFile(pya).metadata.row_group(0).column(1).statistics
+    assert st.has_min_max and st.max == 3.0, (
+        "pyarrow started writing NaN-aware stats — the doctrine in "
+        "encodings.py needs rewriting (good news)"
+    )
+
+    orig = spark.conf.get("spark.sql.parquet.filterPushdown")
+    try:
+        spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+        pushed = sorted(
+            r.k for r in spark.read.parquet(pya).where("v > 5.0").collect()
+        )
+        spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+        full = sorted(
+            r.k for r in spark.read.parquet(pya).where("v > 5.0").collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.filterPushdown", orig)
+    assert full == [0, 4, 5, 6, 7], "NaN must satisfy v > 5.0 (NaN greatest)"
+    assert pushed == [4, 5, 6, 7], (
+        "pushdown no longer drops the NaN row on pyarrow stats — "
+        "doctrine needs rewriting (good news)"
+    )
+    # DuckDB prunes the same way on the same bytes (cross-engine
+    # agreement on the wrong answer — why contract hashes never flip)
+    con = duckdb.connect()
+    assert con.execute(
+        f"SELECT k FROM read_parquet('{pya}') WHERE v > 5.0 ORDER BY k"
+    ).fetchall() == [(4,), (5,), (6,), (7,)]
+
+    # Spark's own writer: NaN lands in max -> no wrong pruning
+    sw = str(tmp_path / "spark_w")
+    spark.createDataFrame(
+        [(0, nan), (1, 1.0), (2, 2.0), (3, 3.0)], "k int, v double"
+    ).coalesce(1).write.parquet(sw)
+    f = glob.glob(f"{sw}/part-*.parquet")[0]
+    st = pq.ParquetFile(f).metadata.row_group(0).column(1).statistics
+    assert st.has_min_max and math.isnan(st.max)
+    assert sorted(
+        r.k for r in spark.read.parquet(sw).where("v > 5.0").collect()
+    ) == [0]
+
+    # DuckDB's writer: omits min/max entirely for NaN chunks -> safe
+    dw = str(tmp_path / "duck_w.parquet")
+    con.execute(
+        f"COPY (SELECT * FROM (VALUES (0, 'nan'::DOUBLE), (1, 1.0), "
+        f"(2, 2.0), (3, 3.0)) t(k, v)) TO '{dw}' (FORMAT PARQUET)"
+    )
+    st = pq.ParquetFile(dw).metadata.row_group(0).column(1).statistics
+    assert st is None or not st.has_min_max
+    assert sorted(
+        r.k for r in spark.read.parquet(dw).where("v > 5.0").collect()
+    ) == [0]
