@@ -304,6 +304,28 @@ def _merge_arrow_types(a, b, col: str, int96: frozenset | set = frozenset()):
         # under the session's nanosAsLong pin, and bigint vs timestamp
         # cannot share one read schema.
         return pa.timestamp("ns")
+    if (
+        pa.types.is_timestamp(a)
+        and pa.types.is_timestamp(b)
+        and a.unit == b.unit
+        and a.unit != "ns"
+        and (a.tz is None) != (b.tz is None)
+    ):
+        # ANNOTATION drift (r17): naive (isAdjustedToUTC=false —
+        # pandas/pyarrow writers) beside UTC-adjusted (Spark writers)
+        # generations of one column, same unit. The stored int64 ticks
+        # are what they are; only the annotation differs, and a PLAIN
+        # Spark read resolves it by footer-sampling luck (NTZ or LTZ —
+        # never wrong ticks, but a nondeterministic column TYPE).
+        # Resolve to tz-aware: under an explicit TimestampType schema
+        # Spark decodes BOTH generations' ticks as the same UTC
+        # instants, exactly matching DuckDB's union_by_name choice
+        # (TIMESTAMPTZ, naive-as-UTC) and this package's pinned-UTC
+        # NTZ normalization in tables.load (empirically pinned under a
+        # hostile America/New_York session: identical epochs both
+        # engines). ns is excluded — it belongs to the nanosAsLong /
+        # INT96 lattice above.
+        return pa.timestamp(a.unit, "UTC")
     if pa.types.is_list(a) and pa.types.is_list(b):
         return pa.list_(
             _merge_arrow_types(

@@ -28,7 +28,7 @@ Usage:
     CATENA_PERMUTE_NOSTATS=1 CATENA_PERMUTE_PAGEV2=1 \
     CATENA_PERMUTE_BSS=1 CATENA_PERMUTE_DELTA=1 \
     CATENA_PERMUTE_COLORDER=reversed|mixed \
-    CATENA_PERMUTE_DRIFT=widen|missing|widen_nested|unsigned|<combos> \
+    CATENA_PERMUTE_DRIFT=widen|missing|widen_nested|unsigned|tzadjust|... \
     CATENA_PERMUTE_DRIFT_TABLE=orders CATENA_PERMUTE_DRIFT_COL=... \
     CATENA_PERMUTE_LIST2=1 \
     CATENA_PERMUTE_BITROT=1 CATENA_PERMUTE_BITROT_TABLE=lineitem \
@@ -120,7 +120,7 @@ def _layout_slices(n: int, splits: int, layout: str) -> list[tuple[int, int]]:
 
 COLORDERS = (None, "reversed", "mixed")
 
-DRIFTS = ("widen", "missing", "widen_nested", "unsigned")
+DRIFTS = ("widen", "missing", "widen_nested", "unsigned", "tzadjust")
 
 
 def _drift_modes(drift: str | None) -> set[str]:
@@ -550,6 +550,25 @@ def permuted_copy(
         # query output types, not just physical storage. When composed
         # with 'widen', widen wins the column (it already moves those
         # columns to int64 in odd parts).
+        # 'tzadjust' (r17): odd parts carry the tz ANNOTATION the Spark
+        # writer generation puts on timestamps (isAdjustedToUTC=true)
+        # while even parts keep the naive pandas/pyarrow annotation —
+        # same int64 ticks, different annotation. Value-preserving; the
+        # merge lattice resolves to tz-aware (naive-as-UTC, matching
+        # DuckDB's union choice and the package's pinned-UTC loader
+        # normalization). ns timestamps excluded (nanosAsLong/INT96
+        # lattice territory); composing with the INT96 knob makes this
+        # cell vacuous (INT96 swallows annotations) — don't pair them.
+        tz_cols: dict = {}
+        if "tzadjust" in drift_modes:
+            for f in perm.schema:
+                t = f.type
+                if (
+                    pa.types.is_timestamp(t)
+                    and t.tz is None
+                    and t.unit != "ns"
+                ):
+                    tz_cols[f.name] = pa.timestamp(t.unit, "UTC")
         unsigned_cols: dict = {}
         if "unsigned" in drift_modes:
             import pyarrow.compute as pc
@@ -576,6 +595,7 @@ def permuted_copy(
             bool(widen_cols)
             or bool(nested_cols)
             or bool(unsigned_cols)
+            or bool(tz_cols)
             or drop_col is not None
         )
         has_list = any(
@@ -617,7 +637,7 @@ def permuted_copy(
             ):
                 part = perm.slice(off, ln)
                 if i % 2 == 1:
-                    if widen_cols or nested_cols or unsigned_cols:
+                    if widen_cols or nested_cols or unsigned_cols or tz_cols:
                         part = part.cast(
                             pa.schema(
                                 [
@@ -627,7 +647,12 @@ def permuted_copy(
                                         f.name,
                                         unsigned_cols.get(
                                             f.name,
-                                            nested_cols.get(f.name, f.type),
+                                            tz_cols.get(
+                                                f.name,
+                                                nested_cols.get(
+                                                    f.name, f.type
+                                                ),
+                                            ),
                                         ),
                                     )
                                     for f in part.schema

@@ -863,3 +863,53 @@ def test_permuted_copy_delta_encodings(tmp_path):
 
     with pytest.raises(AssertionError, match="vacuous"):
         permute_probe._assert_delta_pages(plain)
+
+
+def test_permuted_copy_tzadjust_drift(tmp_path):
+    """r17 'tzadjust' drift: odd parts of every table carry the
+    UTC-adjusted annotation on naive non-ns timestamp columns; even
+    parts stay naive; the int64 ticks are unchanged (arrow's
+    naive->tz cast is metadata-only)."""
+    import pyarrow as pa
+
+    out = permute_probe.permuted_copy(
+        SF_SMALL, splits=4, drift="tzadjust", out_base=str(tmp_path)
+    )
+    saw = False
+    for t in permute_probe.TABLES:
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.isdir(dst):
+            continue
+        parts = sorted(os.listdir(dst))
+        for i, p in enumerate(parts):
+            sch = pq.read_schema(os.path.join(dst, p))
+            for f in sch:
+                if pa.types.is_timestamp(f.type) and f.type.unit != "ns":
+                    if i % 2 == 1:
+                        assert f.type.tz == "UTC", f"{t}.{f.name} part {i}"
+                        saw = True
+                    else:
+                        assert f.type.tz is None, f"{t}.{f.name} part {i}"
+        # tick preservation: epoch multiset equals the source's
+        # (arrow refuses to concat naive beside tz-aware — exactly the
+        # drift — so compare per-part int64 ticks instead)
+        src = pq.read_table(os.path.join(SF_SMALL, f"{t}.parquet"))
+        for f in src.schema:
+            if pa.types.is_timestamp(f.type) and f.type.unit != "ns":
+                a = sorted(
+                    src.column(f.name).cast(pa.int64()).to_pylist(),
+                    key=str,
+                )
+                b = sorted(
+                    (
+                        v
+                        for p in parts
+                        for v in pq.read_table(os.path.join(dst, p))
+                        .column(f.name)
+                        .cast(pa.int64())
+                        .to_pylist()
+                    ),
+                    key=str,
+                )
+                assert a == b, f"{t}.{f.name} ticks changed"
+    assert saw, "no timestamp column drifted — axis vacuous on fixtures"

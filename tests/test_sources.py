@@ -1019,3 +1019,68 @@ def test_nan_stats_pruning_drops_rows_on_foreign_writers(spark, tmp_path):
     assert sorted(
         r.k for r in spark.read.parquet(dw).where("v > 5.0").collect()
     ) == [0]
+
+
+def test_timestamp_annotation_drift_resolves_tz_aware(spark, tmp_path):
+    """r17 annotation drift: naive (pandas/pyarrow) beside UTC-adjusted
+    (Spark-writer) timestamp generations of one column. The int64
+    ticks are identical — only isAdjustedToUTC differs — and a plain
+    Spark read resolves the column TYPE by footer-sampling luck (NTZ
+    or LTZ; never wrong ticks). The merge lattice resolves to tz-aware
+    (naive-as-UTC), which reads both generations' ticks as the same
+    UTC instants — matching DuckDB's union_by_name TIMESTAMPTZ choice,
+    pinned by epoch equality."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from catena_spark.sources import encodings
+
+    m = tmp_path / "mix.parquet"
+    m.mkdir()
+    pq.write_table(
+        pa.table({
+            "k": pa.array([0], pa.int64()),
+            "t": pa.array([datetime.datetime(2024, 1, 1, 12, 0, 0)],
+                          pa.timestamp("us")),
+        }),
+        str(m / "part-0000.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "k": pa.array([1], pa.int64()),
+            "t": pa.array([datetime.datetime(2024, 1, 1, 18, 30, 0)],
+                          pa.timestamp("us", tz="UTC")),
+        }),
+        str(m / "part-0001.parquet"),
+    )
+    ms = encodings.merged_drifted_schema(str(m))
+    assert ms.field("t").type == pa.timestamp("us", "UTC")
+    got = sorted(
+        (r.k, r.u)
+        for r in encodings.read_drifted(spark, str(m))
+        .selectExpr("k", "unix_timestamp(t) AS u")
+        .collect()
+    )
+    want = [(0, 1704110400), (1, 1704133800)]  # both ticks read as UTC
+    assert got == want
+    con = duckdb.connect()
+    assert sorted(
+        (k, int(e))
+        for k, e in con.execute(
+            f"SELECT k, epoch(t) FROM read_parquet('{m}/*.parquet', "
+            "union_by_name=true)"
+        ).fetchall()
+    ) == want
+    # plain Spark read: type decided by footer luck, ticks never wrong
+    plain = spark.read.parquet(str(m))
+    assert dict(plain.dtypes)["t"] in ("timestamp", "timestamp_ntz")
+    assert sorted(
+        (r.k, r.u)
+        for r in plain.selectExpr(
+            "k",
+            "unix_timestamp(CAST(t AS TIMESTAMP)) AS u",
+        ).collect()
+    ) == want
