@@ -947,9 +947,14 @@ def _lattice_types():
 
     flat = [
         pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+        # r17: unsigned sightings + their uint64 container type
+        pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
+        pa.decimal128(20, 0),
         pa.float16(), pa.float32(), pa.float64(),
         pa.string(), pa.bool_(), pa.date32(),
         pa.timestamp("us"), pa.timestamp("ns"),
+        # r17: the UTC-adjusted writer generations
+        pa.timestamp("us", "UTC"), pa.timestamp("ns", "UTC"),
         pa.decimal128(12, 2), pa.decimal128(18, 2),
     ]
     return flat + [pa.list_(t) for t in flat]
@@ -1030,10 +1035,21 @@ def test_merge_lattice_never_crosses_families():
             fams = set()
             for t in (a, b):
                 base = t.value_type if pa.types.is_list(t) else t
-                if str(base) in ("int8", "int16", "int32", "int64"):
+                if str(base) in (
+                    "int8", "int16", "int32", "int64",
+                    # r17: unsigned sightings live in the integer
+                    # family, and decimal128(20,0) is uint64's
+                    # deliberate container — int-family by design
+                    "uint8", "uint16", "uint32", "uint64",
+                    "decimal128(20, 0)",
+                ):
                     fams.add("int")
                 elif str(base) in ("halffloat", "float", "double"):
                     fams.add("float")
+                elif pa.types.is_timestamp(base):
+                    # r17: naive + UTC-adjusted at one unit are the
+                    # SAME family (annotation drift); units differ
+                    fams.add(f"ts-{base.unit}")
                 else:
                     fams.add(str(base))
             assert len(fams) == 1, (
@@ -1044,8 +1060,12 @@ def test_merge_lattice_never_crosses_families():
 def test_merge_lattice_int96_flagged_branch():
     # with the column flagged INT96-physical, naive ns/us timestamps
     # merge to ns (both generations decode exactly as TimestampType);
-    # the flag must not leak into any OTHER pair, and tz-aware
-    # timestamps stay out of the naive merge either way
+    # the flag must not leak into any OTHER pair. Since r17 the
+    # ANNOTATION drift resolves instead of refusing: naive beside
+    # UTC-adjusted at the SAME non-ns unit merges to tz-aware
+    # (naive-as-UTC — tick-exact on both engines, see
+    # test_timestamp_annotation_drift_resolves_tz_aware); ns-aware
+    # mixes and cross-unit annotation mixes still refuse.
     import pyarrow as pa
 
     flagged = frozenset({"c", "c.list.element"})
@@ -1057,6 +1077,13 @@ def test_merge_lattice_int96_flagged_branch():
     lm = _merge_or_none(pa.list_(us), pa.list_(ns), flagged)
     assert lm is not None and lm.equals(pa.list_(ns))
     assert _merge_or_none(ns, us, frozenset()) is None
-    assert _merge_or_none(pa.timestamp("us", "UTC"), us, flagged) is None
+    # r17 annotation rule: naive + UTC-adjusted, same non-ns unit
+    for pair in ((pa.timestamp("us", "UTC"), us),
+                 (us, pa.timestamp("us", "UTC"))):
+        m = _merge_or_none(*pair, flagged)
+        assert m is not None and m.equals(pa.timestamp("us", "UTC"))
+    # ns-aware and cross-unit annotation mixes stay refused
+    assert _merge_or_none(pa.timestamp("ns", "UTC"), ns, flagged) is None
+    assert _merge_or_none(pa.timestamp("us", "UTC"), ns, flagged) is None
     for other in (pa.int64(), pa.string(), pa.date32()):
         assert _merge_or_none(ns, other, flagged) is None
