@@ -210,6 +210,40 @@ def mitigate_byte_stream_split(
 # schema instead — this helper is for raw directories, where scanning
 # every footer is the only way to see a column that exists in a
 # minority of files.
+#
+# 3. RENAME (r17): Iceberg/Delta-style writers stamp parquet FIELD IDS
+#    and rename columns across generations — old part-files carry
+#    ``price`` (field id 2), new ones ``unit_price`` (same id 2). The
+#    bytes say it is the same column; the names say it is two. Each
+#    cell pinned by tests/test_sources.py::test_rename_drift_*:
+#    - plain name-based read (Spark AND DuckDB union_by_name): BOTH
+#      names surface, each NULL for the other generation's rows — data
+#      that exists on disk silently reads as NULL, the missing-column
+#      hazard in both directions at once;
+#    - Spark's field-id resolution
+#      (``spark.sql.parquet.fieldId.read.enabled=true`` + read-schema
+#      fields carrying ``parquet.field.id`` metadata) heals it EXACTLY:
+#      one column, every generation's values, both readers
+#      (vectorized + row-based). Read-schema fields WITHOUT id
+#      metadata still match by name in the same read, and an id-less
+#      read schema under the enabled conf stays name-based — the conf
+#      flip is default-path-safe;
+#    - an id-bearing read schema over a part-file with NO field ids at
+#      all fails LOUD ("Parquet file schema doesn't contain any field
+#      Ids") — so healing engages only when EVERY sampled footer
+#      carries ids on every column; otherwise a detected collision
+#      refuses loud rather than risking a silent per-file NULL;
+#    - canonical name = the alias sighted in the MOST files (ties:
+#      first sighting in sorted-file order) — without a catalog the
+#      lake cannot say which name is "current", so the choice is
+#      deterministic and loudly warned, never guessed silently.
+# 4. DROP+RECREATE (same NAME, different field ids): semantically TWO
+#    columns — Iceberg treats them as unrelated. A name-based read
+#    silently MERGES them into one column (the one silent wrong-VALUES
+#    shape in the drift matrix: old-column cells read back as if they
+#    were the recreated column's), and an id-based read of either id
+#    silently NULLs the other generation. No read schema is correct
+#    for both generations at once → refuse loud, decimal-drift-style.
 # ---------------------------------------------------------------------------
 
 #: Widening lattices: any two sighted types in the same family merge to
@@ -339,7 +373,8 @@ def _merge_arrow_types(a, b, col: str, int96: frozenset | set = frozenset()):
 
 
 def _merged_footer_info(path: str, max_files: int | None = None):
-    """(superset pyarrow schema, set of INT96-physical column paths) of
+    """(superset pyarrow schema, set of INT96-physical column paths,
+    field-id map or None) of
     every sampled footer under ``path``. The INT96 set matters because
     pyarrow reports BOTH the deprecated INT96 physical type AND the
     modern INT64 TIMESTAMP(NANOS) logical type as ``timestamp[ns]`` —
@@ -377,14 +412,27 @@ def _merged_footer_info(path: str, max_files: int | None = None):
     names: list[str] = []
     sightings: dict[str, list] = {}
     int96: set[str] = set()
+    # rename-drift bookkeeping (r17): top-level field-id sightings.
+    # pyarrow surfaces a parquet field_id as arrow field metadata under
+    # b"PARQUET:field_id" — the same convention it writes. Nested ids
+    # are out of scope: Spark's field-id matching and this lattice both
+    # resolve TOP-LEVEL columns; a renamed nested field stays
+    # name-based (null-filled), never wrong values.
+    name_files: dict[str, int] = {}
+    name_ids: dict[str, set] = {}
     for fp in files:
         pf = pq.ParquetFile(fp)
         for f in pf.schema_arrow:
+            fid = (f.metadata or {}).get(b"PARQUET:field_id")
             if f.name not in sightings:
                 names.append(f.name)
                 sightings[f.name] = [f.type]
             elif not any(f.type.equals(t) for t in sightings[f.name]):
                 sightings[f.name].append(f.type)
+            name_files[f.name] = name_files.get(f.name, 0) + 1
+            name_ids.setdefault(f.name, set()).add(
+                int(fid) if fid is not None else None
+            )
         # physical types come from the footer's schema DESCRIPTOR, not
         # row_group(0) (ADVICE r15): the descriptor exists even in
         # zero-row-group part-files and covers every row group, so a
@@ -395,13 +443,89 @@ def _merged_footer_info(path: str, max_files: int | None = None):
             c = desc.column(i)
             if c.physical_type == "INT96":
                 int96.add(c.path)
+    # DROP+RECREATE (doctrine class 4): one NAME under two distinct
+    # field ids is two semantically different columns that a name-based
+    # read would silently merge (wrong values) — no correct read schema
+    # exists; refuse before any resolution.
+    for n in names:
+        real = sorted(i for i in name_ids[n] if i is not None)
+        if len(real) > 1:
+            raise ValueError(
+                f"irreconcilable schema drift on column {n!r}: sighted "
+                f"under parquet field ids {real} — a dropped-and-"
+                "recreated column (Iceberg treats these as unrelated); "
+                "a name-based read would silently merge two different "
+                "columns' values. Split the generations and rewrite"
+            )
+    # RENAME (doctrine class 3): one field id under >= 2 names.
+    id_names: dict[int, list[str]] = {}
+    for n in names:  # first-sighting order over sorted files
+        real = {i for i in name_ids[n] if i is not None}
+        if real:
+            id_names.setdefault(next(iter(real)), []).append(n)
+    collisions = {i: ns for i, ns in id_names.items() if len(ns) > 1}
+    field_ids: dict[str, int] | None = None
+    if collisions:
+        if any(None in ids for ids in name_ids.values()):
+            # some sighting somewhere carries no id: Spark's id-read
+            # fails loud on wholly id-less files and silently NULLs a
+            # present-but-id-less column otherwise — healing is only
+            # safe on a uniformly id-stamped directory
+            raise ValueError(
+                "rename drift detected (one parquet field id under "
+                "multiple names: "
+                + ", ".join(
+                    f"id {i}: {ns}" for i, ns in sorted(collisions.items())
+                )
+                + ") but not every sampled footer stamps field ids on "
+                "every column — field-id healing would silently NULL "
+                "id-less sightings; rewrite the id-less generation or "
+                "rename it back by hand"
+            )
+        for i, ns in sorted(collisions.items()):
+            # canonical = most file sightings; tie -> first sighted in
+            # sorted-file order (deterministic — a raw directory cannot
+            # say which alias is the catalog-current name)
+            canonical = max(
+                ns, key=lambda n: (name_files[n], -ns.index(n))
+            )
+            for alias in ns:
+                if alias == canonical:
+                    continue
+                for t in sightings.pop(alias):
+                    if not any(
+                        t.equals(x) for x in sightings[canonical]
+                    ):
+                        sightings[canonical].append(t)
+                # an alias's INT96 flag (and its nested paths) belongs
+                # to the canonical column after healing
+                for p in [
+                    p for p in int96
+                    if p == alias or p.startswith(alias + ".")
+                ]:
+                    int96.add(canonical + p[len(alias):])
+                names.remove(alias)
+            warnings.warn(
+                f"rename drift healed by parquet field id {i}: "
+                f"{sorted(ns)} are one column; reading as "
+                f"{canonical!r} (majority-of-files name) via Spark "
+                "field-id resolution. If the lake's current name is a "
+                "different alias, rename the result",
+                stacklevel=3,
+            )
+        # uniform stamping was just proven (no None anywhere), so the
+        # map covers every surviving column
+        field_ids = {
+            n: next(i for i in name_ids[n] if i is not None)
+            for n in names
+        }
     types: dict[str, object] = {}
     for n in names:
         merged = sightings[n][0]
         for t in sightings[n][1:]:
             merged = _merge_arrow_types(merged, t, n, int96)
         types[n] = merged
-    return pa.schema([(n, types[n]) for n in names]), int96
+    return pa.schema([(n, types[n]) for n in names]), int96, field_ids
 
 
 def merged_drifted_schema(path: str, max_files: int | None = None):
@@ -586,14 +710,34 @@ def read_drifted(spark: SparkSession, path: str):
     decode (Spark 4 widening reads), never PARQUET_COLUMN_DATA_TYPE_
     MISMATCH. On an undrifted directory this is plan-identical to
     ``spark.read.parquet`` with inference (same schema, same pushdown,
-    same vectorized reader) at the cost of one footer sweep."""
+    same vectorized reader) at the cost of one footer sweep.
+
+    RENAME drift (r17, doctrine class 3 above): when the footers show
+    one parquet field id under multiple names — Iceberg/Delta-style
+    writers renaming a column across generations — the read heals it:
+    the schema carries ``parquet.field.id`` metadata and the session
+    flips ``spark.sql.parquet.fieldId.read.enabled`` so Spark matches
+    columns by id, not name. The conf stays set afterwards; that is
+    deliberate and safe — an id-less read schema under the enabled
+    conf is name-based (empirically pinned), so other reads are
+    unaffected. Without a collision the schema carries no id metadata
+    and the conf is never touched — byte-identical default path."""
     from pyspark.sql import types as T
 
-    pa_schema, int96 = _merged_footer_info(path)
+    pa_schema, int96, field_ids = _merged_footer_info(path)
     spark_schema = T.StructType(
         [
-            T.StructField(f.name, _spark_type(f.type, f.name, int96))
+            T.StructField(
+                f.name,
+                _spark_type(f.type, f.name, int96),
+                True,
+                {"parquet.field.id": field_ids[f.name]}
+                if field_ids
+                else None,
+            )
             for f in pa_schema
         ]
     )
+    if field_ids:
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     return spark.read.schema(spark_schema).parquet(path)

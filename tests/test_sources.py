@@ -419,7 +419,7 @@ def test_read_drifted_int96_timestamps(spark, tmp_path):
                    use_deprecated_int96_timestamps=True)
     pq.write_table(full.slice(2), str(d / "part-1.parquet"),
                    use_deprecated_int96_timestamps=True)
-    _, int96 = encodings._merged_footer_info(str(d))
+    _, int96, _ = encodings._merged_footer_info(str(d))
     assert "when" in int96
     df = encodings.read_drifted(spark, str(d))
     assert dict(df.dtypes)["when"] == "timestamp"
@@ -500,7 +500,7 @@ def test_int96_detection_uses_schema_descriptor(spark, tmp_path):
                   "when": pa.array(ts, pa.timestamp("us"))}),
         str(d / "part-1.parquet"),
     )
-    _, int96 = encodings._merged_footer_info(str(d))
+    _, int96, _ = encodings._merged_footer_info(str(d))
     assert "when" in int96, "descriptor-only INT96 sighting missed"
     df = encodings.read_drifted(spark, str(d))
     assert dict(df.dtypes)["when"] == "timestamp"
@@ -1084,3 +1084,159 @@ def test_timestamp_annotation_drift_resolves_tz_aware(spark, tmp_path):
             "unix_timestamp(CAST(t AS TIMESTAMP)) AS u",
         ).collect()
     ) == want
+
+
+def _fid(name, typ, i):
+    import pyarrow as pa
+
+    return pa.field(
+        name, typ, metadata={b"PARQUET:field_id": str(i).encode()}
+    )
+
+
+def test_rename_drift_heals_by_field_id(spark, tmp_path):
+    """Rename drift (r17, doctrine class 3 in encodings.py): gen A
+    writes ``price`` under parquet field id 2, gen B — after an
+    Iceberg/Delta-style rename — writes ``unit_price`` under the SAME
+    id. Cells:
+    1. the hazard: a plain name-based read surfaces BOTH names, each
+       NULL for the other generation's rows (on-disk data silently
+       reads as NULL);
+    2. read_drifted heals by field id: ONE canonical column, every
+       generation's values, zero nulls — and composes with the widen
+       lattice when the renamed generation also widened the column;
+    3. canonical name = majority-of-files (tie -> first sighting in
+       sorted-file order);
+    4. a rename collision where some generation lacks field ids
+       refuses loud (id-healing on a partially-stamped directory
+       would silently NULL id-less sightings);
+    5. no collision => no id metadata, and the fieldId session conf
+       is never touched (default-path safety)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from catena_spark.sources import encodings
+
+    d = tmp_path / "ren.parquet"
+    d.mkdir()
+    genA = pa.table(
+        {"k": pa.array([1, 2, 3], pa.int64()),
+         "price": pa.array([10, 20, 30], pa.int32())},
+        schema=pa.schema(
+            [_fid("k", pa.int64(), 1), _fid("price", pa.int32(), 2)]
+        ),
+    )
+    # the renamed generation ALSO widened the column (renames ride
+    # schema evolutions in real lakes) — the alias types must merge
+    # through the same lattice
+    genB = pa.table(
+        {"k": pa.array([4, 5], pa.int64()),
+         "unit_price": pa.array([40, 50], pa.int64())},
+        schema=pa.schema(
+            [_fid("k", pa.int64(), 1), _fid("unit_price", pa.int64(), 2)]
+        ),
+    )
+    pq.write_table(genA, str(d / "part-0000.parquet"))
+    pq.write_table(genB, str(d / "part-0001.parquet"))
+
+    # cell 1 — the hazard. A PLAIN read resolves by footer-sampling
+    # luck: whichever generation's footer wins, the OTHER name's data
+    # silently vanishes (here: 'unit_price' never surfaces, rows 4-5
+    # read NULL). mergeSchema pins the deterministic variant — both
+    # names surface, each NULL for the other generation's rows. Either
+    # way: on-disk data reads as NULL with no error.
+    plain = spark.read.parquet(str(d))
+    assert set(plain.columns) < {"k", "price", "unit_price"}
+    merged = spark.read.option("mergeSchema", "true").parquet(str(d))
+    assert sorted(merged.columns) == ["k", "price", "unit_price"]
+    rows = {r.k: (r.price, r.unit_price) for r in merged.collect()}
+    assert rows[1] == (10, None) and rows[4] == (None, 40)
+
+    # cell 2/3 — healed: canonical name 'price' (tie at one file each
+    # -> first sighting in sorted order), widened to bigint, no nulls
+    with pytest.warns(UserWarning, match="rename drift healed.*id 2"):
+        df = encodings.read_drifted(spark, str(d))
+    assert df.columns == ["k", "price"]
+    assert dict(df.dtypes)["price"] == "bigint"
+    assert sorted((r.k, r.price) for r in df.collect()) == [
+        (1, 10), (2, 20), (3, 30), (4, 40), (5, 50)
+    ]
+
+    # cell 3b — majority beats sighting order: a third file under the
+    # NEW name makes 'unit_price' canonical
+    pq.write_table(genB, str(d / "part-0002.parquet"))
+    with pytest.warns(UserWarning, match="rename drift healed"):
+        sch = encodings.merged_drifted_schema(str(d))
+    assert sch.names == ["k", "unit_price"]
+
+    # cell 4 — a partially-stamped directory refuses loud
+    mixed = tmp_path / "mixed.parquet"
+    mixed.mkdir()
+    pq.write_table(genA, str(mixed / "part-0000.parquet"))
+    noid = pa.table(
+        {"k": pa.array([9], pa.int64()),
+         "unit_price": pa.array([90], pa.int64())}
+    )
+    pq.write_table(genB, str(mixed / "part-0001.parquet"))
+    pq.write_table(noid, str(mixed / "part-0002.parquet"))
+    with pytest.raises(ValueError, match="rename drift detected.*field ids"):
+        encodings.merged_drifted_schema(str(mixed))
+
+    # cell 5 — ids present, no collision: plain name-based path, conf
+    # untouched (read_drifted's zero-behavior-change claim holds even
+    # on an id-stamped Iceberg-style directory)
+    spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+    clean = tmp_path / "clean.parquet"
+    clean.mkdir()
+    pq.write_table(genA, str(clean / "part-0000.parquet"))
+    df = encodings.read_drifted(spark, str(clean))
+    assert [f.metadata for f in df.schema.fields] == [{}, {}]
+    assert (
+        spark.conf.get(
+            "spark.sql.parquet.fieldId.read.enabled", "false"
+        )
+        == "false"
+    )
+
+
+def test_drop_recreate_same_name_different_ids_fails_loud(spark, tmp_path):
+    """Doctrine class 4 (r17): the same NAME under two distinct field
+    ids is a dropped-and-recreated column — semantically TWO columns. A
+    name-based read silently MERGES them (the silent wrong-VALUES shape,
+    pinned here as the hazard); no single read schema is correct for
+    both generations, so the merge lattice must refuse loud."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from catena_spark.sources import encodings
+
+    d = tmp_path / "dr.parquet"
+    d.mkdir()
+    old = pa.table(
+        {"k": pa.array([1, 2], pa.int64()),
+         "score": pa.array([0.1, 0.2], pa.float64())},
+        schema=pa.schema(
+            [_fid("k", pa.int64(), 1), _fid("score", pa.float64(), 2)]
+        ),
+    )
+    new = pa.table(
+        {"k": pa.array([3, 4], pa.int64()),
+         "score": pa.array([9.9, 8.8], pa.float64())},
+        schema=pa.schema(
+            [_fid("k", pa.int64(), 1), _fid("score", pa.float64(), 7)]
+        ),
+    )
+    pq.write_table(old, str(d / "part-0000.parquet"))
+    pq.write_table(new, str(d / "part-0001.parquet"))
+
+    # the hazard: a plain read happily merges both generations' values
+    # into one column — nothing distinguishes old 'score' cells from
+    # recreated ones
+    assert sorted(
+        (r.k, r.score) for r in spark.read.parquet(str(d)).collect()
+    ) == [(1, 0.1), (2, 0.2), (3, 9.9), (4, 8.8)]
+
+    with pytest.raises(
+        ValueError, match="drift on column 'score'.*field ids \\[2, 7\\]"
+    ):
+        encodings.merged_drifted_schema(str(d))
