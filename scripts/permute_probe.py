@@ -120,7 +120,7 @@ def _layout_slices(n: int, splits: int, layout: str) -> list[tuple[int, int]]:
 
 COLORDERS = (None, "reversed", "mixed")
 
-DRIFTS = ("widen", "missing", "widen_nested", "unsigned", "tzadjust")
+DRIFTS = ("widen", "missing", "widen_nested", "unsigned", "tzadjust", "rename")
 
 
 def _drift_modes(drift: str | None) -> set[str]:
@@ -129,6 +129,13 @@ def _drift_modes(drift: str | None) -> set[str]:
     bad = modes - set(DRIFTS)
     if bad:
         raise ValueError(f"drift modes must be in {DRIFTS}, got {sorted(bad)}")
+    if {"missing", "rename"} <= modes:
+        # both consume DRIFT_TABLE/DRIFT_COL — dropping and renaming
+        # the same column in the same odd parts is not a lake shape
+        raise ValueError(
+            "drift modes 'missing' and 'rename' are mutually exclusive "
+            "(both target DRIFT_COL); run them as separate cells"
+        )
     return modes
 
 
@@ -310,6 +317,18 @@ def permuted_copy(
       becomes ``list<double>`` beside ``list<float>`` generations.
       Value-EXACT (binary32 ⊂ binary64), so the original oracle
       applies, like ``widen``.
+    - ``drift='rename'`` (r17): every part-file of ``drift_table`` is
+      stamped with Iceberg-style parquet field ids (position-keyed per
+      ORIGINAL column identity, consistent across parts), and odd
+      parts carry ``drift_col`` RENAMED to ``{drift_col}_renamed`` —
+      the rename-across-generations shape Iceberg/Delta writers leave
+      in raw parquet. read_drifted heals it by field id back to the
+      majority name (the original), so the healed read equals the
+      ORIGINAL bytes exactly and the original oracle applies — a
+      stronger check than null-fill parity. Mutually exclusive with
+      ``missing`` (both consume drift_col). Doctrine + hazard matrix:
+      encodings.py classes 3/4, tests/test_sources.py::
+      test_rename_drift_heals_by_field_id.
 
     Drift-affected tables always get a directory with ≥2 part-files
     (else the drift cannot physically exist), which is why drift
@@ -466,7 +485,7 @@ def permuted_copy(
                 "drifted writer generation)"
             )
         suffix += "_dr" + "-".join(sorted(drift_modes))
-        if "missing" in drift_modes:
+        if {"missing", "rename"} & drift_modes:
             suffix += f"_{drift_table}"
             if drift_col:
                 # ADVICE r15: two runs differing only in DRIFT_COL must
@@ -591,12 +610,26 @@ def permuted_copy(
                     f"drift_col {drop_col!r} not in {t} columns "
                     f"{perm.column_names}"
                 )
+        rename_col = None
+        fid_map: dict[str, int] = {}
+        if "rename" in drift_modes and t == drift_table:
+            rename_col = drift_col or perm.column_names[-1]
+            if rename_col not in perm.column_names:
+                raise ValueError(
+                    f"drift_col {rename_col!r} not in {t} columns "
+                    f"{perm.column_names}"
+                )
+            # field ids keyed by ORIGINAL column identity so every
+            # part agrees regardless of colorder/rename — the uniform
+            # Iceberg-writer stamping read_drifted requires to heal
+            fid_map = {n: j + 1 for j, n in enumerate(perm.column_names)}
         drifted = (
             bool(widen_cols)
             or bool(nested_cols)
             or bool(unsigned_cols)
             or bool(tz_cols)
             or drop_col is not None
+            or rename_col is not None
         )
         has_list = any(
             pa.types.is_list(f.type) or pa.types.is_large_list(f.type)
@@ -665,6 +698,35 @@ def permuted_copy(
                         part = part.select(
                             [n for n in rev_names if n in part.column_names]
                         )
+                if rename_col is not None:
+                    # rename drift: stamp field ids on EVERY part (ids
+                    # are what make the rename healable); odd parts
+                    # carry the renamed generation. cast() to a schema
+                    # with field metadata preserves values and attaches
+                    # the ids pyarrow writes as parquet field_id.
+                    tgt = []
+                    for fname in part.schema.names:
+                        fld = part.schema.field(fname)
+                        nm = (
+                            f"{rename_col}_renamed"
+                            if i % 2 == 1 and fname == rename_col
+                            else fname
+                        )
+                        tgt.append(
+                            pa.field(
+                                nm,
+                                fld.type,
+                                fld.nullable,
+                                {
+                                    b"PARQUET:field_id": str(
+                                        fid_map[fname]
+                                    ).encode()
+                                },
+                            )
+                        )
+                    part = part.rename_columns(
+                        [f.name for f in tgt]
+                    ).cast(pa.schema(tgt))
                 pkw = tkw
                 if (bss or delta) and drifted:
                     # a drifted part's schema differs — recompute the
@@ -1219,6 +1281,20 @@ def main() -> int:
         print(
             "permute_probe: CATENA_SCHEMA_DRIFT_SAFE=1 (drift run — "
             "tables.load pins the footer-derived superset schema)"
+        )
+    if "rename" in drift_modes:
+        # rename is value-preserving AFTER healing: read_drifted's
+        # field-id resolution reads the renamed generation back under
+        # the majority (original) name, so the healed Spark read must
+        # equal the ORIGINAL bytes — the oracle below stays on the
+        # original tables, a stronger check than null-fill parity.
+        # Composing rename with LIST2 on a LIST-bearing drift_table is
+        # unsupported-loud: the legacy rewrite strips field ids, so
+        # read_drifted refuses the partially-stamped directory.
+        print(
+            "permute_probe: rename drift heals by field id — oracle "
+            "stays on ORIGINAL bytes (healed read must equal ground "
+            "truth)"
         )
 
     # Contention sentinel (r14): a foreign Spark JVM sharing the CPUs
