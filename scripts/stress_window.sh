@@ -390,4 +390,81 @@ echo "== input-permutation invariance, splits=4 drift=missing ARRAY col (embeddi
   CATENA_PERMUTE_DRIFT_TABLE=embeddings CATENA_PERMUTE_DRIFT_COL=embedding \
   python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
 
+# r17 standing cells (promoted from the round's ad-hoc runs so future
+# rounds exercise them without re-derivation):
+#
+# unsigned = eligible small-int columns stored UNSIGNED same-width in
+# odd parts (Arrow-pipeline generation mix; the silent bit-wrap hazard
+# class the uint merge lattice closes). tzadjust = odd parts carry the
+# UTC-adjusted timestamp annotation beside naive generations (the
+# pandas-vs-Spark writer mix; lattice resolves tz-aware, naive-as-UTC).
+# Both value-preserving -> original oracle.
+echo "== input-permutation invariance, splits=3 drift=unsigned"
+(cd /tmp && CATENA_PERMUTE_SPLITS=3 CATENA_PERMUTE_DRIFT=unsigned \
+  python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+
+echo "== input-permutation invariance, splits=3 drift=tzadjust"
+(cd /tmp && CATENA_PERMUTE_SPLITS=3 CATENA_PERMUTE_DRIFT=tzadjust \
+  python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+
+# rename (r17): Iceberg-style field-id generations with drift_col
+# renamed in odd parts; read_drifted heals by field id so the healed
+# read must equal the ORIGINAL bytes. One scalar cell (orders) and one
+# ARRAY cell (embeddings.embedding, through every embedding consumer
+# in the window).
+echo "== input-permutation invariance, splits=3 drift=rename (orders, field-id healing)"
+(cd /tmp && CATENA_PERMUTE_SPLITS=3 CATENA_PERMUTE_DRIFT=rename \
+  python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+
+echo "== input-permutation invariance, splits=4 drift=rename ARRAY col (embeddings.embedding)"
+(cd /tmp && CATENA_PERMUTE_SPLITS=4 CATENA_PERMUTE_DRIFT=rename \
+  CATENA_PERMUTE_DRIFT_TABLE=embeddings CATENA_PERMUTE_DRIFT_COL=embedding \
+  python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+
+# legacy list layouts (r17, VERDICT r16 item 4): even part indices
+# rewritten into TWO-level `repeated` and three-level bag layouts
+# beside modern list<element> generations — all three decode exactly
+# on both engines (empirical matrix in SCALE.md r17).
+echo "== input-permutation invariance, splits=4 LIST2 (legacy 2-level + bag list layouts)"
+(cd /tmp && CATENA_PERMUTE_SPLITS=4 CATENA_PERMUTE_LIST2=1 \
+  python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+
+# DELTA encodings (r17): DELTA_BINARY_PACKED ints + DELTA_BYTE_ARRAY /
+# DELTA_LENGTH_BYTE_ARRAY strings on v2 pages (auto-composes nodict —
+# dictionary precedence would leave the cell vacuous).
+echo "== input-permutation invariance, splits=7 DELTA encodings (v2 pages)"
+(cd /tmp && CATENA_PERMUTE_SPLITS=7 CATENA_PERMUTE_DELTA=1 \
+  CATENA_PERMUTE_PAGEV2=1 \
+  python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+
+# bitrot NEGATIVE cell (r17, VERDICT r16 item 5): a CRC-bearing copy
+# with one verified-effective mid-chunk byte flip must fail LOUD under
+# enable_bitrot_detection (the cell replaces the parity run — corrupted
+# bytes have no meaningful parity; exit 0 = the flip was caught loud).
+echo "== bitrot negative cell (page-CRC copy, one flipped byte, must fail loud)"
+(cd /tmp && CATENA_PERMUTE_BITROT=1 \
+  python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+
+# grand compositions (r17): every compatible axis at once — six writer
+# generations and three encoding families in one directory. Two
+# variants because missing and rename are mutually exclusive (both
+# consume DRIFT_COL): (a) the missing-ARRAY composition that forced
+# the NULL-vector doctrine; (b) the rename-ARRAY composition healing
+# through the same consumers.
+echo "== grand composition (a): drift=widen,missing,widen_nested,unsigned,tzadjust + LIST2 + DELTA + codec=mixed"
+(cd /tmp && CATENA_PERMUTE_SPLITS=4 \
+  CATENA_PERMUTE_DRIFT=widen,missing,widen_nested,unsigned,tzadjust \
+  CATENA_PERMUTE_DRIFT_TABLE=embeddings CATENA_PERMUTE_DRIFT_COL=embedding \
+  CATENA_PERMUTE_LIST2=1 CATENA_PERMUTE_DELTA=1 CATENA_PERMUTE_PAGEV2=1 \
+  CATENA_PERMUTE_CODEC=mixed \
+  python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+
+echo "== grand composition (b): drift=widen,rename,widen_nested,unsigned,tzadjust + DELTA + codec=mixed + colorder=mixed"
+(cd /tmp && CATENA_PERMUTE_SPLITS=4 \
+  CATENA_PERMUTE_DRIFT=widen,rename,widen_nested,unsigned,tzadjust \
+  CATENA_PERMUTE_DRIFT_TABLE=embeddings CATENA_PERMUTE_DRIFT_COL=embedding \
+  CATENA_PERMUTE_DELTA=1 CATENA_PERMUTE_PAGEV2=1 \
+  CATENA_PERMUTE_CODEC=mixed CATENA_PERMUTE_COLORDER=mixed \
+  python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+
 echo "== STRESS MATRIX ALL GREEN"
