@@ -679,6 +679,37 @@ def _spark_type(t, path: str = "", int96: frozenset | set = frozenset()):
 # (stock conf — no wrapper needed; costs full-scan filtering).
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Exotic logical types (r17): sightings a lake's foreign partitions
+# carry, pinned per engine by tests/test_sources.py::
+# test_exotic_logical_types_matrix (VALUE reads — count() lies, per the
+# brotli/encryption doctrine):
+#
+# - DECIMAL256, precision > 38 (Arrow-pipeline financial/scientific
+#   data): Spark refuses LOUD (DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION,
+#   both readers). DuckDB SILENTLY reads the column as DOUBLE with
+#   GARBAGE values (measured: 1.23e29 -> 2.07e36; -1.5 -> -2.5e7) —
+#   the only silent-wrong-VALUES cell on EITHER engine across the
+#   whole foreign-bytes program, and it sits on the ORACLE side: a
+#   DuckDB check over such bytes lies silently while Spark fails loud.
+#   Never validate p>38 partitions with DuckDB; rewrite to
+#   decimal(38,_) or split digits before ingest.
+# - DECIMAL256, precision <= 38: EXACT on both engines (FLBA width is
+#   harmless; only p>38 is the hazard).
+# - FLOAT16 / half-float (FLBA2 — fp16 embedding dumps): Spark LOUD
+#   (PARQUET_TYPE_ILLEGAL); DuckDB silently surfaces raw BYTES as BLOB
+#   — silent wrong-TYPE. Rewrite fp16 -> fp32 before ingest.
+# - TIME (MICROS/MILLIS): Spark 4.1.2 rejects LOUD even though
+#   TimeType exists in its API (the parquet reader predates it);
+#   DuckDB decodes micros exactly (TIMETZ) and fails loud on millis
+#   (internal stats defect). Never silent; cast to TIMESTAMP at the
+#   writer for portability.
+# - arrow duration: parquet has no logical type for it — both engines
+#   agree on raw INT64 ticks (unit lives only in arrow metadata;
+#   value-consistent, unit-blind — document the unit out of band).
+# - arrow null type: all-NULL int column on both engines. Benign.
+# ---------------------------------------------------------------------------
+
 #: Hadoop conf gating parquet page-CRC verification at scan time.
 PAGE_VERIFY_CONF = "parquet.page.verify-checksum.enabled"
 

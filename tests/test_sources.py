@@ -1240,3 +1240,113 @@ def test_drop_recreate_same_name_different_ids_fails_loud(spark, tmp_path):
         ValueError, match="drift on column 'score'.*field ids \\[2, 7\\]"
     ):
         encodings.merged_drifted_schema(str(d))
+
+
+def test_exotic_logical_types_matrix(spark, tmp_path):
+    """Exotic-logical-type sightings (r17): parquet types a lake's
+    foreign partitions can carry, pinned per engine (value reads, never
+    count — the count-trap doctrine). The headline is the program's
+    first SILENT WRONG-VALUES oracle cell: DuckDB reads
+    DECIMAL256(p>38) as DOUBLE with garbage values while Spark refuses
+    loud — so an oracle over such bytes lies silently. Full matrix in
+    the encodings.py doctrine block; rewrite-before-ingest is the
+    mitigation for every non-exact row."""
+    import datetime
+    from decimal import Decimal
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def w(name, arr, typ):
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(
+            pa.table(
+                {"k": pa.array([1, 2], pa.int64()),
+                 "v": pa.array(arr, typ)}
+            ),
+            p,
+        )
+        return p
+
+    def spark_read(p):
+        try:
+            df = spark.read.parquet(p)
+            return ("OK", dict(df.dtypes)["v"],
+                    [r.v for r in df.orderBy("k").collect()])
+        except Exception as ex:
+            return ("LOUD", str(ex))
+
+    def duck_read(p):
+        con = duckdb.connect()
+        try:
+            rows = con.execute(
+                f"SELECT v FROM read_parquet('{p}') ORDER BY k"
+            ).fetchall()
+            ty = con.execute(
+                f"SELECT typeof(v) FROM read_parquet('{p}') LIMIT 1"
+            ).fetchone()[0]
+            return ("OK", ty, [r[0] for r in rows])
+        except Exception as ex:
+            return ("LOUD", str(ex))
+        finally:
+            con.close()
+
+    # DECIMAL256 precision>38: Spark LOUD; DuckDB SILENTLY decodes to
+    # DOUBLE with WRONG values (the only silent-wrong-values cell on
+    # either engine across the whole foreign-bytes program)
+    big = Decimal("123456789012345678901234567890.1234567890")
+    p = w("d50", [big, Decimal("-1.5")], pa.decimal256(50, 10))
+    st = spark_read(p)
+    assert st[0] == "LOUD" and "PRECISION_EXCEEDS_MAX_PRECISION" in st[1]
+    dk = duck_read(p)
+    assert dk[0] == "OK" and dk[1] == "DOUBLE"
+    assert abs(dk[2][0] - float(big)) > 1e30 and dk[2][1] != -1.5
+
+    # DECIMAL256 precision<=38: EXACT on both engines (the FLBA width
+    # alone is harmless; only p>38 is the hazard)
+    ok = Decimal("1234567890123456789012345.12345")
+    p = w("d30", [ok, Decimal("-2.5")], pa.decimal256(30, 5))
+    st, dk = spark_read(p), duck_read(p)
+    assert st[0] == "OK" and st[1] == "decimal(30,5)" and st[2][0] == ok
+    assert dk[0] == "OK" and dk[1] == "DECIMAL(30,5)" and dk[2][0] == ok
+
+    # FLOAT16 (FLBA2, ML-pipeline embeddings): Spark LOUD; DuckDB
+    # silently surfaces raw BYTES as BLOB — silent wrong-TYPE
+    p = w("f16", [np.float16(1.5), np.float16(-0.25)], pa.float16())
+    st = spark_read(p)
+    assert st[0] == "LOUD" and "PARQUET_TYPE_ILLEGAL" in st[1]
+    dk = duck_read(p)
+    assert dk[0] == "OK" and dk[1] == "BLOB" and dk[2][0] == b"\x00>"
+
+    # TIME: Spark 4.1.2's parquet reader rejects TIME(MICROS|MILLIS)
+    # loud even though TimeType exists in its API; DuckDB decodes the
+    # micros flavor exactly (TIMETZ — pyarrow stamps isAdjustedToUTC)
+    # and dies on an internal stats bug for millis. Never silent.
+    p = w("t64", [datetime.time(23, 59, 59, 123456),
+                  datetime.time(0, 0, 1)], pa.time64("us"))
+    st = spark_read(p)
+    assert st[0] == "LOUD" and "PARQUET_TYPE_ILLEGAL" in st[1]
+    dk = duck_read(p)
+    assert dk[0] == "OK" and dk[2][0].replace(tzinfo=None) == (
+        datetime.time(23, 59, 59, 123456)
+    )
+    p = w("t32", [datetime.time(12, 30, 15)] * 2, pa.time32("ms"))
+    assert spark_read(p)[0] == "LOUD"
+    assert duck_read(p)[0] == "LOUD"
+
+    # arrow duration: parquet has NO logical type for it — both engines
+    # agree on the raw INT64 ticks (unit context lives only in arrow
+    # metadata; value-consistent, unit-blind)
+    p = w("dur", [datetime.timedelta(seconds=90),
+                  datetime.timedelta(days=1)], pa.duration("us"))
+    st, dk = spark_read(p), duck_read(p)
+    assert st[0] == "OK" and st[2] == [90000000, 86400000000]
+    assert dk[0] == "OK" and dk[2] == [90000000, 86400000000]
+
+    # arrow null type: both engines surface an all-NULL int column
+    p = w("nul", [None, None], pa.null())
+    st, dk = spark_read(p), duck_read(p)
+    assert st[0] == "OK" and st[2] == [None, None]
+    assert dk[0] == "OK" and dk[2] == [None, None]
