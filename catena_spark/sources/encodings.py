@@ -708,6 +708,14 @@ def _spark_type(t, path: str = "", int96: frozenset | set = frozenset()):
 #   agree on raw INT64 ticks (unit lives only in arrow metadata;
 #   value-consistent, unit-blind — document the unit out of band).
 # - arrow null type: all-NULL int column on both engines. Benign.
+#
+# Partial-write leftovers (same round, pinned by
+# test_partial_write_leftovers_matrix): a ZERO-BYTE part-file is
+# silently SKIPPED by Spark (all real rows read correctly) but kills a
+# DuckDB glob loud — clean them before pointing an oracle at a raw
+# directory. A TRUNCATED part-file (tail cut mid-footer) is loud on
+# both engines even for count(*) — the one corruption class where
+# count() does NOT lie, because the footer itself is unreadable.
 # ---------------------------------------------------------------------------
 
 #: Hadoop conf gating parquet page-CRC verification at scan time.

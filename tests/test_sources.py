@@ -1350,3 +1350,54 @@ def test_exotic_logical_types_matrix(spark, tmp_path):
     st, dk = spark_read(p), duck_read(p)
     assert st[0] == "OK" and st[2] == [None, None]
     assert dk[0] == "OK" and dk[2] == [None, None]
+
+
+def test_partial_write_leftovers_matrix(spark, tmp_path):
+    """Failed-write leftovers (r17): the two shapes a crashed writer
+    leaves in a directory. (a) ZERO-BYTE part-file: Spark silently
+    SKIPS it — every real row still reads correctly — while DuckDB
+    fails loud on the whole glob (engine asymmetry: a DuckDB oracle
+    dies on a directory Spark serves fine; values never wrong).
+    (b) TRUNCATED part-file (tail cut mid-footer): LOUD on both
+    engines, and — unlike the brotli/plaintext-footer-encryption
+    count-trap — even count(*) fails, because the footer itself is
+    unreadable."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import os
+
+    t = pa.table(
+        {"k": pa.array(range(100), pa.int64()),
+         "v": pa.array([float(i) for i in range(100)])}
+    )
+    for name in ("zero", "trunc"):
+        d = tmp_path / f"{name}.parquet"
+        d.mkdir()
+        pq.write_table(t.slice(0, 50), str(d / "part-0000.parquet"))
+        pq.write_table(t.slice(50, 50), str(d / "part-0001.parquet"))
+
+    z = tmp_path / "zero.parquet"
+    (z / "part-0002.parquet").write_bytes(b"")
+    df = spark.read.parquet(str(z))
+    assert df.count() == 100  # zero-byte file silently skipped
+    assert sorted(r.k for r in df.collect()) == list(range(100))
+    con = duckdb.connect()
+    with pytest.raises(Exception, match="too small to be a Parquet"):
+        con.execute(
+            f"SELECT count(*) FROM read_parquet('{z}/*.parquet')"
+        ).fetchall()
+
+    tr = tmp_path / "trunc.parquet"
+    p = str(tr / "part-0001.parquet")
+    with open(p, "r+b") as f:
+        f.truncate(os.path.getsize(p) - 37)
+    # count(*) AND value reads both loud on both engines
+    with pytest.raises(Exception, match="magic number|Parquet"):
+        spark.read.parquet(str(tr)).count()
+    with pytest.raises(Exception, match="No magic bytes"):
+        con.execute(
+            f"SELECT count(*) FROM read_parquet('{tr}/*.parquet')"
+        ).fetchall()
+    con.close()
