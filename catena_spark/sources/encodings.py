@@ -420,29 +420,47 @@ def _merged_footer_info(path: str, max_files: int | None = None):
     # name-based (null-filled), never wrong values.
     name_files: dict[str, int] = {}
     name_ids: dict[str, set] = {}
-    for fp in files:
+
+    def _footer_of(fp: str):
         pf = pq.ParquetFile(fp)
-        for f in pf.schema_arrow:
-            fid = (f.metadata or {}).get(b"PARQUET:field_id")
-            if f.name not in sightings:
-                names.append(f.name)
-                sightings[f.name] = [f.type]
-            elif not any(f.type.equals(t) for t in sightings[f.name]):
-                sightings[f.name].append(f.type)
-            name_files[f.name] = name_files.get(f.name, 0) + 1
-            name_ids.setdefault(f.name, set()).add(
-                int(fid) if fid is not None else None
-            )
+        fields = [
+            (f.name, f.type, (f.metadata or {}).get(b"PARQUET:field_id"))
+            for f in pf.schema_arrow
+        ]
         # physical types come from the footer's schema DESCRIPTOR, not
         # row_group(0) (ADVICE r15): the descriptor exists even in
         # zero-row-group part-files and covers every row group, so a
         # timestamp column whose only INT96 sighting lives in a
         # schema-only part-file is still mapped to TimestampType
         desc = pf.metadata.schema
-        for i in range(len(desc)):
-            c = desc.column(i)
-            if c.physical_type == "INT96":
-                int96.add(c.path)
+        i96 = [
+            desc.column(i).path
+            for i in range(len(desc))
+            if desc.column(i).physical_type == "INT96"
+        ]
+        return fields, i96
+
+    # Deliberately SERIAL (r17, measured): thread-pooling this sweep is
+    # a loss at every pool size on local files — 400 warm footers read
+    # serial in 16 ms vs 77/109/217/214 ms at 2/4/8/16 threads —
+    # because pyarrow's footer parse holds the GIL for Python schema-
+    # object construction; there is no IO wait to overlap. On an
+    # object store the math could invert (ms-scale latency per GET),
+    # but at that scale the right fix is a manifest-bearing table
+    # format, not a wider footer sweep (doctrine block above).
+    footers = [_footer_of(fp) for fp in files]
+    for fields, i96 in footers:
+        for name, typ, fid in fields:
+            if name not in sightings:
+                names.append(name)
+                sightings[name] = [typ]
+            elif not any(typ.equals(t) for t in sightings[name]):
+                sightings[name].append(typ)
+            name_files[name] = name_files.get(name, 0) + 1
+            name_ids.setdefault(name, set()).add(
+                int(fid) if fid is not None else None
+            )
+        int96.update(i96)
     # DROP+RECREATE (doctrine class 4): one NAME under two distinct
     # field ids is two semantically different columns that a name-based
     # read would silently merge (wrong values) — no correct read schema
