@@ -244,6 +244,28 @@ def mitigate_byte_stream_split(
 #    were the recreated column's), and an id-based read of either id
 #    silently NULLs the other generation. No read schema is correct
 #    for both generations at once → refuse loud, decimal-drift-style.
+# 5. STRING-ANNOTATION drift (r17): ancient writers (old Impala /
+#    early parquet-mr paths) wrote textual BYTE_ARRAY columns WITHOUT
+#    the UTF8/STRING annotation — the reason both engines ship a
+#    legacy knob for exactly this (`spark.sql.parquet.binaryAsString`,
+#    DuckDB `read_parquet(..., binary_as_string=true)`). A directory
+#    mixing annotated and unannotated generations of one column
+#    (pinned by tests/test_sources.py::test_binstr_annotation_drift):
+#    - plain Spark read: column TYPE decided by footer-sampling luck
+#      (string or binary — bytes never wrong, nondeterministic type,
+#      the tzadjust shape again);
+#    - DuckDB union_by_name: fail-LOUD (VARCHAR vs BLOB cast), healed
+#      exactly by binary_as_string=true;
+#    - an explicit Spark schema decodes BOTH generations exactly under
+#      EITHER type (string or binary — BYTE_ARRAY pages are
+#      annotation-blind at decode). The lattice resolves to STRING —
+#      the two legacy knobs' shared verdict — matching DuckDB's
+#      healed read. Caveat, pinned: bytes that aren't valid UTF-8
+#      stay byte-faithful in Spark (UTF8String holds raw bytes;
+#      rendering is lossy but a cast back to binary returns them
+#      exactly) while DuckDB refuses them LOUD — genuinely-binary
+#      data mistakenly beside a string-annotated generation can never
+#      silently corrupt on either engine.
 # ---------------------------------------------------------------------------
 
 #: Widening lattices: any two sighted types in the same family merge to
@@ -338,6 +360,19 @@ def _merge_arrow_types(a, b, col: str, int96: frozenset | set = frozenset()):
         # under the session's nanosAsLong pin, and bigint vs timestamp
         # cannot share one read schema.
         return pa.timestamp("ns")
+    strings = {"string", "large_string"}
+    binaries = {"binary", "large_binary"}
+    if sa in strings | binaries and sb in strings | binaries:
+        # STRING-ANNOTATION drift (doctrine class 5): an unannotated
+        # BYTE_ARRAY generation beside a UTF8-annotated one — the
+        # legacy shape both engines ship a binary-as-string knob for.
+        # BYTE_ARRAY pages decode exactly under either read type;
+        # resolve to STRING, the two knobs' shared verdict. The
+        # large_* variants are an arrow offset-width detail (parquet
+        # BYTE_ARRAY is identical) — same-annotation width mixes
+        # normalize to the small variant, keeping the lattice
+        # absorbing.
+        return pa.string() if sa in strings or sb in strings else pa.binary()
     if (
         pa.types.is_timestamp(a)
         and pa.types.is_timestamp(b)

@@ -120,7 +120,10 @@ def _layout_slices(n: int, splits: int, layout: str) -> list[tuple[int, int]]:
 
 COLORDERS = (None, "reversed", "mixed")
 
-DRIFTS = ("widen", "missing", "widen_nested", "unsigned", "tzadjust", "rename")
+DRIFTS = (
+    "widen", "missing", "widen_nested", "unsigned", "tzadjust",
+    "rename", "binstr",
+)
 
 
 def _drift_modes(drift: str | None) -> set[str]:
@@ -317,6 +320,13 @@ def permuted_copy(
       becomes ``list<double>`` beside ``list<float>`` generations.
       Value-EXACT (binary32 ⊂ binary64), so the original oracle
       applies, like ``widen``.
+    - ``drift='binstr'`` (r17): every top-level STRING column (any
+      table) is stored as UNANNOTATED BYTE_ARRAY in odd parts — the
+      ancient-writer shape behind spark.sql.parquet.binaryAsString /
+      DuckDB binary_as_string (same bytes, no UTF8 annotation). The
+      merge lattice resolves the mix to string (doctrine class 5), so
+      the healed read equals the ORIGINAL bytes and the original
+      oracle applies.
     - ``drift='rename'`` (r17): every part-file of ``drift_table`` is
       stamped with Iceberg-style parquet field ids (position-keyed per
       ORIGINAL column identity, consistent across parts), and odd
@@ -578,6 +588,13 @@ def permuted_copy(
         # normalization). ns timestamps excluded (nanosAsLong/INT96
         # lattice territory); composing with the INT96 knob makes this
         # cell vacuous (INT96 swallows annotations) — don't pair them.
+        binstr_cols: dict = {}
+        if "binstr" in drift_modes:
+            binstr_cols = {
+                f.name: pa.binary()
+                for f in perm.schema
+                if str(f.type) == "string"
+            }
         tz_cols: dict = {}
         if "tzadjust" in drift_modes:
             for f in perm.schema:
@@ -628,6 +645,7 @@ def permuted_copy(
             or bool(nested_cols)
             or bool(unsigned_cols)
             or bool(tz_cols)
+            or bool(binstr_cols)
             or drop_col is not None
             or rename_col is not None
         )
@@ -670,7 +688,8 @@ def permuted_copy(
             ):
                 part = perm.slice(off, ln)
                 if i % 2 == 1:
-                    if widen_cols or nested_cols or unsigned_cols or tz_cols:
+                    if (widen_cols or nested_cols or unsigned_cols
+                            or tz_cols or binstr_cols):
                         part = part.cast(
                             pa.schema(
                                 [
@@ -682,8 +701,11 @@ def permuted_copy(
                                             f.name,
                                             tz_cols.get(
                                                 f.name,
-                                                nested_cols.get(
-                                                    f.name, f.type
+                                                binstr_cols.get(
+                                                    f.name,
+                                                    nested_cols.get(
+                                                        f.name, f.type
+                                                    ),
                                                 ),
                                             ),
                                         ),

@@ -421,6 +421,14 @@ echo "== input-permutation invariance, splits=4 drift=rename ARRAY col (embeddin
   CATENA_PERMUTE_DRIFT_TABLE=embeddings CATENA_PERMUTE_DRIFT_COL=embedding \
   python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
 
+# string-annotation drift (r17): every top-level string column stored
+# as unannotated BYTE_ARRAY in odd parts — the ancient-writer shape
+# behind binaryAsString; the lattice resolves the mix to string
+# (doctrine class 5), so the original oracle applies.
+echo "== input-permutation invariance, splits=3 drift=binstr (unannotated BYTE_ARRAY generations)"
+(cd /tmp && CATENA_PERMUTE_SPLITS=3 CATENA_PERMUTE_DRIFT=binstr \
+  python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
+
 # legacy list layouts (r17, VERDICT r16 item 4): even part indices
 # rewritten into TWO-level `repeated` and three-level bag layouts
 # beside modern list<element> generations — all three decode exactly
@@ -451,17 +459,17 @@ echo "== bitrot negative cell (page-CRC copy, one flipped byte, must fail loud)"
 # consume DRIFT_COL): (a) the missing-ARRAY composition that forced
 # the NULL-vector doctrine; (b) the rename-ARRAY composition healing
 # through the same consumers.
-echo "== grand composition (a): drift=widen,missing,widen_nested,unsigned,tzadjust + LIST2 + DELTA + codec=mixed"
+echo "== grand composition (a): drift=widen,missing,widen_nested,unsigned,tzadjust,binstr + LIST2 + DELTA + codec=mixed"
 (cd /tmp && CATENA_PERMUTE_SPLITS=4 \
-  CATENA_PERMUTE_DRIFT=widen,missing,widen_nested,unsigned,tzadjust \
+  CATENA_PERMUTE_DRIFT=widen,missing,widen_nested,unsigned,tzadjust,binstr \
   CATENA_PERMUTE_DRIFT_TABLE=embeddings CATENA_PERMUTE_DRIFT_COL=embedding \
   CATENA_PERMUTE_LIST2=1 CATENA_PERMUTE_DELTA=1 CATENA_PERMUTE_PAGEV2=1 \
   CATENA_PERMUTE_CODEC=mixed \
   python /root/repo/scripts/permute_probe.py /root/testdata/sf0.01 $WINDOW | tail -1)
 
-echo "== grand composition (b): drift=widen,rename,widen_nested,unsigned,tzadjust + DELTA + codec=mixed + colorder=mixed"
+echo "== grand composition (b): drift=widen,rename,widen_nested,unsigned,tzadjust,binstr + DELTA + codec=mixed + colorder=mixed"
 (cd /tmp && CATENA_PERMUTE_SPLITS=4 \
-  CATENA_PERMUTE_DRIFT=widen,rename,widen_nested,unsigned,tzadjust \
+  CATENA_PERMUTE_DRIFT=widen,rename,widen_nested,unsigned,tzadjust,binstr \
   CATENA_PERMUTE_DRIFT_TABLE=embeddings CATENA_PERMUTE_DRIFT_COL=embedding \
   CATENA_PERMUTE_DELTA=1 CATENA_PERMUTE_PAGEV2=1 \
   CATENA_PERMUTE_CODEC=mixed CATENA_PERMUTE_COLORDER=mixed \

@@ -951,7 +951,10 @@ def _lattice_types():
         pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
         pa.decimal128(20, 0),
         pa.float16(), pa.float32(), pa.float64(),
-        pa.string(), pa.bool_(), pa.date32(),
+        # r17: unannotated-BYTE_ARRAY generations (string-annotation
+        # drift) live in one family with the annotated strings
+        pa.string(), pa.large_string(), pa.binary(), pa.large_binary(),
+        pa.bool_(), pa.date32(),
         pa.timestamp("us"), pa.timestamp("ns"),
         # r17: the UTC-adjusted writer generations
         pa.timestamp("us", "UTC"), pa.timestamp("ns", "UTC"),
@@ -1046,6 +1049,13 @@ def test_merge_lattice_never_crosses_families():
                     fams.add("int")
                 elif str(base) in ("halffloat", "float", "double"):
                     fams.add("float")
+                elif str(base) in (
+                    "string", "large_string", "binary", "large_binary"
+                ):
+                    # r17 string-annotation drift: BYTE_ARRAY pages
+                    # decode exactly under either read type; the
+                    # lattice resolves mixes to string
+                    fams.add("bytes")
                 elif pa.types.is_timestamp(base):
                     # r17: naive + UTC-adjusted at one unit are the
                     # SAME family (annotation drift); units differ

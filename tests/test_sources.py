@@ -1401,3 +1401,89 @@ def test_partial_write_leftovers_matrix(spark, tmp_path):
             f"SELECT count(*) FROM read_parquet('{tr}/*.parquet')"
         ).fetchall()
     con.close()
+
+
+def test_binstr_annotation_drift(spark, tmp_path):
+    """String-annotation drift (r17, doctrine class 5): ancient writers
+    wrote textual BYTE_ARRAY without the UTF8/STRING annotation — the
+    legacy shape behind spark.sql.parquet.binaryAsString and DuckDB's
+    read_parquet(binary_as_string). Cells:
+    1. plain read: column TYPE decided by footer-sampling luck (string
+       or binary — bytes never wrong, type nondeterministic);
+    2. read_drifted resolves the mix to STRING deterministically,
+       values exact;
+    3. DuckDB union_by_name is loud on the mix and exact under
+       binary_as_string=true — the same verdict;
+    4. invalid-UTF-8 bytes under the string resolution: byte-faithful
+       on Spark (rendering lossy, cast back returns the exact bytes),
+       LOUD on DuckDB — never silently wrong on either engine."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from catena_spark.sources import encodings
+
+    gs = pa.table(
+        {"k": pa.array([1, 2], pa.int64()),
+         "s": pa.array(["alpha", "béta"], pa.string())}
+    )
+    gb = pa.table(
+        {"k": pa.array([3, 4], pa.int64()),
+         "s": pa.array([b"gamma", "délta".encode()], pa.binary())}
+    )
+    sfirst = tmp_path / "sfirst.parquet"
+    bfirst = tmp_path / "bfirst.parquet"
+    for d, order in ((sfirst, (gs, gb)), (bfirst, (gb, gs))):
+        d.mkdir()
+        pq.write_table(order[0], str(d / "part-0000.parquet"))
+        pq.write_table(order[1], str(d / "part-0001.parquet"))
+
+    # cell 1 — footer luck decides the TYPE; values byte-correct both ways
+    assert dict(spark.read.parquet(str(sfirst)).dtypes)["s"] == "string"
+    assert dict(spark.read.parquet(str(bfirst)).dtypes)["s"] == "binary"
+
+    # cell 2 — deterministic resolution to string, both sighting orders
+    want = [(1, "alpha"), (2, "béta"), (3, "gamma"), (4, "délta")]
+    for d in (sfirst, bfirst):
+        df = encodings.read_drifted(spark, str(d))
+        assert dict(df.dtypes)["s"] == "string"
+        assert sorted((r.k, r.s) for r in df.collect()) == want
+
+    # cell 3 — DuckDB: loud on the mix, exact under the legacy knob
+    con = duckdb.connect()
+    with pytest.raises(Exception, match="VARCHAR|BLOB|cast"):
+        con.execute(
+            f"SELECT k, s FROM read_parquet('{sfirst}/*.parquet', "
+            "union_by_name=true) ORDER BY k"
+        ).fetchall()
+    got = con.execute(
+        f"SELECT k, s FROM read_parquet('{sfirst}/*.parquet', "
+        "union_by_name=true, binary_as_string=true) ORDER BY k"
+    ).fetchall()
+    assert got == want
+
+    # cell 4 — invalid UTF-8 under the string resolution
+    bad = tmp_path / "bad.parquet"
+    bad.mkdir()
+    pq.write_table(gs.slice(0, 1), str(bad / "part-0000.parquet"))
+    pq.write_table(
+        pa.table(
+            {"k": pa.array([9], pa.int64()),
+             "s": pa.array([b"\xff\xfe\x00raw"], pa.binary())}
+        ),
+        str(bad / "part-0001.parquet"),
+    )
+    rt = encodings.read_drifted(spark, str(bad)).select(
+        "k", F.col("s").cast("binary").alias("b")
+    )
+    assert sorted((r.k, bytes(r.b)) for r in rt.collect()) == [
+        (1, b"alpha"), (9, b"\xff\xfe\x00raw")
+    ]
+    with pytest.raises(Exception, match="not valid UTF8"):
+        con.execute(
+            f"SELECT s FROM read_parquet('{bad}/*.parquet', "
+            "union_by_name=true, binary_as_string=true)"
+        ).fetchall()
+    con.close()
