@@ -1431,15 +1431,23 @@ def main() -> int:
         # is exactly the semantics the axis exists to pin. widen-only
         # drift stays on the original oracle (values are preserved;
         # only the physical int width moves).
+        # composed with binstr, odd parts carry unannotated BYTE_ARRAY
+        # string columns — DuckDB's union binds them BLOB and every
+        # string function in the oracle SQL throws BinderException
+        # (caught live by the first sf0.1 missing+binstr capstone).
+        # binary_as_string=true is DuckDB's OWN legacy knob for exactly
+        # these bytes (doctrine class 5) — the oracle must read the
+        # drifted copy the way the doctrine prescribes reading it.
+        bas = ", binary_as_string=true" if "binstr" in drift_modes else ""
         print(
             "permute_probe: oracle reads the DRIFTED copy "
-            "(union_by_name=true) — null-fill parity mode"
+            f"(union_by_name=true{bas}) — null-fill parity mode"
         )
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
                 f"'{oracle_view_source(perm_dir, t)}', "
-                f"union_by_name=true)"
+                f"union_by_name=true{bas})"
             )
     else:
         for t in TABLES:
