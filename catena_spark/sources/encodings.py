@@ -266,6 +266,23 @@ def mitigate_byte_stream_split(
 #      exactly) while DuckDB refuses them LOUD — genuinely-binary
 #      data mistakenly beside a string-annotated generation can never
 #      silently corrupt on either engine.
+# 6. STRUCT-MEMBER evolution (r17): a field added inside a struct
+#    column across generations (event-payload tables' commonest
+#    drift), often with a member widening in the same step. Pinned by
+#    tests/test_sources.py::test_struct_member_evolution_drift:
+#    - plain Spark read: footer luck — fail-loud type mismatch or
+#      silent success with the sampled generation's shape; never wrong
+#      values;
+#    - explicit SUPERSET struct schema: exact on BOTH readers —
+#      missing members NULL, int32 pages widen under a bigint member,
+#      members resolved by NAME not position. The lattice unions
+#      struct members by name (each member recursively merged;
+#      merged-member order is sorted when generations differ, keeping
+#      the merge commutative);
+#    - DuckDB: fail-LOUD even under union_by_name ("Cannot cast
+#      STRUCTs of different size") — the one drift class where the
+#      oracle engine has NO healing knob; parity checks over evolved
+#      struct partitions need the struct exploded into columns first.
 # ---------------------------------------------------------------------------
 
 #: Widening lattices: any two sighted types in the same family merge to
@@ -400,6 +417,34 @@ def _merge_arrow_types(a, b, col: str, int96: frozenset | set = frozenset()):
             _merge_arrow_types(
                 a.value_type, b.value_type, f"{col}.list.element", int96
             )
+        )
+    if pa.types.is_struct(a) and pa.types.is_struct(b):
+        # STRUCT-MEMBER evolution (doctrine class 6): the commonest
+        # drift in event-payload tables — a new field added inside a
+        # struct column, often alongside a member widening. Union the
+        # members by NAME, each recursively through this same lattice;
+        # members present in only one generation null-fill on read.
+        # Spark decodes the superset struct schema exactly on both
+        # readers (missing member -> NULL, int32 pages widen under a
+        # bigint member, member ORDER resolved by name — all pinned by
+        # tests/test_sources.py::test_struct_member_evolution_drift).
+        # Member order is SORTED whenever the generations differ: any
+        # sighting-dependent order would make this merge
+        # non-commutative (the property suite enforces the algebra).
+        amap = {f.name: f.type for f in a}
+        bmap = {f.name: f.type for f in b}
+        return pa.struct(
+            [
+                (
+                    n,
+                    _merge_arrow_types(
+                        amap[n], bmap[n], f"{col}.{n}", int96
+                    )
+                    if n in amap and n in bmap
+                    else (amap.get(n) or bmap[n]),
+                )
+                for n in sorted(set(amap) | set(bmap))
+            ]
         )
     raise ValueError(
         f"irreconcilable schema drift on column {col!r}: {a} vs {b} — "

@@ -959,6 +959,12 @@ def _lattice_types():
         # r17: the UTC-adjusted writer generations
         pa.timestamp("us", "UTC"), pa.timestamp("ns", "UTC"),
         pa.decimal128(12, 2), pa.decimal128(18, 2),
+        # r17 struct-member evolution: member-set growth + member
+        # widening + member-order permutation, all in one family
+        pa.struct([("a", pa.int32())]),
+        pa.struct([("a", pa.int64()), ("b", pa.string())]),
+        pa.struct([("b", pa.string()), ("a", pa.int32())]),
+        pa.struct([("c", pa.float64())]),
     ]
     return flat + [pa.list_(t) for t in flat]
 
@@ -1056,6 +1062,10 @@ def test_merge_lattice_never_crosses_families():
                     # decode exactly under either read type; the
                     # lattice resolves mixes to string
                     fams.add("bytes")
+                elif pa.types.is_struct(base):
+                    # r17 struct-member evolution: all structs are one
+                    # family (members union by name, null-filled)
+                    fams.add("struct")
                 elif pa.types.is_timestamp(base):
                     # r17: naive + UTC-adjusted at one unit are the
                     # SAME family (annotation drift); units differ

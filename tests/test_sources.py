@@ -1487,3 +1487,78 @@ def test_binstr_annotation_drift(spark, tmp_path):
             "union_by_name=true, binary_as_string=true)"
         ).fetchall()
     con.close()
+
+
+def test_struct_member_evolution_drift(spark, tmp_path):
+    """Struct-member evolution (r17, doctrine class 6): a field added
+    inside a struct column across generations, with a member widening
+    in the same step — the event-payload drift. Cells:
+    1. plain Spark read: footer luck (fail-loud mismatch or the
+       sampled generation's shape) — never wrong values;
+    2. read_drifted pins the superset struct: missing member NULL,
+       int32 pages widened under the bigint member, members resolved
+       by NAME — exact on the same bytes;
+    3. DuckDB is LOUD even under union_by_name (no healing knob —
+       parity over evolved structs needs the struct exploded first);
+    4. struct vs non-struct stays irreconcilable-loud."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from catena_spark.sources import encodings
+
+    d = tmp_path / "evo.parquet"
+    d.mkdir()
+    old = pa.table(
+        {"k": pa.array([1, 2], pa.int64()),
+         "p": pa.array([{"a": 10}, {"a": 20}],
+                       pa.struct([("a", pa.int32())]))}
+    )
+    new = pa.table(
+        {"k": pa.array([3, 4], pa.int64()),
+         "p": pa.array([{"a": 30, "b": "x"}, {"a": 40, "b": "y"}],
+                       pa.struct([("a", pa.int64()), ("b", pa.string())]))}
+    )
+    pq.write_table(old, str(d / "part-0000.parquet"))
+    pq.write_table(new, str(d / "part-0001.parquet"))
+
+    # cell 1 — loud, or exactly the sampled generation's shape
+    try:
+        rows = spark.read.parquet(str(d)).collect()
+        assert {r.k for r in rows} == {1, 2, 3, 4}
+    except Exception as e:
+        assert "MISMATCH" in str(e) or "ConvertNotSupported" in str(e)
+
+    # cell 2 — superset struct, exact on the drifted bytes
+    sch = encodings.merged_drifted_schema(str(d))
+    assert sch.field("p").type == pa.struct(
+        [("a", pa.int64()), ("b", pa.string())]
+    )
+    df = encodings.read_drifted(spark, str(d))
+    assert dict(df.dtypes)["p"] == "struct<a:bigint,b:string>"
+    got = sorted(
+        (r.k, r.p.a, r.p.b) for r in df.collect()
+    )
+    assert got == [(1, 10, None), (2, 20, None),
+                   (3, 30, "x"), (4, 40, "y")]
+
+    # cell 3 — the oracle engine has no healing knob for this class
+    con = duckdb.connect()
+    with pytest.raises(Exception, match="STRUCT"):
+        con.execute(
+            f"SELECT p FROM read_parquet('{d}/*.parquet', "
+            "union_by_name=true)"
+        ).fetchall()
+    con.close()
+
+    # cell 4 — struct vs scalar refuses loud
+    bad = tmp_path / "bad.parquet"
+    bad.mkdir()
+    pq.write_table(old, str(bad / "part-0000.parquet"))
+    pq.write_table(
+        pa.table({"k": pa.array([9], pa.int64()),
+                  "p": pa.array([1.5], pa.float64())}),
+        str(bad / "part-0001.parquet"),
+    )
+    with pytest.raises(ValueError, match="irreconcilable.*'p'"):
+        encodings.merged_drifted_schema(str(bad))
