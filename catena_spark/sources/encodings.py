@@ -418,6 +418,21 @@ def _merge_arrow_types(a, b, col: str, int96: frozenset | set = frozenset()):
                 a.value_type, b.value_type, f"{col}.list.element", int96
             )
         )
+    if pa.types.is_map(a) and pa.types.is_map(b):
+        # MAP generations widen through their key/value types (the
+        # map<string,int32> beside map<string,int64> shape); Spark
+        # decodes the widened map schema exactly on both readers and
+        # DuckDB's union unifies it too (pinned by
+        # tests/test_sources.py::test_map_value_widening_drift). Paths
+        # mirror _spark_type's map convention.
+        return pa.map_(
+            _merge_arrow_types(
+                a.key_type, b.key_type, f"{col}.key_value.key", int96
+            ),
+            _merge_arrow_types(
+                a.item_type, b.item_type, f"{col}.key_value.value", int96
+            ),
+        )
     if pa.types.is_struct(a) and pa.types.is_struct(b):
         # STRUCT-MEMBER evolution (doctrine class 6): the commonest
         # drift in event-payload tables — a new field added inside a

@@ -965,6 +965,9 @@ def _lattice_types():
         pa.struct([("a", pa.int64()), ("b", pa.string())]),
         pa.struct([("b", pa.string()), ("a", pa.int32())]),
         pa.struct([("c", pa.float64())]),
+        # r17 map-generation widening (key/value through the lattice)
+        pa.map_(pa.string(), pa.int32()),
+        pa.map_(pa.string(), pa.int64()),
     ]
     return flat + [pa.list_(t) for t in flat]
 
@@ -1062,6 +1065,8 @@ def test_merge_lattice_never_crosses_families():
                     # decode exactly under either read type; the
                     # lattice resolves mixes to string
                     fams.add("bytes")
+                elif pa.types.is_map(base):
+                    fams.add("map")
                 elif pa.types.is_struct(base):
                     # r17 struct-member evolution: all structs are one
                     # family (members union by name, null-filled)

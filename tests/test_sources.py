@@ -1562,3 +1562,51 @@ def test_struct_member_evolution_drift(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="irreconcilable.*'p'"):
         encodings.merged_drifted_schema(str(bad))
+
+
+def test_map_value_widening_drift(spark, tmp_path):
+    """Map-generation widening (r17): map<string,int32> part-files
+    beside map<string,int64> ones. The lattice widens through the
+    key/value types; Spark decodes the widened map schema exactly on
+    the drifted bytes, and a key/value family clash refuses loud."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from catena_spark.sources import encodings
+
+    d = tmp_path / "map.parquet"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "m": pa.array([{"x": 1}, {"y": 2}],
+                                pa.map_(pa.string(), pa.int32()))}),
+        str(d / "part-0000.parquet"),
+    )
+    pq.write_table(
+        pa.table({"k": pa.array([3, 4], pa.int64()),
+                  "m": pa.array([{"z": 3}, {"w": 4}],
+                                pa.map_(pa.string(), pa.int64()))}),
+        str(d / "part-0001.parquet"),
+    )
+    sch = encodings.merged_drifted_schema(str(d))
+    assert sch.field("m").type.equals(pa.map_(pa.string(), pa.int64()))
+    df = encodings.read_drifted(spark, str(d))
+    assert dict(df.dtypes)["m"] == "map<string,bigint>"
+    assert sorted(
+        (r.k, dict(r.m)) for r in df.collect()
+    ) == [(1, {"x": 1}), (2, {"y": 2}), (3, {"z": 3}), (4, {"w": 4})]
+
+    bad = tmp_path / "bad.parquet"
+    bad.mkdir()
+    pq.write_table(
+        pa.table({"m": pa.array([{"x": 1}],
+                                pa.map_(pa.string(), pa.int32()))}),
+        str(bad / "part-0000.parquet"),
+    )
+    pq.write_table(
+        pa.table({"m": pa.array([{"x": "s"}],
+                                pa.map_(pa.string(), pa.string()))}),
+        str(bad / "part-0001.parquet"),
+    )
+    with pytest.raises(ValueError, match="irreconcilable.*key_value.value"):
+        encodings.merged_drifted_schema(str(bad))
