@@ -353,39 +353,50 @@ def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 GAPFILL_MAX_BUCKETS = 1_000_000
 
 
+def _guarded_seq_start(start, mn, mx):
+    """``start`` guarded by the series-span bucket cap: a CASE +
+    raise_error that constant-folds INTO the sequence() generator
+    expression (plan-lint's value-dependent-explode contract), firing
+    loudly when the series' [mn, mx] span exceeds GAPFILL_MAX_BUCKETS.
+    The ONE shared guard expression for every gap-fill grid generator,
+    so the fail-loud contract cannot drift between callers."""
+    cap = env_int("CATENA_GAPFILL_MAX_BUCKETS", GAPFILL_MAX_BUCKETS)
+    if not cap:
+        return start
+    span = ((F.unix_micros(mx) - F.unix_micros(mn)) / F.lit(HOUR_US) + 1).cast(
+        "long"
+    )
+    return F.when(
+        span > cap,
+        F.raise_error(
+            F.concat_ws(
+                " ",
+                F.lit("ts_gapfill: series"),
+                F.col("source"),
+                F.col("metric"),
+                F.lit("spans"),
+                span.cast("string"),
+                F.lit(
+                    f"hourly buckets > cap {cap} — likely corrupt "
+                    "timestamps; clean the series or raise "
+                    "CATENA_GAPFILL_MAX_BUCKETS (0 disables)"
+                ),
+            )
+        ).cast("timestamp"),
+    ).otherwise(start)
+
+
 def _hourly_grid(bounds: DataFrame) -> DataFrame:
     """Explode per-series ``[mn, mx]`` hourly grids from a
     (source, metric, mn, mx) bounds frame, failing loud on any series
     whose span exceeds the bucket cap (see GAPFILL_MAX_BUCKETS).
 
-    The guard is an inline CASE on the bounds row — no extra job, no
-    extra scan, and the grid is bit-identical whenever every span is
-    within the cap, so the driver hash cannot change on healthy data.
+    The guard is an inline CASE on the bounds row (_guarded_seq_start)
+    — no extra job, no extra scan, and the grid is bit-identical
+    whenever every span is within the cap, so the driver hash cannot
+    change on healthy data.
     """
-    cap = env_int("CATENA_GAPFILL_MAX_BUCKETS", GAPFILL_MAX_BUCKETS)
-    mn = F.col("mn")
-    if cap:
-        span = (
-            (F.unix_micros("mx") - F.unix_micros("mn")) / F.lit(HOUR_US) + 1
-        ).cast("long")
-        mn = F.when(
-            span > cap,
-            F.raise_error(
-                F.concat_ws(
-                    " ",
-                    F.lit("ts_gapfill: series"),
-                    F.col("source"),
-                    F.col("metric"),
-                    F.lit("spans"),
-                    span.cast("string"),
-                    F.lit(
-                        f"hourly buckets > cap {cap} — likely corrupt "
-                        "timestamps; clean the series or raise "
-                        "CATENA_GAPFILL_MAX_BUCKETS (0 disables)"
-                    ),
-                )
-            ).cast("timestamp"),
-        ).otherwise(mn)
+    mn = _guarded_seq_start(F.col("mn"), F.col("mn"), F.col("mx"))
     return bounds.select(
         "source",
         "metric",
@@ -393,6 +404,56 @@ def _hourly_grid(bounds: DataFrame) -> DataFrame:
             "h"
         ),
     )
+
+
+def _gapfill_intervals(b: DataFrame, extra_leads: dict | None = None) -> DataFrame:
+    """r17 gap-fill kernel (guide §8: decide with small rows): from the
+    observed hourly buckets ``b`` (source, metric, h, v), attach each
+    bucket's NEXT observed bucket via lead() and explode the
+    ``[h, nh)`` hourly sub-grid directly — the grid row count is
+    unchanged (the union of half-open intervals plus the final bucket
+    is exactly the [mn, mx] grid), but the fill inputs RIDE ALONG on
+    every generated row, so the old shape's grid-vs-buckets left join
+    (4.6M x 100k rows at sf0.1) and its full-grid window pass (another
+    4.6M-row sort) disappear entirely. What remains on the full grid is
+    pure projection. The lead/min/max window runs over the OBSERVED
+    buckets only (<= |events| rows, two orders of magnitude smaller).
+
+    Plan: Exchange(hashpartitioning(source, metric, h)) for the bucket
+    aggregate -> Exchange(hashpartitioning(source, metric)) + one sort
+    for the lead window -> Generate(explode) -> Project. Two exchanges
+    total, versus four (buckets, bounds, grid join, window) before.
+
+    ``extra_leads`` maps output column name -> source column, for
+    callers needing the next bucket's values (linear interpolation).
+    The span guard is the same shared _guarded_seq_start expression —
+    per-series [mn, mx] span over the cap still fails loud, and the
+    per-interval sequence arrays are additionally SMALLER than the old
+    per-series ones (bounded by the largest single gap, not the whole
+    span), shrinking the worst-case executor allocation the cap
+    defends against.
+
+    Output: b's columns + ``g`` (the grid bucket; g == h on observed
+    rows, g > h on gap rows) + the extra lead columns + ``nh``.
+    """
+    w = Window.partitionBy("source", "metric").orderBy("h")
+    wall = Window.partitionBy("source", "metric")
+    cols = [
+        F.lead("h").over(w).alias("nh"),
+        F.min("h").over(wall).alias("mn"),
+        F.max("h").over(wall).alias("mx"),
+    ]
+    for out_name, src in (extra_leads or {}).items():
+        cols.append(F.lead(src).over(w).alias(out_name))
+    obs = b.select("*", *cols)
+    start = _guarded_seq_start(F.col("h"), F.col("mn"), F.col("mx"))
+    end = F.coalesce(
+        F.col("nh") - F.expr("INTERVAL 1 HOUR"), F.col("h")
+    )
+    return obs.select(
+        "*",
+        F.explode(F.sequence(start, end, F.expr("INTERVAL 1 HOUR"))).alias("g"),
+    ).drop("mn", "mx")
 
 
 @query(
@@ -425,11 +486,15 @@ def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2-C4 — catena has no NULL concept; absent buckets simply don't
     exist, so the grid must be generated).
 
-    Scale: the grid is built per series from its bounds via
-    ``sequence()`` + explode — output size is sum of per-series spans,
-    never |series| x |global span|; the ffill is one bounded-state window
-    over the existing (source, metric) partitioning. Corrupt-timestamp
-    span blowups fail loud via the _hourly_grid bucket cap.
+    Scale: r17 interval-explode shape (guide §8; _gapfill_intervals) —
+    the grid is generated per OBSERVED-bucket interval ``[h, nh)`` with
+    the fill value riding along, so a gap bucket is born knowing its
+    forward-fill value (the interval start's v) and the old
+    grid-vs-buckets left join plus full-grid window pass are gone
+    (4 exchanges -> 2; sf0.1 noop-sink 8.2 s -> ~2.5 s). Output size is
+    still sum of per-series spans, never |series| x |global span|.
+    Corrupt-timestamp span blowups fail loud via the shared
+    _guarded_seq_start bucket cap.
     """
     s = _series(spark, sf_dir)
     _cents = F.round(F.col("value") * 100, 0).cast("long")
@@ -442,22 +507,12 @@ def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * 100).cast("double")
         ).alias("v")
     )
-    bounds = b.groupBy("source", "metric").agg(
-        F.min("h").alias("mn"), F.max("h").alias("mx")
-    )
-    grid = _hourly_grid(bounds)
-    j = grid.join(b, ["source", "metric", "h"], "left")
-    w = (
-        Window.partitionBy("source", "metric")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return j.select(
+    return _gapfill_intervals(b).select(
         "source",
         "metric",
-        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
-        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
-        F.col("v").isNull().alias("was_gap"),
+        F.date_format("g", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        F.col("v").alias("v_filled"),
+        (F.col("g") != F.col("h")).alias("was_gap"),
     )
 
 
@@ -954,10 +1009,20 @@ def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding ties (6-decimal inputs x dyadic time fractions) that Spark's
     BigDecimal HALF_UP and DuckDB's float rounding break differently.
 
-    Scale: same single (source, metric) shuffle as the ffill variant;
-    the two directional fills are two frames over one sorted partition,
-    no extra exchange. Corrupt-timestamp span blowups fail loud via the
-    _hourly_grid bucket cap.
+    Scale: r17 interval-explode shape (guide §8; _gapfill_intervals).
+    The old plan materialized the full grid, left-joined the observed
+    buckets, and ran directional fills as window frames over the grid —
+    and the backward fill was a SHRINKING frame
+    (``first(...).over(rowsBetween(0, unboundedFollowing))``), which
+    WindowExec evaluates by re-scanning the rest of the partition for
+    EVERY row (UnboundedFollowingWindowFunctionFrame): O(rows^2) per
+    series — 113.8 s at sf0.1 under the noop sink (~613-bucket grids x
+    7,500 series). In the interval shape the bracketing pair is simply
+    (v, lead(v)) on the OBSERVED buckets (<= |events| rows), the grid
+    rows are generated already carrying it, and the full-grid work is
+    pure projection: no join, no grid-sized sort, no quadratic frame.
+    4 exchanges -> 2; sf0.1 noop-sink 113.8 s -> ~2.5 s. Corrupt
+    timestamps fail loud via the shared _guarded_seq_start bucket cap.
     """
     s = _series(spark, sf_dir)
     _cents = F.round(F.col("value") * 100, 0).cast("long")
@@ -970,55 +1035,32 @@ def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * 100).cast("double")
         ).alias("v")
     )
-    bounds = b.groupBy("source", "metric").agg(
-        F.min("h").alias("mn"), F.max("h").alias("mx")
-    )
-    grid = _hourly_grid(bounds)
-    j = grid.join(b, ["source", "metric", "h"], "left")
-    wp = (
-        Window.partitionBy("source", "metric")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wn = (
-        Window.partitionBy("source", "metric")
-        .orderBy("h")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    h_obs = F.when(F.col("v").isNotNull(), F.col("h"))
     micro = lambda c: F.round(c * 1_000_000, 0).cast("long")  # noqa: E731
-    f = j.select(
+    g = _gapfill_intervals(b, extra_leads={"nv": "v"})
+    # on gap rows (g > h): prev observed = interval start (h, v), next
+    # observed = (nh, nv); identical to the old running/backward fills.
+    dt_h = (F.unix_micros("g") - F.unix_micros("h")) / F.lit(HOUR_US)
+    span_h = (F.unix_micros("nh") - F.unix_micros("h")) / F.lit(HOUR_US)
+    g2 = g.select(
         "source",
         "metric",
-        "h",
-        micro(F.col("v")).alias("v6"),
-        micro(F.last("v", ignorenulls=True).over(wp)).alias("pv6"),
-        F.last(h_obs, ignorenulls=True).over(wp).alias("ph"),
-        micro(F.first("v", ignorenulls=True).over(wn)).alias("nv6"),
-        F.first(h_obs, ignorenulls=True).over(wn).alias("nh"),
-    )
-    dt_h = (F.unix_micros("h") - F.unix_micros("ph")) / F.lit(HOUR_US)
-    span_h = (F.unix_micros("nh") - F.unix_micros("ph")) / F.lit(HOUR_US)
-    g2 = f.select(
-        "source",
-        "metric",
-        "h",
-        "v6",
-        "pv6",
-        "nv6",
+        "g",
+        (F.col("g") == F.col("h")).alias("obs"),
+        micro(F.col("v")).alias("pv6"),
+        micro(F.col("nv")).alias("nv6"),
         dt_h.cast("long").alias("dt_h"),
         span_h.cast("long").alias("span_h"),
     )
     return g2.select(
         "source",
         "metric",
-        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
-        F.when(F.col("v6").isNotNull(), F.col("v6"))
+        F.date_format("g", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        F.when(F.col("obs"), F.col("pv6"))
         .otherwise(
             F.expr("(2 * (pv6 * (span_h - dt_h) + nv6 * dt_h) + span_h) div (2 * span_h)")
         )
         .alias("v_interp_micro"),
-        F.col("v6").isNull().alias("was_gap"),
+        (~F.col("obs")).alias("was_gap"),
     )
 
 
@@ -1447,13 +1489,20 @@ def ts_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("is_click"), F.col("value").alias("pv"),
     )
     u = clicks.unionByName(purchases)
+    # r17: same shrinking-frame fix as ts_gapfill_linear — the forward
+    # lookup ran as ``first(...).over(rowsBetween(0,
+    # unboundedFollowing))``, an O(rows^2)-per-partition frame. The
+    # descending sort (exact reverse of the total order: (source,
+    # ts_us) is unique in the series fixture, verified at sf0.01/sf0.1)
+    # makes it ``last(..., ignorenulls)`` over a growing frame —
+    # incremental O(rows), same single source shuffle, identical rows.
     w = (
         Window.partitionBy("source")
-        .orderBy("ts_us", F.desc("is_click"))
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("ts_us"), "is_click")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        u.withColumn("next_purchase_value", F.first("pv", ignorenulls=True).over(w))
+        u.withColumn("next_purchase_value", F.last("pv", ignorenulls=True).over(w))
         .where(F.col("is_click") == 1)
         .select("source", "ts_us", "click_value", "next_purchase_value")
     )
