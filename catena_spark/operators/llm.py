@@ -211,12 +211,30 @@ def llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     tok_arr = d.select("doc_id", doc_tokens(F.col("t"), distinct=True).alias("toks"))
+    # r17 size-bound pre-filter (guide §3.2 in spirit: shrink the
+    # expensive side before the heavy work). J >= 0.9 IMPLIES
+    # 10*min(|A|,|B|) >= 9*max(|A|,|B|) (i <= min, u >= max), so
+    # candidates failing the bound cannot verify — drop them while the
+    # pair still carries two ints, BEFORE the token arrays are attached
+    # and intersected. At sf0.1 this removes 1.93M of the 4.47M distinct
+    # banded candidates (43%) from the array stage; output is provably
+    # unchanged.
+    sz = tok_arr.select("doc_id", F.size("toks").alias("n"))
+    cand = (
+        cand.join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .where(F.expr("10 * least(na, nb) >= 9 * greatest(na, nb)"))
+    )
     # exact integer threshold (r5): J >= 0.9 <=> 10*inter >= 9*union —
     # no float round can tie (the old round(J, 6) ties exactly when the
     # union size has a 2^7 factor, e.g. 115/128); the emitted jaccard is
-    # one division of identical integers, bit-identical across engines
+    # one division of identical integers, bit-identical across engines.
+    # r17: |A ∪ B| = |A| + |B| - |A ∩ B| for the distinct-token arrays —
+    # pure arithmetic on the attached sizes replaces the second hash-set
+    # pass (array_union) per pair, exactly as the portable twin and
+    # ngram_jaccard already compute it.
     inter = F.size(F.array_intersect("ta", "tb"))
-    union = F.size(F.array_union("ta", "tb"))
+    union = F.col("na") + F.col("nb") - inter
     verified = (
         cand.join(tok_arr.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "ta"), "doc_a")
         .join(tok_arr.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "tb"), "doc_b")
@@ -1432,12 +1450,23 @@ def llm_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     tok = sigs.select("doc_id", "toks")
+    # r17 size-bound pre-filter (same as llm_minhash_pairs): J >= 0.9
+    # implies 10*min(|A|,|B|) >= 9*max(|A|,|B|), so length-mismatched
+    # candidates drop while the pair is still two ints — before the
+    # token arrays are attached and intersected. Provably output-
+    # preserving.
+    sz = tok.select("doc_id", F.size("toks").alias("n"))
+    cand = (
+        cand.join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .where(F.expr("10 * least(na, nb) >= 9 * greatest(na, nb)"))
+    )
     ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     # exact integer threshold (r5): 10*i >= 9*u replaces round(J,6) >= .9,
     # which ties exactly when the union size has a 2^7 factor
     inter_i = F.size(F.array_intersect("ta", "tb"))
-    union_i = F.size("ta") + F.size("tb") - inter_i
+    union_i = F.col("na") + F.col("nb") - inter_i
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
@@ -1693,7 +1722,18 @@ def llm_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.byte")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    # r17 (guide §2.3): the O(1) popcount verify used to run AFTER a
+    # 4-column distinct over the full candidate stream; evaluating it at
+    # the join and filtering BEFORE the distinct is row-identical
+    # (duplicate band collisions of a pair carry identical simhashes,
+    # and filter/distinct commute for a deterministic per-row predicate)
+    # but the dedup exchange now shuffles only the matching pairs as
+    # (doc_a, doc_b, hamming) ints — no simhash payloads, no rejected
+    # candidates. sf0.1 noop-sink 8.4 s -> ~5.1 s.
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -1703,16 +1743,10 @@ def llm_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
-    return (
-        cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -2416,7 +2450,21 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     )
-    model = big.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # r17 (guide §2.3/§2.4): aggregate the exploded stream to per-(doc,
+    # bigram) COUNTS once, and derive both the model and the scores from
+    # that. The old shape exploded the ~10M-bigram stream TWICE (model
+    # arm and scoring arm — no shared exchange) and broadcast-joined the
+    # raw occurrence stream; now the two arms share the identical
+    # Exchange(doc_id, bg) subtree (ReuseExchange dedups it, so the
+    # explode physically runs once) and the join input shrinks to the
+    # per-doc distinct bigrams (~3x fewer rows at sf0.1). Arithmetic is
+    # unchanged-exact: sum over occurrences of mn == sum over distinct
+    # bigrams of c_doc * mn (integers both ways). noop-sink sf0.1:
+    # 6.3 s -> ~2.6 s.
+    per_doc = big.groupBy("doc_id", "bg").agg(
+        F.count(F.lit(1)).cast("long").alias("cd")
+    )
+    model = per_doc.groupBy("bg").agg(F.sum("cd").cast("long").alias("c"))
     model = model.crossJoin(
         F.broadcast(model.agg(F.sum("c").cast("long").alias("total")))
     )
@@ -2424,11 +2472,13 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("total").cast("double") / F.col("c").cast("double")) * 1_000_000,
         0,
     ).cast("long")
-    scored = big.join(F.broadcast(model), "bg").select("doc_id", term.alias("mn"))
+    scored = per_doc.join(F.broadcast(model), "bg").select(
+        "doc_id", "cd", (F.col("cd") * term).alias("mn_w")
+    )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.sum("mn").cast("long").alias("surprise_sum_micronats"),
-        F.expr("sum(mn) div count(*)").cast("long").alias("avg_surprise_micronats"),
+        F.sum("cd").cast("long").alias("n_bigrams"),
+        F.sum("mn_w").cast("long").alias("surprise_sum_micronats"),
+        F.expr("sum(mn_w) div sum(cd)").cast("long").alias("avg_surprise_micronats"),
     )
 
 
