@@ -2801,10 +2801,27 @@ def join_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     table join unhinted — both scale with SF (the min table has one row
     PER PART), so their strategy stays size-based —
     lineitem is scanned once.
+
+    r17 (guide §3.2): the selective part predicate (p_size < 10 AND
+    p_type IN (LARGE, SMALL) — ~6% of parts) used to join LAST, after
+    the full-fact aggregation; a semi-join on the filtered part keys
+    now sits BELOW the (part, supplier) min aggregate, so only
+    qualifying parts' lineitems reach the shuffle (600k -> ~36k rows at
+    sf0.1). Output-identical: the per-(part, supplier) min and the
+    per-part best never read other parts' rows, and every output row
+    already carried the part filter via the final join. The semi-join
+    is unhinted — size-based broadcast at fixture scale, SMJ/Bloom at
+    100 TB where part scales with SF.
     """
     li = tables.load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
+    pk = (
+        tables.load(spark, sf_dir, "part")
+        .where((F.col("p_size") < 10) & F.col("p_type").isin("LARGE", "SMALL"))
+        .select("p_partkey")
+    )
+    li = li.join(pk, li.l_partkey == pk.p_partkey, "left_semi")
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
