@@ -2834,18 +2834,24 @@ def join_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     ec = cost.join(eur, cost.l_suppkey == eur.s_suppkey)
-    best = ec.groupBy(F.col("l_partkey").alias("bk")).agg(
-        F.min("unit_cost").alias("best_cost")
+    # r17 (guide §2.4): the per-part best used to be a groupBy + self-
+    # join, which re-derives the whole ec subtree in the build arm — the
+    # before plan scanned lineitem/supplier/nation/region TWICE. A
+    # min() window over l_partkey computes best_cost in the SAME pass
+    # (the cost table is already keyed by part; per-part groups are
+    # supplier-bounded, no skew), so every table is scanned once and the
+    # decorrelating join disappears. Row set identical: keep rows whose
+    # unit_cost equals their part's min — the same float compare on the
+    # same bit-identical values.
+    wbest = Window.partitionBy("l_partkey")
+    ec = ec.withColumn("best_cost", F.min("unit_cost").over(wbest)).where(
+        F.col("unit_cost") == F.col("best_cost")
     )
     p = tables.load(spark, sf_dir, "part").where(
         (F.col("p_size") < 10) & F.col("p_type").isin("LARGE", "SMALL")
     )
     return (
-        ec.join(
-            best,
-            (ec.l_partkey == F.col("bk")) & (ec.unit_cost == F.col("best_cost")),
-        )
-        .join(p, ec.l_partkey == p.p_partkey)
+        ec.join(p, ec.l_partkey == p.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_cost")
     )
 
