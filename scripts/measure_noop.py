@@ -82,10 +82,28 @@ def main() -> None:
             failed.append(key)
             print(f"  FAIL    {key}  {type(ex).__name__}: {ex}", flush=True)
     ranked = dict(sorted(out.items(), key=lambda kv: -kv[1]["median_s"]))
+    # vm_quantum stamp (same doctrine as bench.py): the zero-work job
+    # floor measured in the SAME session, so two sweeps taken hours
+    # apart can be compared honestly on a VM whose hypervisor neighbors
+    # drift the per-job quantum 20-65 ms.
+    import statistics as _st
+
+    probe = spark.range(0, 1, 1, 1)
+    for _ in range(4):
+        probe.collect()
+    q = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        probe.collect()
+        q.append(time.perf_counter() - t0)
+    payload = {"vm_quantum_1task": round(_st.median(q), 4), "keys": ranked}
     with open(args.json, "w") as fh:
-        json.dump(ranked, fh, indent=1)
+        json.dump(payload, fh, indent=1)
     total = sum(v["median_s"] for v in out.values())
-    print(f"\nNOOP SWEEP: {len(out)} keys, {total:.0f}s total, failures={failed}")
+    print(
+        f"\nNOOP SWEEP: {len(out)} keys, {total:.0f}s total, "
+        f"vm_quantum_1task={payload['vm_quantum_1task']}, failures={failed}"
+    )
     spark.stop()
     if failed:
         sys.exit(1)
