@@ -275,8 +275,19 @@ def main() -> None:
         spark.stop()
         return
 
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+
     def _conf_for(name):
         mpb, shuffle = CONF_BY_QUERY.get(name, ("2m", 16))
+        # r17 (guide §2): the per-query shuffle profile is capped at the
+        # session's core count — the profile constants were grid-tuned
+        # at local[32], and the driver ALSO runs this bench at lower
+        # core counts to measure scaling; 16 shuffle partitions on 8
+        # cores schedules two task waves where one suffices. min() keeps
+        # the 32-core profile byte-identical (16 <= 32) and adapts
+        # downward instead of pinning a constant tuned for one machine
+        # shape.
+        shuffle = min(int(shuffle), cpus)
         # the env knob is an A/B override and must beat the per-query
         # profile, or experiments with it would silently measure nothing
         mpb = os.environ.get("SPARK_GRAFT_MPB", mpb)
