@@ -336,17 +336,48 @@ def llm_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _docs_norm(spark, sf_dir)
     g = d.select("doc_id", char_ngrams(F.col("t"), 3).alias("grams"))
-    a = g.select(
-        F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga")
+    # r17 (guide §2.4): the old adjacent-pair self-join
+    # (doc_b == doc_a + 1) evaluated the char_ngrams HOF pipeline in
+    # BOTH arms — the keys differ (doc_id vs doc_id + 1), so no
+    # exchange/broadcast reuse applies and the n-gram computation (the
+    # dominant cost: ~1.9 s of the key's 4.0 s at sf0.1, and a second
+    # full scan of documents at 100 TB) ran twice. Each doc now emits
+    # its gram array toward BOTH pairs it participates in (pid = its
+    # own pair and pid = the preceding one) via a 2-element explode,
+    # and one groupBy(pid) reassembles (ga, gb) — one scan, one n-gram
+    # pass, one shuffle. first(when(side=...), ignorenulls) is
+    # deterministic: exactly one row per (pid, side). Both-present
+    # filtering reproduces the inner join; output rows identical.
+    u = g.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id").alias("pid"), F.lit(0).alias("side")),
+                F.struct(
+                    (F.col("doc_id") - F.lit(1)).alias("pid"),
+                    F.lit(1).alias("side"),
+                ),
+            )
+        ).alias("s"),
+        "grams",
+    ).select(F.col("s.pid").alias("pid"), F.col("s.side").alias("side"), "grams")
+    pair = (
+        u.groupBy("pid")
+        .agg(
+            F.first(
+                F.when(F.col("side") == 0, F.col("grams")), ignorenulls=True
+            ).alias("ga"),
+            F.first(
+                F.when(F.col("side") == 1, F.col("grams")), ignorenulls=True
+            ).alias("gb"),
+        )
+        .where(F.col("ga").isNotNull() & F.col("gb").isNotNull())
     )
-    b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
-    pairs = a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size("ga") + F.size("gb") - inter
     return (
-        pairs.select(
-            "doc_a",
-            "doc_b",
+        pair.select(
+            F.col("pid").alias("doc_a"),
+            (F.col("pid") + F.lit(1)).alias("doc_b"),
             inter.alias("i"),
             # raw integer ratio (r5): bit-identical division; round(.,6)
             # could tie when the union has a 2^7 factor
