@@ -36,11 +36,58 @@ from ..session import env_int
 from ..twophase import global_running_sum
 
 
+#: spark.sql.files.maxPartitionBytes default — only used to ESTIMATE the
+#: scan's split count for the spread decision below; the estimate only has
+#: to separate "a handful of splits" from "cluster-wide", so the default
+#: constant is fine even when the conf is tuned.
+_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+def _spread_input(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Unsplittable-input parallelism fix (r17, guide §2.5 "input
+    skew"): when the scan yields fewer splits than half the session's
+    default parallelism, fan the rows out ONCE before the per-row text
+    kernels. Spark pipelines Generate/HOF/hash work into the scan
+    stage, so with a single-file (single-row-group) input the
+    n-gramming and hashing of EVERY text key ran on ONE core at fixture
+    scale — measured 2.59 s -> 0.76 s on the llm_doc_fingerprint shape
+    at sf0.1 (the fixture's documents table is one 584 KB file = one
+    task on a 32-core session). A structural no-op whenever the scan is
+    already at least half the cluster wide — at 100 TB inputs arrive in
+    thousands of splits and NO repartition is inserted, so nothing is
+    shuffled that didn't need to be. The split count is estimated from
+    the parquet file listing (bytes / maxPartitionBytes default), not
+    an RDD partition probe (the DataFrame-not-RDD rule; also skips a
+    full plan-to-RDD conversion); any listing failure — e.g. a non-local
+    object-store path at scale — falls through to the no-op, the safe
+    direction. Round-robin repartition is retry-safe under the default
+    sort-before-repartition (SPARK-23207); every consumer's semantics
+    are partition-invariant (driver-hash-checked)."""
+    import os
+
+    target = int(df.sparkSession.sparkContext.defaultParallelism)
+    try:
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(path):
+            sizes = [
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            ]
+        else:
+            sizes = [os.path.getsize(path)]
+        splits = sum(-(-s // _SPLIT_BYTES) for s in sizes)
+    except OSError:
+        return df
+    return df.repartition(target) if splits * 2 < target else df
+
+
 def _docs_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + normalized text (lower/trim) — the dedup canon form."""
-    return tables.load(spark, sf_dir, "documents").withColumn(
-        "t", F.lower(F.trim("text"))
-    )
+    return _spread_input(
+        tables.load(spark, sf_dir, "documents"), sf_dir, "documents"
+    ).withColumn("t", F.lower(F.trim("text")))
 
 
 # ================================================================ E1: exact dedup
