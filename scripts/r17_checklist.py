@@ -42,10 +42,10 @@ def main() -> None:
     after = json.load(open(sys.argv[2]))
     bk = before.get("keys", before)
     ak = after.get("keys", after)
+    default_b = "n/a (pre-stamp harness; bench quantum 36.5 ms same hour)"
     print(
         f"Before sweep vm_quantum_1task: "
-        f"{before.get('vm_quantum_1task', 'n/a (pre-stamp harness; bench "
-        f"quantum 36.5 ms same hour)')} | closing sweep: "
+        f"{before.get('vm_quantum_1task', default_b)} | closing sweep: "
         f"{after.get('vm_quantum_1task', 'n/a')}\n"
     )
     specs = registry.specs()
