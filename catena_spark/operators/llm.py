@@ -67,7 +67,10 @@ def _spread_input(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
 
     target = int(df.sparkSession.sparkContext.defaultParallelism)
     try:
-        path = f"{sf_dir}/{name}.parquet"
+        # the layout comes from the same helper tables.load reads with,
+        # so the estimator can't silently diverge from the reader
+        # (ADVICE r17 item 2)
+        path = tables.parquet_path(sf_dir, name)
         if os.path.isdir(path):
             sizes = [
                 os.path.getsize(os.path.join(root, f))
@@ -79,15 +82,52 @@ def _spread_input(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
             sizes = [os.path.getsize(path)]
         splits = sum(-(-s // _SPLIT_BYTES) for s in sizes)
     except OSError:
+        _warn_spread_fallback(name)
         return df
     return df.repartition(target) if splits * 2 < target else df
 
 
-def _docs_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + normalized text (lower/trim) — the dedup canon form."""
-    return _spread_input(
-        tables.load(spark, sf_dir, "documents"), sf_dir, "documents"
-    ).withColumn("t", F.lower(F.trim("text")))
+#: tables whose spread estimate already failed once this process — the
+#: fallback is safe (no exchange inserted) but must be OBSERVABLE, or a
+#: layout change would silently bring back the single-core scan
+#: regression the spread exists for (ADVICE r17 item 2).
+_SPREAD_WARNED: set[str] = set()
+
+
+def _warn_spread_fallback(name: str) -> None:
+    if name not in _SPREAD_WARNED:
+        _SPREAD_WARNED.add(name)
+        import sys
+
+        print(
+            f"catena_spark: _spread_input could not list '{name}' input "
+            "files; skipping the input-parallelism fan-out (safe no-op)",
+            file=sys.stderr,
+        )
+
+
+def _docs_norm(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
+    """documents + normalized text (lower/trim) — the dedup canon form.
+
+    ``spread=False`` opts a consumer out of the r17 unsplittable-input
+    fan-out (VERDICT r17 item 1): an r18 interleaved same-session A/B
+    (scripts/r18_ab_spread.py) showed the extra round-robin exchange
+    COSTS more than the parallelism buys when the per-row kernel is
+    trivial — llm_exact_dedup 0.19 s OFF vs 0.48 s ON, llm_bm25_topk
+    0.68 vs 1.17, llm_dedup_remap 0.35 vs 0.64, llm_inverted_index
+    0.58 vs 0.83, llm_tfidf_top_terms 1.13 vs 1.43 — while the heavy
+    per-row kernels keep their 3-4x wins (llm_doc_fingerprint 2.59 s
+    OFF vs 0.60 ON, llm_winnowing_fingerprint 4.11 vs 1.23, same
+    session). At 100 TB the spread is a structural no-op either way
+    (the input arrives in thousands of splits), so the gate only
+    affects small-split local inputs — semantics are partition-
+    invariant and unchanged in both positions."""
+    d = tables.load(spark, sf_dir, "documents")
+    if spread:
+        d = _spread_input(d, sf_dir, "documents")
+    return d.withColumn("t", F.lower(F.trim("text")))
 
 
 # ================================================================ E1: exact dedup
@@ -109,7 +149,7 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB dedup first pass. No sort, no join; partial aggregation
     collapses per-partition duplicates before the shuffle.
     """
-    d = _docs_norm(spark, sf_dir)
+    d = _docs_norm(spark, sf_dir, spread=False)
     return (
         d.select(F.md5("t").alias("text_hash"), "doc_id")
         .groupBy("text_hash")
@@ -233,7 +273,13 @@ def llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seed",
         F.md5(F.concat(F.lit("m"), F.col("seed").cast("string"), F.lit(":"), F.col("tok"))).alias("h"),
     )
-    sig = th.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    # r18 (VERDICT r17 item 3): the (doc_id, seed) groups of the
+    # signature aggregate have exactly |tokens(doc)| rows, so the token
+    # count the size-bound filter needs is a FREE second aggregate in
+    # the same pass — no separate size map, no join to attach it.
+    sig = th.groupBy("doc_id", "seed").agg(
+        F.min("h").alias("mh"), F.count(F.lit(1)).alias("n")
+    )
     band = sig.withColumn("band", F.expr(f"seed div {R}"))
     bsig = band.groupBy("doc_id", "band").agg(
         F.md5(
@@ -244,34 +290,39 @@ def llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 ",",
             )
-        ).alias("bucket")
+        ).alias("bucket"),
+        F.min("n").alias("n"),  # constant within the group
     )
     a, b = bsig.alias("a"), bsig.alias("b")
+    # r17 size-bound pre-filter, r18: moved from after the candidate
+    # distinct to the band join itself (guide §2.3 — shuffle fewer
+    # bytes). J >= 0.9 IMPLIES 10*min(|A|,|B|) >= 9*max(|A|,|B|)
+    # (i <= min, u >= max), so candidates failing the bound cannot
+    # verify; dropping them AT the join keeps them out of the dedup
+    # exchange too (43% of banded candidates at sf0.1), and carrying
+    # (na, nb) through the distinct — they are functions of the doc ids,
+    # so the distinct's row set is unchanged — deletes the two
+    # size-attach joins of the 4.5M-row candidate stream outright.
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.lit(10) * F.least(F.col("a.n"), F.col("b.n"))
+                >= F.lit(9) * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .distinct()
     )
     tok_arr = d.select("doc_id", doc_tokens(F.col("t"), distinct=True).alias("toks"))
-    # r17 size-bound pre-filter (guide §3.2 in spirit: shrink the
-    # expensive side before the heavy work). J >= 0.9 IMPLIES
-    # 10*min(|A|,|B|) >= 9*max(|A|,|B|) (i <= min, u >= max), so
-    # candidates failing the bound cannot verify — drop them while the
-    # pair still carries two ints, BEFORE the token arrays are attached
-    # and intersected. At sf0.1 this removes 1.93M of the 4.47M distinct
-    # banded candidates (43%) from the array stage; output is provably
-    # unchanged.
-    sz = tok_arr.select("doc_id", F.size("toks").alias("n"))
-    cand = (
-        cand.join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .where(F.expr("10 * least(na, nb) >= 9 * greatest(na, nb)"))
-    )
     # exact integer threshold (r5): J >= 0.9 <=> 10*inter >= 9*union —
     # no float round can tie (the old round(J, 6) ties exactly when the
     # union size has a 2^7 factor, e.g. 115/128); the emitted jaccard is
@@ -916,7 +967,7 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of the vocabulary would OOM the driver. The large shuffle
     is the (doc, term) tf aggregate.
     """
-    d = _docs_norm(spark, sf_dir)
+    d = _docs_norm(spark, sf_dir, spread=False)
     toks = d.select("doc_id", F.explode(doc_tokens(F.col("t"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -1341,7 +1392,7 @@ def llm_dedup_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-byte hash; at 100 TB the survivor side is |distinct|-sized and
     usually broadcastable after the first dedup pass.
     """
-    d = _docs_norm(spark, sf_dir).select("doc_id", F.md5("t").alias("h"))
+    d = _docs_norm(spark, sf_dir, spread=False).select("doc_id", F.md5("t").alias("h"))
     keep = d.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     return (
         d.join(keep, "h")
@@ -1533,6 +1584,18 @@ def llm_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidates drop while the pair is still two ints — before the
     # token arrays are attached and intersected. Provably output-
     # preserving.
+    # r18 MEASURED AND REJECTED (VERDICT r17 item 3 applied here too):
+    # moving this filter below the candidate-distinct exchange (token
+    # count carried through the band explode, filter at the self-join,
+    # (na, nb) riding through the distinct — exactly the shape that WON
+    # 1.24x on llm_minhash_pairs) was output-identical (multiset 0/0 at
+    # sf0.1) but LOST two interleaved A/Bs, 0.83x and 0.93x (quanta
+    # 37/30 ms): this twin's size attach is already a pruned 500-row
+    # broadcast onto the post-distinct candidates, while the carried
+    # count widens both recomputed signature-pipeline arms of the local
+    # broadcast self-join. The sibling key's win came from the count
+    # being FREE in its signature shuffle aggregate plus the deleted
+    # second doc_tokens pass — neither exists here.
     sz = tok.select("doc_id", F.size("toks").alias("n"))
     cand = (
         cand.join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
@@ -2832,7 +2895,7 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     with per-term state a handful of scalars (skew-safe even for
     stopword terms).
     """
-    d = _docs_norm(spark, sf_dir)
+    d = _docs_norm(spark, sf_dir, spread=False)
     w = d.select("doc_id", F.explode(F.split("t", " ")).alias("term"))
     tf = w.groupBy("term", "doc_id").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     return tf.groupBy("term").agg(
@@ -2901,7 +2964,7 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves: per-term posting lists shuffle-join on doc_id, K scalars of
     corpus state ride the broadcast.
     """
-    d = _docs_norm(spark, sf_dir).select(
+    d = _docs_norm(spark, sf_dir, spread=False).select(
         "doc_id", F.split("t", " ").alias("ws")
     )
     dl = d.select("doc_id", F.size("ws").cast("long").alias("dl"))

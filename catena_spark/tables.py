@@ -36,6 +36,14 @@ TABLES = (
 )
 
 
+def parquet_path(sf_dir: str, name: str) -> str:
+    """THE definition of the on-disk table layout. Shared by ``load``
+    and by split-count estimators (operators/llm.py `_spread_input`)
+    so the path convention cannot drift between the reader and an
+    estimator that silently no-ops on a miss (ADVICE r17 item 2)."""
+    return f"{sf_dir}/{name}.parquet"
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table; applies parity conf (UTC tz) on the session.
 
@@ -59,9 +67,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # CATENA_PERMUTE_DRIFT axis.
         from .sources.encodings import read_drifted
 
-        df = read_drifted(spark, f"{sf_dir}/{name}.parquet")
+        df = read_drifted(spark, parquet_path(sf_dir, name))
     else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(parquet_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # Naive parquet timestamps (isAdjustedToUTC=false, read as
