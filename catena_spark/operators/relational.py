@@ -22,7 +22,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import tables
-from ..parity import det_double, duck_det_double, duck_usum, rsum, usum, usum_long
+from ..parity import (
+    det_double,
+    duck_det_double,
+    duck_usum,
+    rsum,
+    spark_det_double,
+    usum,
+    usum_long,
+)
 from ..registry import query
 from ..twophase import grouped_positions
 
@@ -91,33 +99,43 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying row groups are read.
     """
     li = tables.load(spark, sf_dir, "lineitem")
-    qi = F.col("l_quantity").cast("long")
-    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    dc = F.round(F.col("l_discount") * 100, 0).cast("long")
-    tc = F.round(F.col("l_tax") * 100, 0).cast("long")
-    dec = "decimal(38,0)"
-    cnt = F.count(F.lit(1))
+    # r18 (VERDICT r17 item 4, cold-plan cost): the seven det_double
+    # limb kernels used to be BUILT as Column trees — ~140 py4j
+    # round-trips each, ~0.65 s of the ~1.4 s cold-plan latency was pure
+    # driver-side Column construction (decomposition in
+    # OPTIMIZATION_r18.md). The same expressions as ONE-string SQL via
+    # parity.spark_det_double parse server-side in milliseconds; the
+    # analyzed tree — and therefore the optimized plan, the physical
+    # plan, and every output bit — is unchanged (bit-equality of the
+    # two kernel forms is pinned across the full decimal(38,0) range by
+    # test_det_double_bit_identical_across_engines).
+    qi = "CAST(l_quantity AS BIGINT)"
+    pc = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+    dc = "CAST(round(l_discount * 100, 0) AS BIGINT)"
+    tc = "CAST(round(l_tax * 100, 0) AS BIGINT)"
+    dec_sum = lambda e: f"sum(CAST(({e}) AS DECIMAL(38,0)))"  # noqa: E731
+    sq, spc, sdc = dec_sum(qi), dec_sum(pc), dec_sum(dc)
+    sdp = dec_sum(f"({pc}) * (100 - {dc})")
+    sch = dec_sum(f"({pc}) * (100 - {dc}) * (100 + {tc})")
+    dd = spark_det_double
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            det_double(F.sum(qi.cast(dec))).alias("sum_qty"),
-            (det_double(F.sum(pc.cast(dec))) / F.lit(100.0)).alias("sum_base"),
-            (
-                det_double(F.sum((pc * (100 - dc)).cast(dec))) / F.lit(10000.0)
-            ).alias("sum_disc_price"),
-            (
-                det_double(F.sum((pc * (100 - dc) * (100 + tc)).cast(dec)))
-                / F.lit(1000000.0)
-            ).alias("sum_charge"),
-            (det_double(F.sum(qi.cast(dec))) / cnt.cast("double")).alias("avg_qty"),
-            (
-                det_double(F.sum(pc.cast(dec))) / (cnt * 100).cast("double")
-            ).alias("avg_price"),
-            (
-                det_double(F.sum(dc.cast(dec))) / (cnt * 100).cast("double")
-            ).alias("avg_disc"),
-            cnt.alias("cnt"),
+            F.expr(dd(sq)).alias("sum_qty"),
+            F.expr(f"{dd(spc)} / CAST(100.0 AS DOUBLE)").alias("sum_base"),
+            F.expr(f"{dd(sdp)} / CAST(10000.0 AS DOUBLE)").alias(
+                "sum_disc_price"
+            ),
+            F.expr(f"{dd(sch)} / CAST(1000000.0 AS DOUBLE)").alias("sum_charge"),
+            F.expr(f"{dd(sq)} / CAST(count(1) AS DOUBLE)").alias("avg_qty"),
+            F.expr(f"{dd(spc)} / CAST(count(1) * 100 AS DOUBLE)").alias(
+                "avg_price"
+            ),
+            F.expr(f"{dd(sdc)} / CAST(count(1) * 100 AS DOUBLE)").alias(
+                "avg_disc"
+            ),
+            F.expr("count(1)").alias("cnt"),
         )
     )
 
@@ -1948,11 +1966,33 @@ def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    base = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+    # r18 (guide §3.2 — shrink before the big join): the ASIA-region
+    # customer filter is the query's only selective predicate (~1 of 5
+    # regions), but it used to apply AFTER lineitem⋈orders, so the
+    # joined FACT stream was reshuffled by o_custkey at scale (where
+    # customer outgrows the broadcast threshold) just to apply it.
+    # Filtering orders FIRST — a left-semi against the ASIA custkeys,
+    # row-identical to the inner join because c_custkey is unique and
+    # customer contributes no columns — moves that custkey shuffle onto
+    # the narrow pre-join orders table and shrinks the fact-join output
+    # ~5x before the supplier join. The semi join keeps the orders-side
+    # size estimate, so the fixture-scale broadcast of orders into the
+    # fact join survives (the first inner-join variant of this reorder
+    # lost its local A/B 0.78x precisely because the join output's
+    # inflated estimate forced a sort-merge fact join; see
+    # OPTIMIZATION_r18.md). Plan evidence under auto-broadcast OFF:
+    # plans/r18/join_q8_market_share_noautobc_{old,new}.txt — the fact
+    # stream crosses 2 exchanges instead of 3.
+    c_asia = (
+        c.join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    o_asia = o.join(c_asia, o.o_custkey == c_asia.c_custkey, "left_semi").select(
+        "o_orderkey", "o_orderdate"
+    )
+    base = (
+        li.join(o_asia, li.l_orderkey == o_asia.o_orderkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
@@ -2176,6 +2216,17 @@ def join_q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = tables.load(spark, sf_dir, "supplier")
     l1 = li.where(F.col("l_returnflag") == "R")
+    # r18 MEASURED AND REJECTED (OPTIMIZATION_r18.md): replacing the
+    # semi+anti self-joins with a per-order distinct-supplier aggregate
+    # (groupBy(l_orderkey, l_suppkey).agg(has_r) -> groupBy(l_orderkey)
+    # counts -> semi join l1) was output-identical (multiset diff 0/0 at
+    # sf0.1, oracle hash-exact at sf0.01) but LOST the interleaved
+    # same-session A/B 1.07 -> 2.07 s (0.52x, quantum 37 ms): the full
+    # (orderkey, suppkey) aggregate shuffles every fact row where the
+    # semi/anti pair shares l1's orderkey partitioning and short-circuits
+    # on the first match per key. The committed shape is also the
+    # at-scale winner: both EXISTS branches stay co-partitioned passes
+    # with no row blow-up.
     l2 = li.select(
         F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
     )

@@ -185,6 +185,38 @@ def det_double(x: Column) -> Column:
     ).otherwise(limb)
 
 
+def spark_det_double(expr: str) -> str:
+    """det_double as Spark SQL TEXT (r18, VERDICT r17 item 4) — the
+    IDENTICAL expression tree to det_double(Column), built by one
+    server-side parse instead of ~140 py4j round-trips per call site.
+
+    Why it exists: agg_pricing_summary's cold-plan cost was ~1.4 s, of
+    which ~0.65 s was pure py4j Column construction of seven inlined
+    limb kernels (measured r18, OPTIMIZATION_r18.md). Routing the hot
+    call sites through ``F.expr(spark_det_double(...))`` keeps the
+    analyzed/optimized/physical plan — and hence every output bit —
+    unchanged while construction collapses to a handful of calls.
+
+    Kept structurally in lockstep with det_double above (same digits
+    string, same limb positions, same IEEE combine, same
+    DOUBLE_EXACT_MAX fast-path predicate) and pinned bit-identical to
+    it across the full decimal(38,0) range by
+    tests/test_properties.py::test_det_double_bit_identical_across_engines.
+    """
+    xd = f"CAST(({expr}) AS DECIMAL(38,0))"
+    digits = f"lpad(regexp_replace(CAST({xd} AS STRING), '^-', ''), 38, '0')"
+    l3 = f"CAST(CAST(substring({digits}, 1, 11) AS BIGINT) AS DOUBLE)"
+    l2 = f"CAST(CAST(substring({digits}, 12, 9) AS BIGINT) AS DOUBLE)"
+    l1 = f"CAST(CAST(substring({digits}, 21, 9) AS BIGINT) AS DOUBLE)"
+    l0 = f"CAST(CAST(substring({digits}, 30, 9) AS BIGINT) AS DOUBLE)"
+    mag = f"((({l3} * 1.0E9 + {l2}) * 1.0E9 + {l1}) * 1.0E9 + {l0})"
+    limb = f"(CASE WHEN ({expr}) < 0 THEN -{mag} ELSE {mag} END)"
+    return (
+        f"(CASE WHEN {xd} BETWEEN -{DOUBLE_EXACT_MAX}L AND {DOUBLE_EXACT_MAX}L "
+        f"THEN CAST({xd} AS DOUBLE) ELSE {limb} END)"
+    )
+
+
 def duck_det_double(expr: str) -> str:
     """DuckDB twin of det_double — same limbs via HUGEINT ``//``/``%``,
     same IEEE combine sequence. Valid over the full HUGEINT range.
