@@ -1496,9 +1496,14 @@ def ts_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ts_us) is unique in the series fixture, verified at sf0.01/sf0.1)
     # makes it ``last(..., ignorenulls)`` over a growing frame —
     # incremental O(rows), same single source shuffle, identical rows.
+    # r18 (ADVICE r17 item 1): trailing pv/click_value tiebreaks make
+    # the order TOTAL even off-fixture (duplicate purchase timestamps
+    # per source would otherwise leave last(pv) partition-order-
+    # dependent); a no-op wherever (source, ts_us, is_click) is already
+    # unique, which the fixture verifies.
     w = (
         Window.partitionBy("source")
-        .orderBy(F.desc("ts_us"), "is_click")
+        .orderBy(F.desc("ts_us"), "is_click", "pv", "click_value")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
