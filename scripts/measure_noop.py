@@ -47,7 +47,11 @@ def main() -> None:
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
-    spark = get_spark(app_name="measure-noop", master="local[32]")
+    # Match bench.py's core-count contract: honor $SPARK_GRAFT_CPUS so
+    # sweeps on smaller machines measure the configuration being tuned
+    # (ADVICE r17) instead of oversubscribing a hard-coded 32.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="measure-noop", master=f"local[{cpus}]")
     if args.plans:
         os.makedirs(args.plans, exist_ok=True)
     specs = registry.specs()
