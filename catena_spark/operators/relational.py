@@ -1197,11 +1197,23 @@ def join_q7_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("supp_nation"),
         F.col("n_regionkey").alias("n2_region"),
     )
+    # r18 (same at-scale shape fix as join_q8_market_share): joining
+    # customer onto ORDERS before the fact join keeps the scale plan
+    # from reshuffling the joined FACT stream by o_custkey — the custkey
+    # exchange now carries the narrow pre-join orders table instead (2
+    # fact exchanges instead of 3 under auto-broadcast off). Inner joins
+    # commute, so the row set is identical. Only c_nationkey (one int)
+    # rides through the fact join; the nation NAME attaches via the
+    # broadcast n1 afterwards — a first variant that carried
+    # cust_nation/region strings through o_cust lost its local A/B
+    # 0.81x on the wider broadcast build (OPTIMIZATION_r18.md).
+    o_cust = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
     j = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        li.join(o_cust, li.l_orderkey == o_cust.o_orderkey)
         .join(s, li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
         .where(F.col("n1_region") != F.col("n2_region"))
     )
@@ -1531,12 +1543,24 @@ def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     qi = F.col("l_quantity").cast("long")
     dc = F.round(F.col("l_discount") * 100, 0).cast("long")
     pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    # r18 (guide §1.2 per-task work): the four moments whose PER-ROW
+    # terms are schema-domain-bounded — quantity <= 50, discount cents
+    # <= 100, so qi*qi <= 2500 and dc*dc <= 1e4 — accumulate in BIGINT
+    # and convert to decimal(38,0) once per group AFTER the aggregate:
+    # the integer is identical, so every downstream det_double bit is
+    # too (A/B: 1.85 -> 1.33 s, 1.39x, result rows tuple-identical).
+    # Scale safety: sum(qi*qi) <= 2500N stays under 2^63 past 3.6e15
+    # rows (~3600x the 100 TB row count); ANSI mode (pinned by
+    # ensure_runtime_conf) fails loud, not wraps, if that bound is ever
+    # violated. The price moments (pc <= ~1e7, pc*pc <= ~1e14) overflow
+    # BIGINT within the 100 TB regime and MUST stay decimal — same
+    # usum-vs-usum_long boundary parity.py documents.
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast(dec).alias("n"),
-        F.sum(qi.cast(dec)).alias("sq"),
-        F.sum((qi * qi).cast(dec)).alias("sq2"),
-        F.sum(dc.cast(dec)).alias("sdc"),
-        F.sum((dc * dc).cast(dec)).alias("sdc2"),
+        F.sum(qi).cast(dec).alias("sq"),
+        F.sum(qi * qi).cast(dec).alias("sq2"),
+        F.sum(dc).cast(dec).alias("sdc"),
+        F.sum(dc * dc).cast(dec).alias("sdc2"),
         F.sum(pc.cast(dec)).alias("spc"),
         F.sum((pc * pc).cast(dec)).alias("spc2"),
         F.sum((qi * pc).cast(dec)).alias("sqp"),

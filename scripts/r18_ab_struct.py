@@ -246,11 +246,90 @@ def old_join_q8(spark, sf_dir):
     )
 
 
+def old_join_q7(spark, sf_dir):
+    from catena_spark.parity import usum
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    s = tables.load(spark, sf_dir, "supplier")
+    n1 = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("supp_nation"),
+        F.col("n_regionkey").alias("n2_region"),
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .where(F.col("n1_region") != F.col("n2_region"))
+    )
+    return j.groupBy("cust_nation", "supp_nation").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        usum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+    )
+
+
+def old_agg_stats_suite(spark, sf_dir):
+    from catena_spark.parity import det_double
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    qi = F.col("l_quantity").cast("long")
+    dc = F.round(F.col("l_discount") * 100, 0).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(qi.cast(dec)).alias("sq"),
+        F.sum((qi * qi).cast(dec)).alias("sq2"),
+        F.sum(dc.cast(dec)).alias("sdc"),
+        F.sum((dc * dc).cast(dec)).alias("sdc2"),
+        F.sum(pc.cast(dec)).alias("spc"),
+        F.sum((pc * pc).cast(dec)).alias("spc2"),
+        F.sum((qi * pc).cast(dec)).alias("sqp"),
+    )
+    n, sq, sq2 = F.col("n"), F.col("sq"), F.col("sq2")
+    sdc, sdc2 = F.col("sdc"), F.col("sdc2")
+    spc, spc2, sqp = F.col("spc"), F.col("spc2"), F.col("sqp")
+    varq = det_double(n * sq2 - sq * sq) / det_double(n * (n - 1))
+    return m.select(
+        "l_returnflag",
+        F.sqrt(varq).alias("sd_qty"),
+        varq.alias("var_qty"),
+        F.sqrt(
+            det_double(n * sdc2 - sdc * sdc) / det_double(n * n * 10000)
+        ).alias("sdp_disc"),
+        (
+            det_double(n * sqp - sq * spc)
+            / (
+                F.sqrt(det_double(n * sq2 - sq * sq))
+                * F.sqrt(det_double(n * spc2 - spc * spc))
+            )
+        ).alias("corr_qty_price"),
+        (
+            det_double(n * sqp - sq * spc)
+            / det_double(n * (n - 1))
+            / F.lit(100.0)
+        ).alias("covar_qty_price"),
+    )
+
+
 OLD = {
     "llm_minhash_pairs": old_minhash_pairs,
     "llm_minhash_pairs_portable": old_minhash_pairs_portable,
     "join_q21_sole_blame_supplier": old_join_q21,
     "join_q8_market_share": old_join_q8,
+    "join_q7_nation_pairs": old_join_q7,
+    "agg_stats_suite": old_agg_stats_suite,
 }
 
 
