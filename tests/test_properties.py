@@ -645,15 +645,27 @@ def test_det_double_bit_identical_across_engines(spark, duck):
     got_spark = [
         r["d"] for r in sdf.select(det_double(F.col("v")).alias("d")).collect()
     ]
+    # r18: the SQL-text twin (parity.spark_det_double, the q1 cold-plan
+    # fix) must stay bit-identical to the Column kernel at every
+    # magnitude — one rendering drifting would silently fork the
+    # flagship's semantics from every other det_double call site.
+    from catena_spark.parity import spark_det_double
+
+    got_spark_sql = [
+        r["d"]
+        for r in sdf.select(
+            F.expr(spark_det_double("v")).alias("d")
+        ).collect()
+    ]
     got_duck = [
         duck.execute(
             "SELECT " + duck_det_double(f"CAST('{x}' AS HUGEINT)")
         ).fetchone()[0]
         for x in cases
     ]
-    for x, ds, dd in zip(cases, got_spark, got_duck):
+    for x, ds, dsql, dd in zip(cases, got_spark, got_spark_sql, got_duck):
         want = py_det(x)
-        assert ds == dd == want, (x, ds, dd, want)
+        assert ds == dsql == dd == want, (x, ds, dsql, dd, want)
         if abs(x) < 2**53:
             assert ds == float(x), (x, ds)
 
